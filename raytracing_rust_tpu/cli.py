@@ -1,0 +1,109 @@
+"""Command-line entry point.
+
+The reference's "CLI" is `cargo test -- --test-threads=1` (reference
+tests/test.rs:28,525-838): each #[test] sets up a logger, builds a scene and
+camera from hard-coded constants, renders, and writes output/<scene>.ppm.
+Here that's `python -m raytracing_rust_tpu render --scene <name>` with the
+same presets, plus overrides the reference hard-codes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="raytracing_rust_tpu",
+        description="TPU-native differentiable Monte Carlo path tracer")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("render", help="render a scene preset")
+    r.add_argument("--scene", required=True)
+    r.add_argument("--nx", type=int, default=None)
+    r.add_argument("--ny", type=int, default=None)
+    r.add_argument("--spp", type=int, default=None)
+    r.add_argument("--seed", type=int, default=0)
+    r.add_argument("--max-depth", type=int, default=50,
+                   help="bounce cap (reference src/color.rs:9)")
+    r.add_argument("--out", default=None,
+                   help="output path (.ppm or .png); default output/<scene>.ppm")
+    r.add_argument("--sharded", action="store_true",
+                   help="shard over all visible devices")
+    r.add_argument("--log", default="log/log.log")
+    r.add_argument("--no-progress", action="store_true")
+
+    ls = sub.add_parser("scenes", help="list scene presets")
+
+    b = sub.add_parser("bench", help="throughput benchmark (see bench.py)")
+    b.add_argument("--scene", default="cornell_box_baseline")
+    b.add_argument("--spp", type=int, default=None)
+
+    args = ap.parse_args(argv)
+
+    from .models.builders import PRESETS
+
+    if args.cmd == "scenes":
+        for name, p in PRESETS.items():
+            print(f"{name:24s} {p.nx}x{p.ny} spp={p.spp}")
+        return 0
+
+    if args.cmd == "bench":
+        from . import benchlib
+        result = benchlib.run(scene=args.scene, spp=args.spp)
+        print(benchlib.to_json(result))
+        return 0
+
+    # render
+    if args.scene not in PRESETS:
+        print(f"unknown scene {args.scene!r}; try: {', '.join(PRESETS)}",
+              file=sys.stderr)
+        return 2
+
+    from .utils.logger import Logger, LogLevel
+    from .utils.progress import ProgressBar
+    from .utils import image_io
+
+    log = Logger(args.log, LogLevel.DEBUG)
+    log.write(f"render scene={args.scene}")
+
+    preset = PRESETS[args.scene]
+    nx = args.nx or preset.nx
+    ny = args.ny or preset.ny
+    spp = args.spp or preset.spp
+    preset = type(preset)(**{**preset.__dict__, "nx": nx, "ny": ny})
+
+    scene = preset.build()
+    cam = preset.camera()
+
+    progress = None if args.no_progress else ProgressBar(args.scene)
+    t0 = time.time()
+    if args.sharded:
+        from .parallel.sharding import make_mesh, render_sharded
+        img = render_sharded(scene, cam, nx, ny, spp, make_mesh(),
+                             seed=args.seed, max_depth=args.max_depth)
+    else:
+        from .render import render
+        img = render(scene, cam, nx, ny, spp, seed=args.seed,
+                     max_depth=args.max_depth, progress=progress)
+    dt = time.time() - t0
+
+    out = args.out or os.path.join("output", f"{args.scene}.ppm")
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    if out.endswith(".png"):
+        image_io.write_png(out, img)
+    else:
+        image_io.write_ppm(out, img)
+
+    rays = nx * ny * spp
+    print(f"{args.scene}: {nx}x{ny} spp={spp} in {dt:.1f}s "
+          f"({rays / dt / 1e6:.2f}M primary rays/s) -> {out}")
+    log.write(f"rendered {args.scene} in {dt:.1f}s -> {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

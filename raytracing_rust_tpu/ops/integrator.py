@@ -1,0 +1,143 @@
+"""Wavefront path-tracing integrator.
+
+The reference integrator is a scalar recursion up to depth 50
+(`color(ray, world, depth)`, reference src/color.rs:6-23):
+
+    hit  → emitted + attenuation ⊙ color(scattered, depth+1)   [while depth<50]
+    miss → background (live code: black; the book-1 sky gradient is the
+           commented block at src/color.rs:18-20 — here a per-scene option)
+
+On TPU the recursion becomes an iterative *wavefront*: a batch of N rays
+carries (origin, direction, throughput, radiance, alive) through a bounce
+loop. Two loop flavors:
+
+* `lax.while_loop` for forward rendering — exits as soon as every lane dies
+  (typical paths die in a handful of bounces, not 50);
+* `lax.scan` with a rematerialized body for reverse-mode autodiff
+  (`while_loop` is not reverse-differentiable).
+
+Medium events compete with surface hits exactly like the reference's
+HittableList scan does (closest wins; src/hittable.rs:37-47 + medium.rs:28-56).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..models.scene import SceneTables, BG_SKY
+from . import rng
+from .intersect import (BIG, closest_hit, hit_attributes, media_scatter,
+                        pack_prims)
+from .materials import emitted as mat_emitted
+from .materials import scatter as mat_scatter
+
+# RNG purpose slots (folded into the key per bounce)
+_U_SPHERE = 0
+_U_BRANCH = 1
+_U_MEDIUM = 2
+
+T_MIN = 1e-3  # ray epsilon, reference src/color.rs:7
+
+
+def background(scene: SceneTables, d: jnp.ndarray) -> jnp.ndarray:
+    """Miss radiance. BG_SKY is the book-1 gradient the reference keeps
+    commented out (src/color.rs:18-20); BG_BLACK is its live behavior."""
+    if scene.background == BG_SKY:
+        unit = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        t = 0.5 * (unit[:, 1] + 1.0)
+        white = jnp.asarray([1.0, 1.0, 1.0], d.dtype)
+        blue = jnp.asarray([0.5, 0.7, 1.0], d.dtype)
+        return (1.0 - t)[:, None] * white + t[:, None] * blue
+    return jnp.zeros_like(d)
+
+
+def _bounce(scene: SceneTables, pack, key, max_depth, b, o, d, time, thr,
+            rad, alive):
+    """One wavefront bounce; returns updated (o, d, thr, rad, alive)."""
+    n = o.shape[0]
+    hit = closest_hit(scene, o, d, time, T_MIN, pack=pack)
+
+    t_ev = hit.t
+    med_mat = None
+    if scene.has_media:
+        u_med = rng.uniforms(key, b, _U_MEDIUM, (n, scene.num_media), o.dtype)
+        t_med, med_mat = media_scatter(scene, o, d, time, T_MIN, hit.t, u_med)
+        med_event = t_med < hit.t
+        t_ev = jnp.where(med_event, t_med, hit.t)
+
+    hit_any = t_ev < BIG
+
+    p, normal, u, v, mat_id = hit_attributes(scene, o, d, time, hit, pack=pack)
+    if scene.has_media:
+        p = jnp.where(med_event[:, None], o + t_med[:, None] * d, p)
+        # arbitrary medium-hit attributes (reference src/medium.rs:44-50)
+        normal = jnp.where(med_event[:, None],
+                           jnp.asarray([1.0, 0.0, 0.0], o.dtype), normal)
+        u = jnp.where(med_event, 0.0, u)
+        v = jnp.where(med_event, 0.0, v)
+        mat_id = jnp.where(med_event, med_mat, mat_id)
+
+    # emitted light is added on every hit (reference src/color.rs:8-15)
+    e = mat_emitted(scene, mat_id, u, v, p)
+    rad = rad + jnp.where((alive & hit_any)[:, None], thr * e,
+                          jnp.zeros_like(e))
+
+    # misses collect the background and die (src/color.rs:16-22)
+    bg = background(scene, d)
+    rad = rad + jnp.where((alive & ~hit_any)[:, None], thr * bg,
+                          jnp.zeros_like(bg))
+
+    u_sphere = rng.uniforms(key, b, _U_SPHERE, (n, 3), o.dtype)
+    u_branch = rng.uniforms(key, b, _U_BRANCH, (n,), o.dtype)
+    new_d, att, ok = mat_scatter(scene, d, p, normal, u, v, mat_id,
+                                 u_sphere, u_branch)
+
+    # scatter allowed only below the depth cap (src/color.rs:9 `depth < 50`)
+    cont = alive & hit_any & ok & (b < max_depth)
+    thr = jnp.where(cont[:, None], thr * att, thr)
+    o = jnp.where(cont[:, None], p, o)
+    d = jnp.where(cont[:, None], new_d, d)
+    return o, d, thr, rad, cont
+
+
+@partial(jax.jit, static_argnames=("max_depth", "differentiable"))
+def trace(scene: SceneTables, o, d, time, key, max_depth: int = 50,
+          differentiable: bool = False) -> jnp.ndarray:
+    """Trace a batch of rays to completion → radiance [N, 3].
+
+    o, d, time: ray batch (directions unnormalized, reference convention);
+    key: RNG key for this batch (bounce/purpose folded in internally).
+    """
+    thr = jnp.ones_like(o)
+    rad = jnp.zeros_like(o)
+    alive = jnp.ones(o.shape[0], bool)
+    pack = pack_prims(scene)  # transform hoisting: once per trace, not per bounce
+
+    if differentiable:
+        def body(carry, b):
+            o, d, thr, rad, alive = carry
+            o, d, thr, rad, alive = _bounce(scene, pack, key, max_depth, b,
+                                            o, d, time, thr, rad, alive)
+            return (o, d, thr, rad, alive), None
+
+        body = jax.checkpoint(body)  # O(1) residual memory per bounce
+        (_, _, _, rad, _), _ = jax.lax.scan(
+            body, (o, d, thr, rad, alive), jnp.arange(max_depth + 1))
+        return rad
+
+    def cond(carry):
+        b, _, _, _, _, alive = carry
+        return (b <= max_depth) & jnp.any(alive)
+
+    def body(carry):
+        b, o, d, thr, rad, alive = carry
+        o, d, thr, rad, alive = _bounce(scene, pack, key, max_depth, b,
+                                        o, d, time, thr, rad, alive)
+        return b + 1, o, d, thr, rad, alive
+
+    _, _, _, _, rad, _ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), o, d, thr, rad, alive))
+    return rad

@@ -1,0 +1,49 @@
+"""Stateless, closed-form random samplers.
+
+The reference draws from a global unseeded `rand::thread_rng()` with rejection
+loops (reference src/util.rs:4-24) — nondeterministic and shape-dynamic, both
+non-starters under XLA. We use counter-based `jax.random` keys plus closed-form
+transforms with a *fixed* draw count that sample the *same distributions*:
+
+* `in_unit_sphere` — uniform in the unit ball (matches util.rs:4-13).
+* `in_unit_disk`   — uniform in the unit z=0 disk (matches util.rs:15-24).
+
+Every consumer derives its key by folding (bounce, purpose) into a per-batch
+key, so renders are bit-reproducible for a given seed and batch layout.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def in_unit_sphere(u: jnp.ndarray) -> jnp.ndarray:
+    """Uniform point in the unit ball from uniforms u[..., 3].
+
+    Closed form replacement for the rejection loop at reference src/util.rs:4-13:
+    uniform direction (cos-theta inversion) scaled by U^(1/3) radius.
+    """
+    cos_t = 2.0 * u[..., 0] - 1.0
+    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+    phi = (2.0 * jnp.pi) * u[..., 1]
+    r = jnp.cbrt(u[..., 2])
+    return r[..., None] * jnp.stack(
+        [sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t], axis=-1)
+
+
+def in_unit_disk(u: jnp.ndarray) -> jnp.ndarray:
+    """Uniform point in the unit disk (z=0) from uniforms u[..., 2].
+
+    Closed form replacement for reference src/util.rs:15-24.
+    """
+    r = jnp.sqrt(u[..., 0])
+    phi = (2.0 * jnp.pi) * u[..., 1]
+    zeros = jnp.zeros_like(r)
+    return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), zeros], axis=-1)
+
+
+def uniforms(key: jax.Array, bounce, purpose: int, shape, dtype=jnp.float32):
+    """Deterministic U[0,1) draws for a (bounce, purpose) slot."""
+    k = jax.random.fold_in(jax.random.fold_in(key, bounce), purpose)
+    return jax.random.uniform(k, shape, dtype)

@@ -1,0 +1,100 @@
+"""Render driver: the TPU equivalent of the reference's `create_image`
+(reference tests/test.rs:55-85).
+
+The reference triple loop (rows j=ny−1..0, cols i=0..nx, ns samples, one
+recursive `color` per sample) becomes: flat pixel ids → ray lanes
+(pixel × sample), traced as one wavefront batch under jit, accumulated into
+per-pixel radiance sums. A host-side loop walks pixel blocks × sample chunks
+so arbitrarily large (nx, ny, spp) fit in device memory; each (block, chunk)
+gets its own folded RNG key, so the full render is deterministic for a given
+seed regardless of chunking-independent lane position.
+
+Output matches the reference exactly: image row 0 is the top scanline
+(j = ny−1), gamma 2.0 via sqrt, clamp to [0,1] (tests/test.rs:72-75).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models.scene import SceneTables
+from .ops import rng
+from .ops.camera import Camera, get_rays
+from .ops.integrator import trace
+
+_CAM_FOLD = 1 << 20  # RNG purpose slot for camera jitter draws
+
+
+@partial(jax.jit, static_argnames=("spp", "nx", "ny", "max_depth",
+                                   "differentiable"))
+def render_block(scene: SceneTables, cam: Camera, pix: jnp.ndarray,
+                 key: jax.Array, spp: int, nx: int, ny: int,
+                 max_depth: int = 50, differentiable: bool = False):
+    """Radiance sums over `spp` samples for a block of pixel ids → [Nb, 3].
+
+    pix: int32[Nb] flat pixel ids in output order (0 = top-left, row-major).
+    """
+    nb = pix.shape[0]
+    lanes = nb * spp
+    pid = jnp.repeat(pix, spp)
+
+    i = (pid % nx).astype(cam.origin.dtype)
+    j = (ny - 1 - pid // nx).astype(cam.origin.dtype)  # reference row order
+
+    cam_key = jax.random.fold_in(key, _CAM_FOLD)
+    u = jax.random.uniform(cam_key, (lanes, 5), cam.origin.dtype)
+
+    # sub-pixel jitter (reference tests/test.rs:66-68)
+    s = (i + u[:, 0]) / nx
+    t = (j + u[:, 1]) / ny
+    o, d, time = get_rays(cam, s, t, u[:, 2:5])
+
+    rad = trace(scene, o, d, time, key, max_depth=max_depth,
+                differentiable=differentiable)
+    return rad.reshape(nb, spp, 3).sum(axis=1)
+
+
+def render(scene: SceneTables, cam: Camera, nx: int, ny: int, spp: int,
+           seed: int = 0, max_depth: int = 50, block_pixels: int = 1 << 14,
+           spp_chunk: int | None = None, progress=None) -> np.ndarray:
+    """Full image render → float32 [ny, nx, 3], gamma-corrected like the
+    reference (sqrt + clamp, tests/test.rs:72-75). Row 0 = top.
+    """
+    block_pixels = min(block_pixels, nx * ny)
+    if spp_chunk is None:
+        budget = max(1, (1 << 20) // block_pixels)
+        # largest divisor of spp within the lane budget (one jit shape)
+        spp_chunk = max(c for c in range(1, min(spp, budget) + 1)
+                        if spp % c == 0)
+    assert spp % spp_chunk == 0, "spp_chunk must divide spp"
+    n_pix = nx * ny
+    n_blocks = math.ceil(n_pix / block_pixels)
+    n_chunks = spp // spp_chunk
+
+    base = jax.random.key(seed)
+    sums = np.zeros((n_pix, 3), np.float32)
+    done = 0
+    for blk in range(n_blocks):
+        lo = blk * block_pixels
+        hi = min(lo + block_pixels, n_pix)
+        ids = np.arange(lo, lo + block_pixels, dtype=np.int32)
+        ids[hi - lo:] = n_pix - 1  # pad: re-render last pixel, discarded
+        pix = jnp.asarray(ids)
+        acc = None
+        for ch in range(n_chunks):
+            key = jax.random.fold_in(jax.random.fold_in(base, blk), ch)
+            out = render_block(scene, cam, pix, key, spp_chunk, nx, ny,
+                               max_depth)
+            acc = out if acc is None else acc + out
+            done += 1
+            if progress is not None:
+                progress(done, n_blocks * n_chunks)
+        sums[lo:hi] += np.asarray(acc)[: hi - lo]
+
+    img = np.sqrt(np.clip(sums / spp, 0.0, None))
+    return np.clip(img, 0.0, 1.0).reshape(ny, nx, 3).astype(np.float32)
