@@ -134,4 +134,6 @@ def train_step_sharded(scene: SceneTables, cam: Camera, pix, key, target,
         img = sums / spp
         return jnp.mean((img - target) ** 2)
 
-    return jax.value_and_grad(loss_fn)(scene)
+    # allow_int: SceneTables mixes float parameter tables with int32 tag/index
+    # tables; integer leaves get float0 cotangents.
+    return jax.value_and_grad(loss_fn, allow_int=True)(scene)
