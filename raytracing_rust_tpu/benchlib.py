@@ -25,9 +25,11 @@ REFERENCE_EST_RAYS_PER_SEC = 2.0e5  # documented estimate, see module docstring
 
 
 def run(scene: str = "cornell_box_baseline", spp: int | None = None,
-        nx: int | None = None, ny: int | None = None, seed: int = 0):
+        nx: int | None = None, ny: int | None = None, seed: int = 0,
+        engine: str = "auto"):
     import jax
     from .models.builders import PRESETS
+    from .ops.pallas_tracer import UnsupportedScene, render_pallas
     from .render import render
 
     preset = PRESETS[scene]
@@ -37,13 +39,25 @@ def run(scene: str = "cornell_box_baseline", spp: int | None = None,
     tables = preset.build()
     cam = preset.camera()
 
-    # compile + device warmup at a small spp (same jit shapes as the run)
-    warm_spp = min(spp, 4)
-    render(tables, cam, nx, ny, warm_spp, seed=seed, spp_chunk=warm_spp)
+    use_pallas = engine in ("auto", "pallas")
+    if use_pallas:
+        try:  # warmup doubles as the support check
+            render_pallas(tables, cam, nx, ny, 2, seed=seed)
+        except UnsupportedScene:
+            if engine == "pallas":
+                raise
+            use_pallas = False
 
-    t0 = time.perf_counter()
-    render(tables, cam, nx, ny, spp, seed=seed, spp_chunk=warm_spp)
-    dt = time.perf_counter() - t0
+    if use_pallas:
+        t0 = time.perf_counter()
+        render_pallas(tables, cam, nx, ny, spp, seed=seed)
+        dt = time.perf_counter() - t0
+    else:
+        warm_spp = min(spp, 4)
+        render(tables, cam, nx, ny, warm_spp, seed=seed, spp_chunk=warm_spp)
+        t0 = time.perf_counter()
+        render(tables, cam, nx, ny, spp, seed=seed, spp_chunk=warm_spp)
+        dt = time.perf_counter() - t0
 
     rays_per_sec = nx * ny * spp / dt
     return {
@@ -52,6 +66,7 @@ def run(scene: str = "cornell_box_baseline", spp: int | None = None,
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / REFERENCE_EST_RAYS_PER_SEC, 2),
         "wall_seconds": round(dt, 2),
+        "engine": "pallas" if use_pallas else "xla",
         "device": str(jax.devices()[0]),
     }
 

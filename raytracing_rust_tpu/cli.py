@@ -33,6 +33,10 @@ def main(argv=None) -> int:
                    help="output path (.ppm or .png); default output/<scene>.ppm")
     r.add_argument("--sharded", action="store_true",
                    help="shard over all visible devices")
+    r.add_argument("--engine", choices=["auto", "xla", "pallas"],
+                   default="auto",
+                   help="auto = Pallas megakernel when the scene supports "
+                        "it, else the XLA wavefront tier")
     r.add_argument("--log", default="log/log.log")
     r.add_argument("--no-progress", action="store_true")
 
@@ -86,9 +90,21 @@ def main(argv=None) -> int:
         img = render_sharded(scene, cam, nx, ny, spp, make_mesh(),
                              seed=args.seed, max_depth=args.max_depth)
     else:
-        from .render import render
-        img = render(scene, cam, nx, ny, spp, seed=args.seed,
-                     max_depth=args.max_depth, progress=progress)
+        img = None
+        if args.engine in ("auto", "pallas"):
+            from .ops.pallas_tracer import UnsupportedScene, render_pallas
+            try:
+                img = render_pallas(scene, cam, nx, ny, spp, seed=args.seed,
+                                    max_depth=args.max_depth)
+            except UnsupportedScene as e:
+                if args.engine == "pallas":
+                    print(f"pallas engine: {e}", file=sys.stderr)
+                    return 2
+                log.write(f"pallas unsupported ({e}); falling back to xla")
+        if img is None:
+            from .render import render
+            img = render(scene, cam, nx, ny, spp, seed=args.seed,
+                         max_depth=args.max_depth, progress=progress)
     dt = time.time() - t0
 
     out = args.out or os.path.join("output", f"{args.scene}.ppm")

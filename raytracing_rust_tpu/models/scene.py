@@ -323,7 +323,8 @@ class SceneBuilder:
     def build(self, dtype=jnp.float32) -> SceneTables:
         P = max(len(self._ptype), 1)
         if not self._ptype:  # keep shapes non-empty for jit friendliness
-            self._add_prim(PRIM_SPHERE, [0.0, 0.0, 0.0, -1.0], material=0)
+            # radius 0 ⇒ disc = b²−a·|oc|² ≤ 0 (Cauchy–Schwarz): never hits
+            self._add_prim(PRIM_SPHERE, [0.0, 0.0, 0.0, 0.0], material=0)
         if not self._mat_type:
             self.lambertian(self.solid(0, 0, 0))
         M = len(self._mtype)

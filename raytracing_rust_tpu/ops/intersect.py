@@ -39,6 +39,17 @@ from ..models.scene import (SceneTables, PRIM_SPHERE, PRIM_MOVING_SPHERE,
 BIG = 3.0e38  # stand-in for f64::MAX at reference src/color.rs:7
 
 
+def _mm(a, b):
+    """[N,3] @ [3,C] at full f32 precision.
+
+    TPU matmuls default to bf16 inputs; at cornell-scale coordinates (~555,
+    bf16 ulp 2.0) that rounds ray origins onto the wrong side of their own
+    surface and every secondary ray self-intersects. HIGHEST forces the
+    f32-accurate path; K=3 keeps it cheap.
+    """
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
 def _onehot3(idx: jnp.ndarray, dtype) -> jnp.ndarray:
     """[..., 3] one-hot for axis codes in {0, 1, 2}."""
     return (idx[..., None] == jnp.arange(3, dtype=jnp.int32)).astype(dtype)
@@ -184,22 +195,24 @@ def _candidate_ts(pack: PrimPack, o, d, time, t_min, t_max):
     b = jnp.sum(oc * d[:, None, :], -1)
     cc = jnp.sum(oc * oc, -1) - pack.r2[None, :]
     disc = b * b - a * cc
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # double-where keeps sqrt's cotangent finite on miss lanes (sqrt'(0)=inf
+    # would otherwise turn into NaN·0 in reverse mode)
+    pos = disc > 0.0
+    sq = jnp.sqrt(jnp.where(pos, disc, 1.0))
     t_near = (-b - sq) / a
     t_far = (-b + sq) / a
-    pos = disc > 0.0
     near_ok = pos & (t_near > t_min) & (t_near < t_max)
     far_ok = pos & (t_far > t_min) & (t_far < t_max)
     t_sph = jnp.where(near_ok, t_near, jnp.where(far_ok, t_far, BIG))
 
     # ---- rects (reference src/rect.rs:39-69) ----
     # plane: (o−off)·kn + t·(d·kn) = k  ⇔  o·kn + t·d·kn = k_off
-    o_kn = o @ pack.kn.T
-    d_kn = d @ pack.kn.T
+    o_kn = _mm(o, pack.kn.T)
+    d_kn = _mm(d, pack.kn.T)
     parallel = d_kn == 0.0
     t_r = (pack.k_off[None, :] - o_kn) / jnp.where(parallel, 1.0, d_kn)
-    x = o @ pack.an.T + t_r * (d @ pack.an.T) - pack.a_off[None, :]
-    y = o @ pack.bn.T + t_r * (d @ pack.bn.T) - pack.b_off[None, :]
+    x = _mm(o, pack.an.T) + t_r * _mm(d, pack.an.T) - pack.a_off[None, :]
+    y = _mm(o, pack.bn.T) + t_r * _mm(d, pack.bn.T) - pack.b_off[None, :]
     ok = (~parallel) & (t_r > t_min) & (t_r < t_max) \
         & (x >= pack.a0[None, :]) & (x <= pack.a1[None, :]) \
         & (y >= pack.b0[None, :]) & (y <= pack.b1[None, :])
@@ -286,7 +299,9 @@ def hit_attributes(scene: SceneTables, o, d, time, hit: Hit,
     # rotated-back object normal since (p_obj − c)/r maps by R₊.
     frac = (time - g(pack.t0)) * g(pack.inv_dt)
     center = g(pack.c0) + frac[:, None] * g(pack.dc)
-    n_sph = (p - center) / g(pack.radius)[:, None]
+    r_safe = g(pack.radius)
+    r_safe = jnp.where(r_safe == 0.0, 1.0, r_safe)  # miss lanes gather slot 0
+    n_sph = (p - center) / r_safe[:, None]
 
     # sphere uv needs the OBJECT-space normal (reference computes uv before
     # un-rotating, src/sphere.rs:46-52): n_obj = R₋ n_world.
@@ -347,10 +362,10 @@ def media_scatter(scene: SceneTables, o, d, time, t_min: float,
     b = jnp.sum(oc * d_obj, -1)
     c = jnp.sum(oc * oc, -1) - (data[:, 3] * data[:, 3])[None]
     disc = b * b - a * c
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    sph_ok = disc > 0.0
+    sq = jnp.sqrt(jnp.where(sph_ok, disc, 1.0))  # see double-where note above
     sph_enter = (-b - sq) / a
     sph_exit = (-b + sq) / a
-    sph_ok = disc > 0.0
 
     # box boundary: slab test on the infinite line (tiny-denominator guard
     # keeps parallel-slab math finite: ±~1e33 in f32, no NaNs in gradients)

@@ -42,8 +42,9 @@ def _refract(v, n, ni_over_nt):
     dt = _dot(uv, n)
     disc = 1.0 - ni_over_nt * ni_over_nt * (1.0 - dt * dt)
     ok = disc > 0.0
+    # double-where: sqrt'(0)=inf must not leak NaN into TIR lanes' gradients
     refracted = (ni_over_nt[..., None] * (uv - n * dt[..., None])
-                 - n * jnp.sqrt(jnp.maximum(disc, 0.0))[..., None])
+                 - n * jnp.sqrt(jnp.where(ok, disc, 1.0))[..., None])
     return refracted, ok
 
 

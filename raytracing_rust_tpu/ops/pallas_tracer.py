@@ -1,0 +1,559 @@
+"""Pallas TPU wavefront megakernel — the performance tier of the renderer.
+
+The XLA baseline (`ops/integrator.py`) round-trips every per-lane state array
+through HBM on every bounce and materializes [N, P, 3] intersection temps;
+on a TPU that makes the render HBM-bound ~200x below the VPU's speed of
+light. This kernel inverts the layout:
+
+* one grid step owns a (8, LANES) tile of pixels that lives in
+  VMEM/registers for the WHOLE render: ray generation, the full bounce loop,
+  and the spp accumulation all happen inside the kernel. HBM traffic is the
+  final radiance image — nothing else;
+* the primitive loop is unrolled at trace time over per-primitive SCALARS
+  held in SMEM (the flattened world-space PrimPack + shading record), so
+  intersection is pure [8, LANES] VPU arithmetic — no gathers, no [N, P]
+  temps;
+* materials/textures are resolved per-primitive at pack time (solid color,
+  checker colors, emission, fuzz/ref_idx as scalars in the same record), so
+  shading is masked elementwise selects like `ops/materials.py` but on
+  register tiles;
+* RNG is the TPU core PRNG (`pltpu.prng_seed` / `prng_random_bits`), seeded
+  per grid step — a different (but equally deterministic-per-seed)
+  counter-based stream than the XLA tier's threefry.
+
+Coverage: sphere / moving-sphere / rect primitives, instance transforms
+(pre-hoisted into world space by `pack_prims`), lambertian / metal /
+dielectric / diffuse-light materials, solid + checker textures, black / sky
+backgrounds — i.e. the reference scenes cornell_box, two_spheres,
+random_spheres (the BASELINE.json headline config included). Scenes with
+Perlin/image textures or participating media fall back to the XLA tier
+(`render(engine='xla')`), which covers everything.
+
+Semantics match the reference math exactly like the XLA tier does
+(src/sphere.rs:37-77, src/rect.rs:39-69, src/material.rs:35-131,
+src/color.rs:6-23); only the RNG stream differs (SURVEY.md §4: the
+reference is unseeded, so per-draw parity was never possible).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.scene import (SceneTables, BG_SKY, MAT_LAMBERTIAN, MAT_METAL,
+                            MAT_DIELECTRIC, MAT_DIFFUSE_LIGHT, TEX_SOLID,
+                            TEX_CHECKER, PRIM_RECT)
+from .intersect import pack_prims
+
+BIG = 3.0e38
+T_MIN = 1e-3   # reference src/color.rs:7
+
+# lane tile: (SUB, LANES) f32 = native (8, 128k) VPU tiling
+SUB = 8
+LANES = 1024
+TILE = SUB * LANES
+
+# per-primitive scalar record layout (f32[P, REC])
+R_IS_SPHERE = 0
+R_C0 = 1          # 1..3  world center at time0
+R_DC = 4          # 4..6  center span (moving)
+R_T0 = 7
+R_INV_DT = 8
+R_RADIUS = 9
+R_R2 = 10
+R_KN = 11         # 11..13 rect plane normal (world)
+R_AN = 14         # 14..16 rect a axis
+R_BN = 17         # 17..19 rect b axis
+R_KOFF = 20
+R_AOFF = 21
+R_BOFF = 22
+R_A0, R_A1, R_B0, R_B1 = 23, 24, 25, 26
+R_FLIP = 27
+R_MAT = 28        # material type tag as float
+R_PARAM = 29      # fuzz / ref_idx
+R_EMIT = 30       # 30..32
+R_ALB_EVEN = 33   # 33..35
+R_ALB_ODD = 36    # 36..38
+R_CHECKER = 39
+REC = 40
+
+# camera scalar record (f32[CAMREC])
+C_ORIGIN, C_LL, C_HORIZ, C_VERT, C_U, C_V = 0, 3, 6, 9, 12, 15
+C_LENS_R, C_TIME0, C_DTIME = 18, 19, 20
+CAMREC = 21
+
+
+class UnsupportedScene(ValueError):
+    """Scene uses features outside the megakernel's coverage."""
+
+
+def build_scene_record(scene: SceneTables):
+    """Flatten SceneTables into the [P, REC] scalar record (host side).
+
+    Returns (record, kinds, flags): kinds is a static tuple of
+    'sphere'/'moving'/'rect' controlling the per-primitive unroll; flags is
+    a static (has_checker, has_metal, has_diel) tuple that gates whole
+    shading blocks out of scenes that don't use them. Raises
+    UnsupportedScene for media / noise / image textures.
+    """
+    if scene.num_media and bool(np.any(np.asarray(scene.med_density) != 0)):
+        raise UnsupportedScene("participating media need the XLA tier")
+    pk = jax.tree.map(np.asarray, pack_prims(scene))
+    ptype = np.asarray(scene.prim_type)
+    mat_type = np.asarray(scene.mat_type)
+    mat_param = np.asarray(scene.mat_param)
+    mat_tex = np.asarray(scene.mat_texture)
+    tex_type = np.asarray(scene.tex_type)
+    tex_color = np.asarray(scene.tex_color)
+    tex_child = np.asarray(scene.tex_child)
+    prim_mat = np.asarray(scene.prim_material)
+    P = len(ptype)
+
+    from ..models.scene import PRIM_MOVING_SPHERE
+
+    rec = np.zeros((P, REC), np.float32)
+    kinds = []
+    for p in range(P):
+        if ptype[p] == PRIM_RECT:
+            k = "rect"
+        elif ptype[p] == PRIM_MOVING_SPHERE:
+            k = "moving"
+        else:
+            k = "sphere"
+        kinds.append(k)
+        rec[p, R_IS_SPHERE] = 0.0 if k == "rect" else 1.0
+        rec[p, R_C0:R_C0 + 3] = pk.c0[p]
+        rec[p, R_DC:R_DC + 3] = pk.dc[p]
+        rec[p, R_T0] = pk.t0[p]
+        rec[p, R_INV_DT] = pk.inv_dt[p]
+        rec[p, R_RADIUS] = pk.radius[p]
+        rec[p, R_R2] = pk.r2[p]
+        rec[p, R_KN:R_KN + 3] = pk.kn[p]
+        rec[p, R_AN:R_AN + 3] = pk.an[p]
+        rec[p, R_BN:R_BN + 3] = pk.bn[p]
+        rec[p, R_KOFF] = pk.k_off[p]
+        rec[p, R_AOFF] = pk.a_off[p]
+        rec[p, R_BOFF] = pk.b_off[p]
+        rec[p, R_A0] = pk.a0[p]
+        rec[p, R_A1] = pk.a1[p]
+        rec[p, R_B0] = pk.b0[p]
+        rec[p, R_B1] = pk.b1[p]
+        rec[p, R_FLIP] = np.asarray(scene.prim_flip)[p]
+
+        m = prim_mat[p]
+        mt = int(mat_type[m])
+        if mt not in (MAT_LAMBERTIAN, MAT_METAL, MAT_DIELECTRIC,
+                      MAT_DIFFUSE_LIGHT):
+            raise UnsupportedScene(f"material type {mt} needs the XLA tier")
+        rec[p, R_MAT] = float(mt)
+        rec[p, R_PARAM] = mat_param[m]
+        tx = mat_tex[m]
+        tt = int(tex_type[tx])
+        if tt == TEX_SOLID:
+            color = tex_color[tx]
+            if mt == MAT_DIFFUSE_LIGHT:
+                rec[p, R_EMIT:R_EMIT + 3] = color
+            else:
+                rec[p, R_ALB_EVEN:R_ALB_EVEN + 3] = color
+        elif tt == TEX_CHECKER:
+            odd, even = tex_child[tx]
+            if (tex_type[odd] != TEX_SOLID or tex_type[even] != TEX_SOLID
+                    or mt == MAT_DIFFUSE_LIGHT):
+                raise UnsupportedScene("nested/emissive checker")
+            rec[p, R_ALB_ODD:R_ALB_ODD + 3] = tex_color[odd]
+            rec[p, R_ALB_EVEN:R_ALB_EVEN + 3] = tex_color[even]
+            rec[p, R_CHECKER] = 1.0
+        else:
+            raise UnsupportedScene(f"texture type {tt} needs the XLA tier")
+    flags = (bool(np.any(rec[:, R_CHECKER] > 0)),
+             bool(np.any(rec[:, R_MAT] == MAT_METAL)),
+             bool(np.any(rec[:, R_MAT] == MAT_DIELECTRIC)))
+    return rec, tuple(kinds), flags
+
+
+def build_camera_record(cam) -> np.ndarray:
+    rec = np.zeros(CAMREC, np.float32)
+    rec[C_ORIGIN:C_ORIGIN + 3] = np.asarray(cam.origin)
+    rec[C_LL:C_LL + 3] = np.asarray(cam.lower_left)
+    rec[C_HORIZ:C_HORIZ + 3] = np.asarray(cam.horizontal)
+    rec[C_VERT:C_VERT + 3] = np.asarray(cam.vertical)
+    rec[C_U:C_U + 3] = np.asarray(cam.u)
+    rec[C_V:C_V + 3] = np.asarray(cam.v)
+    rec[C_LENS_R] = float(cam.lens_radius)
+    rec[C_TIME0] = float(cam.time0)
+    rec[C_DTIME] = float(cam.time1) - float(cam.time0)
+    return rec
+
+
+def _uniform(shape):
+    """U[0,1) f32 from the core PRNG (24 mantissa-bit resolution).
+
+    prng_random_bits yields int32; a logical shift needs the uint32 view
+    (an arithmetic shift would sign-extend and produce U[-0.5, 0.5)).
+    """
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    return ((bits >> 8).astype(jnp.int32).astype(jnp.float32)
+            * jnp.float32(1.0 / (1 << 24)))
+
+
+def _dot3(ax, ay, az, bx, by, bz):
+    return ax * bx + ay * by + az * bz
+
+
+def _make_kernel(kinds, flags, background, nx, ny, spp, max_depth):
+    """Build the megakernel body for a static scene structure."""
+    has_checker, has_metal, has_diel = flags
+    f = jnp.float32
+
+    def kernel(rec_ref, cam_ref, seed_ref, out_ref):
+        pid = pl.program_id(0)
+        pltpu.prng_seed(seed_ref[0], pid)
+
+        # lane → pixel mapping (row 0 of the image = top scanline,
+        # reference tests/test.rs:62-64 row order handled via j flip)
+        row = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 1)
+        pix = pid * TILE + row * LANES + col
+        pix = jnp.minimum(pix, nx * ny - 1)
+        # exact int div via f32 (pix < 2^24): floor((pix+.5)/nx)
+        pixf = pix.astype(f)
+        jrow = jnp.floor((pixf + f(0.5)) * f(1.0 / nx))
+        icol = pixf - jrow * f(nx)
+        jflip = f(ny - 1) - jrow
+
+        def cs(i):  # camera scalar
+            return cam_ref[i]
+
+        ox0, oy0, oz0 = cs(C_ORIGIN), cs(C_ORIGIN + 1), cs(C_ORIGIN + 2)
+        llx, lly, llz = cs(C_LL), cs(C_LL + 1), cs(C_LL + 2)
+        hx, hy, hz = cs(C_HORIZ), cs(C_HORIZ + 1), cs(C_HORIZ + 2)
+        vx, vy, vz = cs(C_VERT), cs(C_VERT + 1), cs(C_VERT + 2)
+        cux, cuy, cuz = cs(C_U), cs(C_U + 1), cs(C_U + 2)
+        cvx, cvy, cvz = cs(C_V), cs(C_V + 1), cs(C_V + 2)
+        lens_r, t0c, dtc = cs(C_LENS_R), cs(C_TIME0), cs(C_DTIME)
+
+        def sample_body(_, acc):
+            rr, rg, rb = acc
+            # --- ray generation (reference src/camera.rs:53-67 +
+            # sub-pixel jitter tests/test.rs:66-68) ---
+            u0, u1 = _uniform((SUB, LANES)), _uniform((SUB, LANES))
+            s = (icol + u0) * f(1.0 / nx)
+            t = (jflip + u1) * f(1.0 / ny)
+            ud0, ud1 = _uniform((SUB, LANES)), _uniform((SUB, LANES))
+            rdr = jnp.sqrt(ud0)
+            phi = f(2.0 * math.pi) * ud1
+            rdx = lens_r * rdr * jnp.cos(phi)
+            rdy = lens_r * rdr * jnp.sin(phi)
+            ox = ox0 + rdx * cux + rdy * cvx
+            oy = oy0 + rdx * cuy + rdy * cvy
+            oz = oz0 + rdx * cuz + rdy * cvz
+            dx = llx + s * hx + t * vx - ox
+            dy = lly + s * hy + t * vy - oy
+            dz = llz + s * hz + t * vz - oz
+            time = t0c + _uniform((SUB, LANES)) * dtc
+
+            thr_r = thr_g = thr_b = jnp.full((SUB, LANES), f(1.0))
+            rad_r = rad_g = rad_b = jnp.zeros((SUB, LANES), f)
+            alive = jnp.full((SUB, LANES), f(1.0))
+
+            def bounce(carry):
+                (b, ox, oy, oz, dx, dy, dz, time, thr_r, thr_g, thr_b,
+                 rad_r, rad_g, rad_b, alive) = carry
+
+                # ---- closest hit: unrolled prim loop over SMEM scalars ----
+                t_best = jnp.full((SUB, LANES), f(BIG))
+                nx_b = ny_b = nz_b = jnp.zeros((SUB, LANES), f)
+                mat_b = par_b = jnp.zeros((SUB, LANES), f)
+                emr = emg = emb = jnp.zeros((SUB, LANES), f)
+                alr = alg = alb_ = jnp.zeros((SUB, LANES), f)
+                if has_checker:
+                    aor = aog = aob = chk = jnp.zeros((SUB, LANES), f)
+
+                a_dd = _dot3(dx, dy, dz, dx, dy, dz)
+                inv_a = f(1.0) / a_dd
+
+                for p, kind in enumerate(kinds):
+                    def r(i):
+                        return rec_ref[p, i]
+
+                    if kind in ("sphere", "moving"):
+                        # reference src/sphere.rs:37-77 (+ :115-118 motion)
+                        if kind == "moving":
+                            frac = (time - r(R_T0)) * r(R_INV_DT)
+                            cx = r(R_C0) + frac * r(R_DC)
+                            cy = r(R_C0 + 1) + frac * r(R_DC + 1)
+                            cz = r(R_C0 + 2) + frac * r(R_DC + 2)
+                        else:
+                            cx, cy, cz = r(R_C0), r(R_C0 + 1), r(R_C0 + 2)
+                        ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+                        bq = _dot3(ocx, ocy, ocz, dx, dy, dz)
+                        cq = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) - r(R_R2)
+                        disc = bq * bq - a_dd * cq
+                        pos = disc > f(0.0)
+                        sq = jnp.sqrt(jnp.where(pos, disc, f(1.0)))
+                        t_near = (-bq - sq) * inv_a
+                        t_far = (-bq + sq) * inv_a
+                        near_ok = pos & (t_near > f(T_MIN)) & (t_near < t_best)
+                        far_ok = pos & (t_far > f(T_MIN)) & (t_far < t_best)
+                        t_p = jnp.where(near_ok, t_near,
+                                        jnp.where(far_ok, t_far, f(BIG)))
+                        better = t_p < t_best
+                        inv_r = f(1.0) / r(R_RADIUS)
+                        nxx = (ocx + t_p * dx) * inv_r
+                        nyy = (ocy + t_p * dy) * inv_r
+                        nzz = (ocz + t_p * dz) * inv_r
+                    else:
+                        # reference src/rect.rs:39-69 via world-frame plane
+                        knx, kny, knz = r(R_KN), r(R_KN + 1), r(R_KN + 2)
+                        d_kn = _dot3(dx, dy, dz, knx, kny, knz)
+                        o_kn = _dot3(ox, oy, oz, knx, kny, knz)
+                        safe = jnp.where(d_kn == f(0.0), f(1.0), d_kn)
+                        t_p = (r(R_KOFF) - o_kn) / safe
+                        px = ox + t_p * dx
+                        py = oy + t_p * dy
+                        pz = oz + t_p * dz
+                        xa = _dot3(px, py, pz, r(R_AN), r(R_AN + 1),
+                                   r(R_AN + 2)) - r(R_AOFF)
+                        yb = _dot3(px, py, pz, r(R_BN), r(R_BN + 1),
+                                   r(R_BN + 2)) - r(R_BOFF)
+                        ok = ((d_kn != f(0.0)) & (t_p > f(T_MIN))
+                              & (t_p < t_best)
+                              & (xa >= r(R_A0)) & (xa <= r(R_A1))
+                              & (yb >= r(R_B0)) & (yb <= r(R_B1)))
+                        t_p = jnp.where(ok, t_p, f(BIG))
+                        better = ok
+                        nxx = jnp.full((SUB, LANES), knx)
+                        nyy = jnp.full((SUB, LANES), kny)
+                        nzz = jnp.full((SUB, LANES), knz)
+
+                    flip = r(R_FLIP)
+                    t_best = jnp.where(better, t_p, t_best)
+                    nx_b = jnp.where(better, nxx * flip, nx_b)
+                    ny_b = jnp.where(better, nyy * flip, ny_b)
+                    nz_b = jnp.where(better, nzz * flip, nz_b)
+                    mat_b = jnp.where(better, r(R_MAT), mat_b)
+                    if has_metal or has_diel:
+                        par_b = jnp.where(better, r(R_PARAM), par_b)
+                    emr = jnp.where(better, r(R_EMIT), emr)
+                    emg = jnp.where(better, r(R_EMIT + 1), emg)
+                    emb = jnp.where(better, r(R_EMIT + 2), emb)
+                    alr = jnp.where(better, r(R_ALB_EVEN), alr)
+                    alg = jnp.where(better, r(R_ALB_EVEN + 1), alg)
+                    alb_ = jnp.where(better, r(R_ALB_EVEN + 2), alb_)
+                    if has_checker:
+                        aor = jnp.where(better, r(R_ALB_ODD), aor)
+                        aog = jnp.where(better, r(R_ALB_ODD + 1), aog)
+                        aob = jnp.where(better, r(R_ALB_ODD + 2), aob)
+                        chk = jnp.where(better, r(R_CHECKER), chk)
+
+                hit = (t_best < f(BIG)).astype(f) * alive
+
+                # hit point
+                px = ox + t_best * dx
+                py = oy + t_best * dy
+                pz = oz + t_best * dz
+
+                if has_checker:
+                    # checker sign at the winning hit point, resolved ONCE
+                    # per bounce (reference src/texture.rs:40-47)
+                    sines = (jnp.sin(f(10.0) * px) * jnp.sin(f(10.0) * py)
+                             * jnp.sin(f(10.0) * pz))
+                    use_odd = ((sines < f(0.0)).astype(f) * chk) > f(0.0)
+                    alr = jnp.where(use_odd, aor, alr)
+                    alg = jnp.where(use_odd, aog, alg)
+                    alb_ = jnp.where(use_odd, aob, alb_)
+
+                # ---- emitted + background (reference src/color.rs:8-22) ----
+                rad_r = rad_r + hit * thr_r * emr
+                rad_g = rad_g + hit * thr_g * emg
+                rad_b = rad_b + hit * thr_b * emb
+                miss = alive * (f(1.0) - (t_best < f(BIG)).astype(f))
+                if background == BG_SKY:
+                    inv_len = jax.lax.rsqrt(a_dd)
+                    ty = f(0.5) * (dy * inv_len + f(1.0))
+                    rad_r = rad_r + miss * thr_r * (f(1.0) - f(0.5) * ty)
+                    rad_g = rad_g + miss * thr_g * (f(1.0) - f(0.3) * ty)
+                    rad_b = rad_b + miss * thr_b * f(1.0)
+                # BG_BLACK adds nothing
+
+                # ---- scatter (reference src/material.rs) ----
+                su0 = _uniform((SUB, LANES))
+                su1 = _uniform((SUB, LANES))
+                su2 = _uniform((SUB, LANES))
+                if has_diel:
+                    u_branch = _uniform((SUB, LANES))
+                cos_t = f(2.0) * su0 - f(1.0)
+                sin_t = jnp.sqrt(jnp.maximum(f(0.0), f(1.0) - cos_t * cos_t))
+                sphi = f(2.0 * math.pi) * su1
+                # cbrt has no Mosaic lowering; exp(log/3) (su2 > 0 by
+                # construction: the uniform is in [2^-24, 1) after the +1 ulp)
+                srad = jnp.exp(jnp.log(jnp.maximum(su2, f(1e-12)))
+                               * f(1.0 / 3.0))
+                spx = srad * sin_t * jnp.cos(sphi)
+                spy = srad * sin_t * jnp.sin(sphi)
+                spz = srad * cos_t
+
+                # lambertian: n + ball sample (src/material.rs:49-53)
+                ndx = nx_b + spx
+                ndy = ny_b + spy
+                ndz = nz_b + spz
+                att_r, att_g, att_b = alr, alg, alb_
+                ok = (mat_b != f(MAT_DIFFUSE_LIGHT)).astype(f)
+
+                if has_metal or has_diel:
+                    inv_len = jax.lax.rsqrt(a_dd)
+                    udx, udy, udz = dx * inv_len, dy * inv_len, dz * inv_len
+
+                if has_metal:
+                    # reflect(unit(d), n) + fuzz*ball (src/material.rs:76-87)
+                    is_met = mat_b == f(MAT_METAL)
+                    ddn_u = _dot3(udx, udy, udz, nx_b, ny_b, nz_b)
+                    mdx = udx - f(2.0) * ddn_u * nx_b + par_b * spx
+                    mdy = udy - f(2.0) * ddn_u * ny_b + par_b * spy
+                    mdz = udz - f(2.0) * ddn_u * nz_b + par_b * spz
+                    met_ok = _dot3(mdx, mdy, mdz, nx_b, ny_b, nz_b) > f(0.0)
+                    ndx = jnp.where(is_met, mdx, ndx)
+                    ndy = jnp.where(is_met, mdy, ndy)
+                    ndz = jnp.where(is_met, mdz, ndz)
+                    # bool-valued selects lower poorly in Mosaic (i8<->i1
+                    # trunc); keep the masks in f32 arithmetic instead
+                    is_met_f = is_met.astype(f)
+                    ok = (is_met_f * met_ok.astype(f)
+                          + (f(1.0) - is_met_f) * ok)
+
+                if has_diel:
+                    # dielectric (src/material.rs:105-126)
+                    is_diel = mat_b == f(MAT_DIELECTRIC)
+                    d_dot_n = _dot3(dx, dy, dz, nx_b, ny_b, nz_b)
+                    d_len = jnp.sqrt(a_dd)
+                    exiting = d_dot_n > f(0.0)
+                    sgn = jnp.where(exiting, f(-1.0), f(1.0))
+                    onx, ony, onz = sgn * nx_b, sgn * ny_b, sgn * nz_b
+                    eta = jnp.where(exiting, par_b, f(1.0) / par_b)
+                    cosine = jnp.where(exiting, par_b * d_dot_n / d_len,
+                                       -d_dot_n / d_len)
+                    dt_u = _dot3(udx, udy, udz, onx, ony, onz)
+                    disc_r = f(1.0) - eta * eta * (f(1.0) - dt_u * dt_u)
+                    can_refract = disc_r > f(0.0)
+                    sq_r = jnp.sqrt(jnp.where(can_refract, disc_r, f(1.0)))
+                    rfx = eta * (udx - onx * dt_u) - onx * sq_r
+                    rfy = eta * (udy - ony * dt_u) - ony * sq_r
+                    rfz = eta * (udz - onz * dt_u) - onz * sq_r
+                    r0 = (f(1.0) - par_b) / (f(1.0) + par_b)
+                    r0 = r0 * r0
+                    one_c = f(1.0) - cosine
+                    one_c2 = one_c * one_c
+                    schlick = r0 + (f(1.0) - r0) * one_c2 * one_c2 * one_c
+                    refl_prob = jnp.where(can_refract, schlick, f(1.0))
+                    take_refr = can_refract & (u_branch >= refl_prob)
+                    ddn = d_dot_n
+                    refx = dx - f(2.0) * ddn * nx_b
+                    refy = dy - f(2.0) * ddn * ny_b
+                    refz = dz - f(2.0) * ddn * nz_b
+                    gdx = jnp.where(take_refr, rfx, refx)
+                    gdy = jnp.where(take_refr, rfy, refy)
+                    gdz = jnp.where(take_refr, rfz, refz)
+                    ndx = jnp.where(is_diel, gdx, ndx)
+                    ndy = jnp.where(is_diel, gdy, ndy)
+                    ndz = jnp.where(is_diel, gdz, ndz)
+                    att_r = jnp.where(is_diel, f(1.0), att_r)
+                    att_g = jnp.where(is_diel, f(1.0), att_g)
+                    att_b = jnp.where(is_diel, f(1.0), att_b)
+                # depth cap: scatter only while depth < 50 (src/color.rs:9)
+                below_cap = (b < max_depth).astype(f)
+                cont = hit * ok * below_cap
+
+                thr_r = jnp.where(cont > f(0.0), thr_r * att_r, thr_r)
+                thr_g = jnp.where(cont > f(0.0), thr_g * att_g, thr_g)
+                thr_b = jnp.where(cont > f(0.0), thr_b * att_b, thr_b)
+                live = cont > f(0.0)
+                ox = jnp.where(live, px, ox)
+                oy = jnp.where(live, py, oy)
+                oz = jnp.where(live, pz, oz)
+                dx = jnp.where(live, ndx, dx)
+                dy = jnp.where(live, ndy, dy)
+                dz = jnp.where(live, ndz, dz)
+                return (b + 1, ox, oy, oz, dx, dy, dz, time,
+                        thr_r, thr_g, thr_b, rad_r, rad_g, rad_b, cont)
+
+            def any_alive(carry):
+                # early exit once every lane in the tile has terminated —
+                # mean path length is far below the 51-bounce cap
+                b, alive = carry[0], carry[-1]
+                return (b <= max_depth) & (jnp.max(alive) > f(0.0))
+
+            st = (jnp.int32(0), ox, oy, oz, dx, dy, dz, time,
+                  thr_r, thr_g, thr_b, rad_r, rad_g, rad_b, alive)
+            st = jax.lax.while_loop(any_alive, bounce, st)
+            rad_r, rad_g, rad_b = st[11], st[12], st[13]
+            return (rr + rad_r, rg + rad_g, rb + rad_b)
+
+        zero = jnp.zeros((SUB, LANES), f)
+        rr, rg, rb = jax.lax.fori_loop(0, spp, sample_body,
+                                       (zero, zero, zero))
+        out_ref[0] = rr
+        out_ref[1] = rg
+        out_ref[2] = rb
+
+    return kernel
+
+
+@partial(jax.jit,
+         static_argnames=("kinds", "flags", "background", "nx", "ny", "spp",
+                          "max_depth", "grid", "interpret"))
+def _trace_call(rec, cam_rec, seed, kinds, flags, background, nx, ny, spp,
+                max_depth, grid, interpret=False):
+    kernel = _make_kernel(kinds, flags, background, nx, ny, spp, max_depth)
+    return pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((3, SUB, LANES), lambda g: (0, g, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, grid * SUB, LANES), jnp.float32),
+    )(rec, cam_rec, seed)
+
+
+def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
+                  seed: int = 0, max_depth: int = 50,
+                  spp_chunk: int | None = None,
+                  interpret: bool = False) -> np.ndarray:
+    """Full-image render on the megakernel → float32 [ny, nx, 3] with the
+    reference's gamma (sqrt + clamp, tests/test.rs:72-75).
+
+    Raises UnsupportedScene when the scene needs the XLA tier.
+    """
+    rec_np, kinds, flags = build_scene_record(scene)
+    rec = jnp.asarray(rec_np)
+    cam_rec = jnp.asarray(build_camera_record(cam))
+    n_pix = nx * ny
+    grid = -(-n_pix // TILE)
+
+    if spp_chunk is None:
+        spp_chunk = spp
+    sums = np.zeros((n_pix, 3), np.float64)
+    done = 0
+    chunk_id = 0
+    while done < spp:
+        cur = min(spp_chunk, spp - done)
+        s = jnp.asarray([np.int32(seed + 0x9E37 * chunk_id)], jnp.int32)
+        out = _trace_call(rec, cam_rec, s, kinds, flags, scene.background,
+                          nx, ny, cur, max_depth, grid, interpret)
+        lanes = np.asarray(out).transpose(1, 2, 0).reshape(-1, 3)
+        sums += lanes[:n_pix]
+        done += cur
+        chunk_id += 1
+
+    img = np.sqrt(np.clip(sums / spp, 0.0, None))
+    return np.clip(img, 0.0, 1.0).reshape(ny, nx, 3).astype(np.float32)

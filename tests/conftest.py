@@ -6,8 +6,23 @@ CPU devices (the fake-backend capability the reference lacks, SURVEY.md §4).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU even when the session env preselects a TPU platform
+# (JAX_PLATFORMS=axon): the suite runs on the virtual 8-device mesh
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+# Persistent compilation cache: the integrator jits are expensive on CPU
+# (minutes); cached across test runs they are milliseconds.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_rt_tests"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
+# The session's TPU plugin registers itself from sitecustomize BEFORE this
+# conftest runs and pins jax_platforms; env vars alone cannot undo that —
+# override the config directly.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,127 @@
+"""End-to-end integrator / render driver behavior (reference src/color.rs:6-23,
+tests/test.rs:55-85)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from raytracing_rust_tpu.models.scene import SceneBuilder, BG_SKY, BG_BLACK
+from raytracing_rust_tpu.models import builders
+from raytracing_rust_tpu.ops.integrator import trace
+from raytracing_rust_tpu.render import render
+from raytracing_rust_tpu.utils import image_io
+
+KEY = jax.random.key(0)
+
+
+def _trace(scene, o, d, max_depth=4, differentiable=False):
+    n = o.shape[0]
+    return np.asarray(trace(scene, jnp.asarray(o, jnp.float32),
+                            jnp.asarray(d, jnp.float32), jnp.zeros(n), KEY,
+                            max_depth=max_depth,
+                            differentiable=differentiable))
+
+
+def test_direct_light_hit():
+    """Ray into a diffuse light returns exactly its emission
+    (src/color.rs:8-15: emitted + nothing, scatter=None kills the path)."""
+    b = SceneBuilder(background=BG_BLACK)
+    b.rect("zx", -1, -1, 1, 1, 2.0, b.diffuse_light(b.solid(15, 15, 15)))
+    scene = b.build()
+    o = np.zeros((4, 3))
+    d = np.tile([0.0, 1.0, 0.0], (4, 1))
+    np.testing.assert_allclose(_trace(scene, o, d), 15.0, rtol=1e-6)
+
+
+def test_miss_returns_background():
+    """Miss → sky gradient lerp((1,1,1),(.5,.7,1), .5(ŷ+1))
+    (commented reference src/color.rs:18-20) or black (live :21)."""
+    for bg, d_vec in [(BG_SKY, [1.0, 1.0, 0.0]), (BG_BLACK, [1.0, 1.0, 0.0])]:
+        b = SceneBuilder(background=bg)
+        b.sphere((0, 0, 100.0), 1.0, b.lambertian(b.solid(1, 0, 0)))
+        scene = b.build()
+        d = np.array([d_vec])
+        got = _trace(scene, np.zeros((1, 3)), d)[0]
+        if bg == BG_SKY:
+            t = 0.5 * (d_vec[1] / np.linalg.norm(d_vec) + 1.0)
+            want = (1 - t) * np.ones(3) + t * np.array([0.5, 0.7, 1.0])
+            np.testing.assert_allclose(got, want, rtol=1e-5)
+        else:
+            np.testing.assert_allclose(got, 0.0)
+
+
+def test_attenuation_one_bounce():
+    """Lambertian floor below a uniform emitter: per-path radiance is either
+    0 (escaped) or exactly albedo ⊙ emission — the multiplicative
+    accumulation of src/color.rs:11-12 — so channel ratios of the mean equal
+    the albedo ratios exactly."""
+    b = SceneBuilder(background=BG_BLACK)
+    b.rect("zx", -50, -50, 50, 50, 0.0, b.lambertian(b.solid(0.5, 0.25, 1.0)))
+    b.rect("zx", -200, -200, 200, 200, 60.0, b.diffuse_light(b.solid(2, 2, 2)))
+    scene = b.build()
+    o = np.tile([0.0, 1.0, 0.0], (512, 1))
+    d = np.tile([0.0, -1.0, 0.0], (512, 1))
+    rad = _trace(scene, o, d, max_depth=50)
+    lit = rad[:, 2] > 1.5  # paths that reached the light after one bounce
+    assert lit.mean() > 0.5
+    np.testing.assert_allclose(rad[lit], np.array([[1.0, 0.5, 2.0]]),
+                               rtol=1e-5)
+
+
+def test_depth_cap_terminates():
+    """Mirror tunnel: two parallel perfect metal rects trap rays; the depth
+    cap (src/color.rs:9) must terminate with finite black radiance."""
+    b = SceneBuilder(background=BG_SKY)
+    mirror = b.metal(b.solid(1, 1, 1), 0.0)
+    b.rect("xy", -10, -10, 10, 10, 0.0, mirror)
+    b.rect("xy", -10, -10, 10, 10, 1.0, mirror)
+    scene = b.build()
+    o = np.array([[0.0, 0.0, 0.5]])
+    d = np.array([[0.0, 0.0, 1.0]])
+    rad = _trace(scene, o, d, max_depth=8)
+    assert np.all(np.isfinite(rad))
+    np.testing.assert_allclose(rad, 0.0, atol=1e-6)  # never escapes
+
+
+def test_cornell_box_statistics():
+    """Small cornell render: interior means in the physically right range
+    (light ≈15 emission, walls 0.05-0.73 albedo ⇒ mean luminance ~0.1)."""
+    preset = builders.PRESETS["cornell_box"]
+    scene = preset.build()
+    cam = preset.camera()
+    img = render(scene, cam, 64, 64, 32, seed=1, max_depth=16)
+    assert img.shape == (64, 64, 3)
+    assert np.all(np.isfinite(img))
+    lum = img.mean()
+    assert 0.05 < lum < 0.3, f"cornell mean luminance {lum}"
+    # camera u-basis = −x (from (278,278,-800) toward +z), so the green wall
+    # at x=555 (tests/test.rs:249) lands on the LEFT of the image
+    left = img[:, :8].mean(axis=(0, 1))
+    right = img[:, -8:].mean(axis=(0, 1))
+    assert left[1] > left[0], "left wall should be green-dominant"
+    assert right[0] > right[1], "right wall should be red-dominant"
+
+
+def test_render_deterministic_per_seed():
+    preset = builders.PRESETS["two_spheres"]
+    scene = preset.build()
+    cam = preset.camera()
+    a = render(scene, cam, 32, 18, 4, seed=3)
+    b = render(scene, cam, 32, 18, 4, seed=3)
+    c = render(scene, cam, 32, 18, 4, seed=4)
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)
+
+
+def test_ppm_roundtrip_and_format():
+    img = np.asarray(np.random.default_rng(0).random((4, 6, 3)), np.float32)
+    txt = image_io.to_ppm(img)
+    lines = txt.splitlines()
+    assert lines[0] == "P3" and lines[1] == "6 4" and lines[2] == "255"
+    assert len(lines) == 3 + 4 * 6
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "x.ppm")
+        image_io.write_ppm(p, img)
+        back = image_io.read_ppm(p)
+    np.testing.assert_allclose(back, img, atol=1.0 / 255.0)

@@ -1,0 +1,106 @@
+"""Texture + Perlin parity vs the scalar oracle (reference src/texture.rs,
+src/perlin.rs)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+import oracle
+from raytracing_rust_tpu.models.scene import SceneBuilder
+from raytracing_rust_tpu.ops import perlin
+from raytracing_rust_tpu.ops.textures import eval_texture
+
+RT = np.random.default_rng(11)
+
+
+def test_perlin_noise_vs_oracle():
+    ranvec, perm = perlin.make_tables(0)
+    # include negative coords — canonical signed-floor behavior
+    pts = RT.uniform(-20, 20, (64, 3))
+    got = np.asarray(perlin.noise(jnp.asarray(ranvec), jnp.asarray(perm),
+                                  jnp.asarray(pts, jnp.float32)))
+    for i in range(64):
+        want = oracle.perlin_noise(ranvec, perm, pts[i])
+        np.testing.assert_allclose(got[i], want, rtol=1e-3, atol=2e-3)
+
+
+def test_perlin_turb_vs_oracle():
+    ranvec, perm = perlin.make_tables(0)
+    pts = RT.uniform(-4, 4, (16, 3))
+    got = np.asarray(perlin.turb(jnp.asarray(ranvec), jnp.asarray(perm),
+                                 jnp.asarray(pts, jnp.float32)))
+    for i in range(16):
+        want = oracle.perlin_turb(ranvec, perm, pts[i])
+        # turbulence sums 7 octaves of f32 error at doubled frequencies
+        np.testing.assert_allclose(got[i], want, rtol=2e-2, atol=2e-2)
+
+
+def test_perlin_noise_range_and_smoothness():
+    ranvec, perm = perlin.make_tables(0)
+    pts = RT.uniform(-50, 50, (512, 3)).astype(np.float32)
+    vals = np.asarray(perlin.noise(jnp.asarray(ranvec), jnp.asarray(perm),
+                                   jnp.asarray(pts)))
+    assert np.all(np.abs(vals) <= 1.0)  # gradient noise bound
+    assert vals.std() > 0.05            # not degenerate (negative coords live)
+
+
+def _eval(scene, tex_id, u, v, p):
+    n = len(u)
+    return np.asarray(eval_texture(
+        scene, jnp.full(n, tex_id, jnp.int32), jnp.asarray(u, jnp.float32),
+        jnp.asarray(v, jnp.float32), jnp.asarray(p, jnp.float32)))
+
+
+def test_solid_and_checker():
+    b = SceneBuilder()
+    odd = b.solid(0.2, 0.3, 0.1)
+    even = b.solid(0.9, 0.9, 0.9)
+    chk = b.checker(odd, even)
+    b.sphere((0, 0, 0), 1.0, b.lambertian(chk))
+    scene = b.build()
+    pts = RT.uniform(-3, 3, (64, 3))
+    got = _eval(scene, chk, np.zeros(64), np.zeros(64), pts)
+    for i in range(64):
+        want = oracle.checker_value([0.2, 0.3, 0.1], [0.9, 0.9, 0.9], pts[i])
+        np.testing.assert_allclose(got[i], want, rtol=1e-6)
+
+
+def test_noise_texture_marble():
+    """0.5·(1+sin(scale·x + 5·turb(p))) (reference src/texture.rs:66-70)."""
+    b = SceneBuilder()
+    tex = b.noise(4.0)
+    b.sphere((0, 0, 0), 1.0, b.lambertian(tex))
+    scene = b.build()
+    pts = RT.uniform(-2, 2, (32, 3))
+    got = _eval(scene, tex, np.zeros(32), np.zeros(32), pts)
+    ranvec, perm = perlin.make_tables(0)
+    for i in range(32):
+        turb = oracle.perlin_turb(ranvec, perm, pts[i])
+        want = 0.5 * (1.0 + np.sin(4.0 * pts[i][0] + 5.0 * turb))
+        np.testing.assert_allclose(got[i], np.full(3, want), atol=0.05)
+    assert np.all(got >= 0.0) and np.all(got <= 1.0)
+
+
+def test_image_texture_vs_oracle():
+    data = RT.random((8, 16, 3)).astype(np.float32)
+    b = SceneBuilder()
+    tex = b.image(data)
+    b.sphere((0, 0, 0), 1.0, b.lambertian(tex))
+    scene = b.build()
+    u = RT.random(64)
+    v = RT.random(64)
+    got = _eval(scene, tex, u, v, np.zeros((64, 3)))
+    for i in range(64):
+        np.testing.assert_allclose(got[i], oracle.image_value(data, u[i], v[i]),
+                                   rtol=1e-6)
+
+
+def test_image_texture_clamps_to_edge():
+    data = RT.random((8, 16, 3)).astype(np.float32)
+    b = SceneBuilder()
+    tex = b.image(data)
+    b.sphere((0, 0, 0), 1.0, b.lambertian(tex))
+    scene = b.build()
+    got = _eval(scene, tex, np.array([-0.5, 1.5]), np.array([1.5, -0.5]),
+                np.zeros((2, 3)))
+    np.testing.assert_allclose(got[0], data[0, 0], rtol=1e-6)   # u<0,v>1
+    np.testing.assert_allclose(got[1], data[-1, -1], rtol=1e-6)  # u>1,v<0
