@@ -108,7 +108,8 @@ def simple_light() -> SceneTables:
     return b.build()
 
 
-def _cornell_walls(b: SceneBuilder, light_rect, smoke: bool = False):
+def _cornell_walls(b: SceneBuilder, light_rect, smoke: bool = False,
+                   smoke_compat_front_wall: bool = False):
     red = b.lambertian(b.solid(0.65, 0.05, 0.05))
     white = b.lambertian(b.solid(0.73, 0.73, 0.73))
     green = b.lambertian(b.solid(0.12, 0.45, 0.15))
@@ -123,10 +124,18 @@ def _cornell_walls(b: SceneBuilder, light_rect, smoke: bool = False):
         b.rect("xy", 0, 0, 555, 555, 555, white, flip=True)
     else:
         # cornell_smoke walls differ (tests/test.rs:351-377): flipped floor,
-        # unflipped ceiling ZX k=555, flipped XY back wall at k=0
+        # unflipped ceiling ZX k=555, and — a reference typo — a flipped XY
+        # wall at k=0, i.e. BETWEEN the camera (z=−800) and the box, which
+        # blacks out the whole render (the reference's checked-in
+        # output/cornell_smoke.ppm is indeed all-black). Default to the
+        # book's back wall at k=555; smoke_compat_front_wall=True keeps the
+        # faithful black-producing geometry.
         b.rect("zx", 0, 0, 555, 555, 0, white, flip=True)
         b.rect("zx", 0, 0, 555, 555, 555, white)
-        b.rect("xy", 0, 0, 555, 555, 0, white, flip=True)
+        if smoke_compat_front_wall:
+            b.rect("xy", 0, 0, 555, 555, 0, white, flip=True)
+        else:
+            b.rect("xy", 0, 0, 555, 555, 555, white, flip=True)
     return white
 
 
@@ -145,14 +154,16 @@ def cornell_box() -> SceneTables:
     return b.build()
 
 
-def cornell_smoke() -> SceneTables:
-    """reference tests/test.rs:325-417"""
+def cornell_smoke(compat_front_wall: bool = False) -> SceneTables:
+    """reference tests/test.rs:325-417 (see _cornell_walls for the front-wall
+    typo handling)"""
     b = SceneBuilder(background=BG_BLACK)
 
     def light(b):
         b.rect("zx", 127, 113, 432, 443, 554, b.diffuse_light(b.solid(7, 7, 7)))
 
-    _cornell_walls(b, light, smoke=True)
+    _cornell_walls(b, light, smoke=True,
+                   smoke_compat_front_wall=compat_front_wall)
     xf1 = b.transform(offset=(130, 0, 65), rotate_axis="y", angle_deg=-18.0)
     b.medium_box((0, 0, 0), (165, 165, 165), 0.01, b.solid(1, 1, 1), xform=xf1)
     xf2 = b.transform(offset=(265, 0, 295), rotate_axis="y", angle_deg=15.0)

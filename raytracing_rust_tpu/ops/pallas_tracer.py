@@ -47,8 +47,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..models.scene import (SceneTables, BG_SKY, MAT_LAMBERTIAN, MAT_METAL,
-                            MAT_DIELECTRIC, MAT_DIFFUSE_LIGHT, TEX_SOLID,
-                            TEX_CHECKER, PRIM_RECT)
+                            MAT_DIELECTRIC, MAT_DIFFUSE_LIGHT, MAT_ISOTROPIC,
+                            TEX_SOLID, TEX_CHECKER, PRIM_RECT)
 from .intersect import pack_prims
 
 BIG = 3.0e38
@@ -88,6 +88,14 @@ C_ORIGIN, C_LL, C_HORIZ, C_VERT, C_U, C_V = 0, 3, 6, 9, 12, 15
 C_LENS_R, C_TIME0, C_DTIME = 18, 19, 20
 CAMREC = 21
 
+# per-medium scalar record (f32[M, MEDREC]); reference src/medium.rs
+M_DATA = 0        # sphere: cx,cy,cz,r2 | box: pmin3, pmax3
+M_INV_RHO = 6     # 1/density
+M_ROT = 7         # 7..15 world→object rotation R₋ row-major
+M_OFF = 16        # 16..18 translate offset
+M_ALB = 19        # 19..21 isotropic phase-function albedo
+MEDREC = 22
+
 
 class UnsupportedScene(ValueError):
     """Scene uses features outside the megakernel's coverage."""
@@ -96,14 +104,17 @@ class UnsupportedScene(ValueError):
 def build_scene_record(scene: SceneTables):
     """Flatten SceneTables into the [P, REC] scalar record (host side).
 
-    Returns (record, kinds, flags): kinds is a static tuple of
-    'sphere'/'moving'/'rect' controlling the per-primitive unroll; flags is
-    a static (has_checker, has_metal, has_diel) tuple that gates whole
-    shading blocks out of scenes that don't use them. Raises
-    UnsupportedScene for media / noise / image textures.
+    Returns (record, kinds, med_rec, med_kinds, flags): kinds / med_kinds
+    are static tuples controlling the per-primitive / per-medium unrolls;
+    flags is a static (has_checker, has_metal, has_diel) tuple that gates
+    whole shading blocks out of scenes that don't use them. Raises
+    UnsupportedScene for noise / image textures.
     """
-    if scene.num_media and bool(np.any(np.asarray(scene.med_density) != 0)):
-        raise UnsupportedScene("participating media need the XLA tier")
+    if scene.num_prims > 96:
+        # the megakernel unrolls the primitive loop; beyond ~100 prims
+        # compile time and code size blow up — the XLA tier handles it
+        raise UnsupportedScene(
+            f"{scene.num_prims} primitives exceed the unrolled-loop budget")
     pk = jax.tree.map(np.asarray, pack_prims(scene))
     ptype = np.asarray(scene.prim_type)
     mat_type = np.asarray(scene.mat_type)
@@ -171,10 +182,54 @@ def build_scene_record(scene: SceneTables):
             rec[p, R_CHECKER] = 1.0
         else:
             raise UnsupportedScene(f"texture type {tt} needs the XLA tier")
+
+    # ---- media (reference src/medium.rs; ConstantMedium w/ convex
+    # analytic boundary, possibly Traslate∘Rotate-wrapped) ----
+    from ..models.scene import MED_SPHERE
+
+    med_kinds = []
+    live_media = [m for m in range(scene.num_media)
+                  if float(np.asarray(scene.med_density)[m]) != 0.0]
+    med_rec = np.zeros((max(len(live_media), 1), MEDREC), np.float32)
+    med_type = np.asarray(scene.med_type)
+    med_data = np.asarray(scene.med_data)
+    med_density = np.asarray(scene.med_density)
+    med_material = np.asarray(scene.med_material)
+    med_xform = np.asarray(scene.med_xform)
+    xf_axis = np.asarray(scene.xf_axis)
+    xf_sin = np.asarray(scene.xf_sin)
+    xf_cos = np.asarray(scene.xf_cos)
+    xf_off = np.asarray(scene.xf_offset)
+    for i, m in enumerate(live_media):
+        kind = "msphere" if med_type[m] == MED_SPHERE else "mbox"
+        med_kinds.append(kind)
+        if kind == "msphere":
+            med_rec[i, M_DATA:M_DATA + 3] = med_data[m, 0:3]
+            med_rec[i, M_DATA + 3] = med_data[m, 3] ** 2  # r²
+        else:
+            med_rec[i, M_DATA:M_DATA + 6] = med_data[m, 0:6]
+        med_rec[i, M_INV_RHO] = 1.0 / med_density[m]
+        # world→object rotation R₋ (reference src/rotate.rs:87-97): for
+        # axis r with (a,b)=((r+1)%3,(r+2)%3): out[a]=c·v[a]+s·v[b],
+        # out[b]=−s·v[a]+c·v[b], out[r]=v[r]
+        xf = med_xform[m]
+        ax, s, c = int(xf_axis[xf]), float(xf_sin[xf]), float(xf_cos[xf])
+        a, bb = (ax + 1) % 3, (ax + 2) % 3
+        R = np.zeros((3, 3), np.float32)
+        R[ax, ax] = 1.0
+        R[a, a], R[a, bb] = c, s
+        R[bb, a], R[bb, bb] = -s, c
+        med_rec[i, M_ROT:M_ROT + 9] = R.reshape(-1)
+        med_rec[i, M_OFF:M_OFF + 3] = xf_off[xf]
+        iso_tex = mat_tex[med_material[m]]
+        if int(tex_type[iso_tex]) != TEX_SOLID:
+            raise UnsupportedScene("non-solid medium albedo")
+        med_rec[i, M_ALB:M_ALB + 3] = tex_color[iso_tex]
+
     flags = (bool(np.any(rec[:, R_CHECKER] > 0)),
              bool(np.any(rec[:, R_MAT] == MAT_METAL)),
              bool(np.any(rec[:, R_MAT] == MAT_DIELECTRIC)))
-    return rec, tuple(kinds), flags
+    return rec, tuple(kinds), med_rec, tuple(med_kinds), flags
 
 
 def build_camera_record(cam) -> np.ndarray:
@@ -206,12 +261,13 @@ def _dot3(ax, ay, az, bx, by, bz):
     return ax * bx + ay * by + az * bz
 
 
-def _make_kernel(kinds, flags, background, nx, ny, spp, max_depth):
+def _make_kernel(kinds, med_kinds, flags, background, nx, ny, spp,
+                 max_depth):
     """Build the megakernel body for a static scene structure."""
     has_checker, has_metal, has_diel = flags
     f = jnp.float32
 
-    def kernel(rec_ref, cam_ref, seed_ref, out_ref):
+    def kernel(rec_ref, med_ref, cam_ref, seed_ref, out_ref):
         pid = pl.program_id(0)
         pltpu.prng_seed(seed_ref[0], pid)
 
@@ -352,22 +408,110 @@ def _make_kernel(kinds, flags, background, nx, ny, spp, max_depth):
                         aob = jnp.where(better, r(R_ALB_ODD + 2), aob)
                         chk = jnp.where(better, r(R_CHECKER), chk)
 
-                hit = (t_best < f(BIG)).astype(f) * alive
-
-                # hit point
-                px = ox + t_best * dx
-                py = oy + t_best * dy
-                pz = oz + t_best * dz
-
                 if has_checker:
-                    # checker sign at the winning hit point, resolved ONCE
-                    # per bounce (reference src/texture.rs:40-47)
+                    # checker sign at the winning surface hit point
+                    # (reference src/texture.rs:40-47)
+                    px = ox + t_best * dx
+                    py = oy + t_best * dy
+                    pz = oz + t_best * dz
                     sines = (jnp.sin(f(10.0) * px) * jnp.sin(f(10.0) * py)
                              * jnp.sin(f(10.0) * pz))
                     use_odd = ((sines < f(0.0)).astype(f) * chk) > f(0.0)
                     alr = jnp.where(use_odd, aor, alr)
                     alg = jnp.where(use_odd, aog, alg)
                     alb_ = jnp.where(use_odd, aob, alb_)
+
+                if med_kinds:
+                    # ---- ConstantMedium events (reference src/medium.rs:
+                    # 28-56): analytic entry/exit on the infinite line,
+                    # clamped to [T_MIN, closest surface], exponential
+                    # free flight −(1/ρ)·ln U ----
+                    d_len = jnp.sqrt(a_dd)
+                    inv_dlen = f(1.0) / d_len
+                    t_med = jnp.full((SUB, LANES), f(BIG))
+                    mar = mag = mab = jnp.zeros((SUB, LANES), f)
+                    for i, mk in enumerate(med_kinds):
+                        def mr(k):
+                            return med_ref[i, k]
+
+                        # world→object (reference src/traslate.rs:18 +
+                        # src/rotate.rs:87-97, hoisted into R₋, offset)
+                        wx = ox - mr(M_OFF)
+                        wy = oy - mr(M_OFF + 1)
+                        wz = oz - mr(M_OFF + 2)
+                        o0x = mr(M_ROT) * wx + mr(M_ROT + 1) * wy + mr(M_ROT + 2) * wz
+                        o0y = mr(M_ROT + 3) * wx + mr(M_ROT + 4) * wy + mr(M_ROT + 5) * wz
+                        o0z = mr(M_ROT + 6) * wx + mr(M_ROT + 7) * wy + mr(M_ROT + 8) * wz
+                        d0x = mr(M_ROT) * dx + mr(M_ROT + 1) * dy + mr(M_ROT + 2) * dz
+                        d0y = mr(M_ROT + 3) * dx + mr(M_ROT + 4) * dy + mr(M_ROT + 5) * dz
+                        d0z = mr(M_ROT + 6) * dx + mr(M_ROT + 7) * dy + mr(M_ROT + 8) * dz
+
+                        if mk == "msphere":
+                            ocx = o0x - mr(M_DATA)
+                            ocy = o0y - mr(M_DATA + 1)
+                            ocz = o0z - mr(M_DATA + 2)
+                            bq = _dot3(ocx, ocy, ocz, d0x, d0y, d0z)
+                            cq = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) \
+                                - mr(M_DATA + 3)
+                            disc = bq * bq - a_dd * cq
+                            mok = disc > f(0.0)
+                            sq = jnp.sqrt(jnp.where(mok, disc, f(1.0)))
+                            enter = (-bq - sq) * inv_a
+                            exit_ = (-bq + sq) * inv_a
+                        else:
+                            tiny = f(1e-30)
+                            sx = jnp.where(jnp.abs(d0x) < tiny, tiny, d0x)
+                            sy = jnp.where(jnp.abs(d0y) < tiny, tiny, d0y)
+                            sz = jnp.where(jnp.abs(d0z) < tiny, tiny, d0z)
+                            ax0 = (mr(M_DATA) - o0x) / sx
+                            ax1 = (mr(M_DATA + 3) - o0x) / sx
+                            ay0 = (mr(M_DATA + 1) - o0y) / sy
+                            ay1 = (mr(M_DATA + 4) - o0y) / sy
+                            az0 = (mr(M_DATA + 2) - o0z) / sz
+                            az1 = (mr(M_DATA + 5) - o0z) / sz
+                            enter = jnp.maximum(
+                                jnp.maximum(jnp.minimum(ax0, ax1),
+                                            jnp.minimum(ay0, ay1)),
+                                jnp.minimum(az0, az1))
+                            exit_ = jnp.minimum(
+                                jnp.minimum(jnp.maximum(ax0, ax1),
+                                            jnp.maximum(ay0, ay1)),
+                                jnp.maximum(az0, az1))
+                            mok = enter < exit_
+
+                        enter = jnp.maximum(enter, f(T_MIN))
+                        exit_ = jnp.minimum(exit_, t_best)
+                        mok = mok & (enter < exit_)
+                        u_m = _uniform((SUB, LANES))
+                        flight = -mr(M_INV_RHO) * jnp.log(
+                            jnp.maximum(u_m, f(1e-37)))
+                        dist_inside = (exit_ - enter) * d_len
+                        scat = (mok.astype(f)
+                                * (flight < dist_inside).astype(f)) > f(0.0)
+                        t_i = jnp.where(scat, enter + flight * inv_dlen,
+                                        f(BIG))
+                        mbetter = t_i < t_med
+                        t_med = jnp.where(mbetter, t_i, t_med)
+                        mar = jnp.where(mbetter, mr(M_ALB), mar)
+                        mag = jnp.where(mbetter, mr(M_ALB + 1), mag)
+                        mab = jnp.where(mbetter, mr(M_ALB + 2), mab)
+
+                    med_event = t_med < t_best
+                    t_best = jnp.where(med_event, t_med, t_best)
+                    mat_b = jnp.where(med_event, f(MAT_ISOTROPIC), mat_b)
+                    alr = jnp.where(med_event, mar, alr)
+                    alg = jnp.where(med_event, mag, alg)
+                    alb_ = jnp.where(med_event, mab, alb_)
+                    emr = jnp.where(med_event, f(0.0), emr)
+                    emg = jnp.where(med_event, f(0.0), emg)
+                    emb = jnp.where(med_event, f(0.0), emb)
+
+                hit = (t_best < f(BIG)).astype(f) * alive
+
+                # hit point (surface or medium event)
+                px = ox + t_best * dx
+                py = oy + t_best * dy
+                pz = oz + t_best * dz
 
                 # ---- emitted + background (reference src/color.rs:8-22) ----
                 rad_r = rad_r + hit * thr_r * emr
@@ -405,6 +549,14 @@ def _make_kernel(kinds, flags, background, nx, ny, spp, max_depth):
                 ndz = nz_b + spz
                 att_r, att_g, att_b = alr, alg, alb_
                 ok = (mat_b != f(MAT_DIFFUSE_LIGHT)).astype(f)
+
+                if med_kinds:
+                    # isotropic phase function: bare ball sample
+                    # (src/material.rs:164-168)
+                    is_iso = mat_b == f(MAT_ISOTROPIC)
+                    ndx = jnp.where(is_iso, spx, ndx)
+                    ndy = jnp.where(is_iso, spy, ndy)
+                    ndz = jnp.where(is_iso, spz, ndz)
 
                 if has_metal or has_diel:
                     inv_len = jax.lax.rsqrt(a_dd)
@@ -505,11 +657,12 @@ def _make_kernel(kinds, flags, background, nx, ny, spp, max_depth):
 
 
 @partial(jax.jit,
-         static_argnames=("kinds", "flags", "background", "nx", "ny", "spp",
-                          "max_depth", "grid", "interpret"))
-def _trace_call(rec, cam_rec, seed, kinds, flags, background, nx, ny, spp,
-                max_depth, grid, interpret=False):
-    kernel = _make_kernel(kinds, flags, background, nx, ny, spp, max_depth)
+         static_argnames=("kinds", "med_kinds", "flags", "background", "nx",
+                          "ny", "spp", "max_depth", "grid", "interpret"))
+def _trace_call(rec, med_rec, cam_rec, seed, kinds, med_kinds, flags,
+                background, nx, ny, spp, max_depth, grid, interpret=False):
+    kernel = _make_kernel(kinds, med_kinds, flags, background, nx, ny, spp,
+                          max_depth)
     return pl.pallas_call(
         kernel,
         interpret=interpret,
@@ -518,11 +671,12 @@ def _trace_call(rec, cam_rec, seed, kinds, flags, background, nx, ny, spp,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((3, SUB, LANES), lambda g: (0, g, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, grid * SUB, LANES), jnp.float32),
-    )(rec, cam_rec, seed)
+    )(rec, med_rec, cam_rec, seed)
 
 
 def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
@@ -534,8 +688,9 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
 
     Raises UnsupportedScene when the scene needs the XLA tier.
     """
-    rec_np, kinds, flags = build_scene_record(scene)
+    rec_np, kinds, med_np, med_kinds, flags = build_scene_record(scene)
     rec = jnp.asarray(rec_np)
+    med_rec = jnp.asarray(med_np)
     cam_rec = jnp.asarray(build_camera_record(cam))
     n_pix = nx * ny
     grid = -(-n_pix // TILE)
@@ -548,8 +703,9 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
     while done < spp:
         cur = min(spp_chunk, spp - done)
         s = jnp.asarray([np.int32(seed + 0x9E37 * chunk_id)], jnp.int32)
-        out = _trace_call(rec, cam_rec, s, kinds, flags, scene.background,
-                          nx, ny, cur, max_depth, grid, interpret)
+        out = _trace_call(rec, med_rec, cam_rec, s, kinds, med_kinds, flags,
+                          scene.background, nx, ny, cur, max_depth, grid,
+                          interpret)
         lanes = np.asarray(out).transpose(1, 2, 0).reshape(-1, 3)
         sums += lanes[:n_pix]
         done += cur

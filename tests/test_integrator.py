@@ -64,8 +64,8 @@ def test_attenuation_one_bounce():
     rad = _trace(scene, o, d, max_depth=50)
     lit = rad[:, 2] > 1.5  # paths that reached the light after one bounce
     assert lit.mean() > 0.5
-    np.testing.assert_allclose(rad[lit], np.array([[1.0, 0.5, 2.0]]),
-                               rtol=1e-5)
+    want = np.broadcast_to([1.0, 0.5, 2.0], rad[lit].shape)
+    np.testing.assert_allclose(rad[lit], want, rtol=1e-5)
 
 
 def test_depth_cap_terminates():
