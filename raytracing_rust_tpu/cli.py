@@ -37,6 +37,9 @@ def main(argv=None) -> int:
                    default="auto",
                    help="auto = Pallas megakernel when the scene supports "
                         "it, else the XLA wavefront tier")
+    r.add_argument("--bvh", action="store_true",
+                   help="use the flat BVH in the XLA tier (reference "
+                        "src/bvh.rs analogue)")
     r.add_argument("--log", default="log/log.log")
     r.add_argument("--no-progress", action="store_true")
 
@@ -104,7 +107,8 @@ def main(argv=None) -> int:
         if img is None:
             from .render import render
             img = render(scene, cam, nx, ny, spp, seed=args.seed,
-                         max_depth=args.max_depth, progress=progress)
+                         max_depth=args.max_depth, progress=progress,
+                         use_bvh=args.bvh)
     dt = time.time() - t0
 
     out = args.out or os.path.join("output", f"{args.scene}.ppm")

@@ -55,10 +55,14 @@ def background(scene: SceneTables, d: jnp.ndarray) -> jnp.ndarray:
 
 
 def _bounce(scene: SceneTables, pack, key, max_depth, b, o, d, time, thr,
-            rad, alive):
+            rad, alive, bvh=None):
     """One wavefront bounce; returns updated (o, d, thr, rad, alive)."""
     n = o.shape[0]
-    hit = closest_hit(scene, o, d, time, T_MIN, pack=pack)
+    if bvh is not None:
+        from ..accel.bvh import bvh_closest_hit
+        hit = bvh_closest_hit(scene, bvh, o, d, time, T_MIN, pack=pack)
+    else:
+        hit = closest_hit(scene, o, d, time, T_MIN, pack=pack)
 
     t_ev = hit.t
     med_mat = None
@@ -105,11 +109,13 @@ def _bounce(scene: SceneTables, pack, key, max_depth, b, o, d, time, thr,
 
 @partial(jax.jit, static_argnames=("max_depth", "differentiable"))
 def trace(scene: SceneTables, o, d, time, key, max_depth: int = 50,
-          differentiable: bool = False) -> jnp.ndarray:
+          differentiable: bool = False, bvh=None) -> jnp.ndarray:
     """Trace a batch of rays to completion → radiance [N, 3].
 
     o, d, time: ray batch (directions unnormalized, reference convention);
-    key: RNG key for this batch (bounce/purpose folded in internally).
+    key: RNG key for this batch (bounce/purpose folded in internally);
+    bvh: optional FlatBVH — closest-hit goes through stacked traversal
+    instead of the dense all-prims scan.
     """
     thr = jnp.ones_like(o)
     rad = jnp.zeros_like(o)
@@ -120,7 +126,8 @@ def trace(scene: SceneTables, o, d, time, key, max_depth: int = 50,
         def body(carry, b):
             o, d, thr, rad, alive = carry
             o, d, thr, rad, alive = _bounce(scene, pack, key, max_depth, b,
-                                            o, d, time, thr, rad, alive)
+                                            o, d, time, thr, rad, alive,
+                                            bvh=bvh)
             return (o, d, thr, rad, alive), None
 
         body = jax.checkpoint(body)  # O(1) residual memory per bounce
@@ -135,7 +142,7 @@ def trace(scene: SceneTables, o, d, time, key, max_depth: int = 50,
     def body(carry):
         b, o, d, thr, rad, alive = carry
         o, d, thr, rad, alive = _bounce(scene, pack, key, max_depth, b,
-                                        o, d, time, thr, rad, alive)
+                                        o, d, time, thr, rad, alive, bvh=bvh)
         return b + 1, o, d, thr, rad, alive
 
     _, _, _, _, rad, _ = jax.lax.while_loop(

@@ -34,7 +34,8 @@ _CAM_FOLD = 1 << 20  # RNG purpose slot for camera jitter draws
                                    "differentiable"))
 def render_block(scene: SceneTables, cam: Camera, pix: jnp.ndarray,
                  key: jax.Array, spp: int, nx: int, ny: int,
-                 max_depth: int = 50, differentiable: bool = False):
+                 max_depth: int = 50, differentiable: bool = False,
+                 bvh=None):
     """Radiance sums over `spp` samples for a block of pixel ids → [Nb, 3].
 
     pix: int32[Nb] flat pixel ids in output order (0 = top-left, row-major).
@@ -55,13 +56,14 @@ def render_block(scene: SceneTables, cam: Camera, pix: jnp.ndarray,
     o, d, time = get_rays(cam, s, t, u[:, 2:5])
 
     rad = trace(scene, o, d, time, key, max_depth=max_depth,
-                differentiable=differentiable)
+                differentiable=differentiable, bvh=bvh)
     return rad.reshape(nb, spp, 3).sum(axis=1)
 
 
 def render(scene: SceneTables, cam: Camera, nx: int, ny: int, spp: int,
            seed: int = 0, max_depth: int = 50, block_pixels: int = 1 << 14,
-           spp_chunk: int | None = None, progress=None) -> np.ndarray:
+           spp_chunk: int | None = None, progress=None,
+           use_bvh: bool = False) -> np.ndarray:
     """Full image render → float32 [ny, nx, 3], gamma-corrected like the
     reference (sqrt + clamp, tests/test.rs:72-75). Row 0 = top.
     """
@@ -76,6 +78,11 @@ def render(scene: SceneTables, cam: Camera, nx: int, ny: int, spp: int,
     n_blocks = math.ceil(n_pix / block_pixels)
     n_chunks = spp // spp_chunk
 
+    bvh = None
+    if use_bvh:
+        from .accel.bvh import build_bvh
+        bvh = build_bvh(scene)
+
     base = jax.random.key(seed)
     sums = np.zeros((n_pix, 3), np.float32)
     done = 0
@@ -89,7 +96,7 @@ def render(scene: SceneTables, cam: Camera, nx: int, ny: int, spp: int,
         for ch in range(n_chunks):
             key = jax.random.fold_in(jax.random.fold_in(base, blk), ch)
             out = render_block(scene, cam, pix, key, spp_chunk, nx, ny,
-                               max_depth)
+                               max_depth, bvh=bvh)
             acc = out if acc is None else acc + out
             done += 1
             if progress is not None:

@@ -1,0 +1,101 @@
+"""FlatBVH build + traversal vs the dense closest-hit scan (reference
+src/bvh.rs semantics; build is deterministic, traversal must agree exactly
+with brute force)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from raytracing_rust_tpu.accel.bvh import (build_bvh, bvh_closest_hit,
+                                           prim_aabbs)
+from raytracing_rust_tpu.models.scene import SceneBuilder
+from raytracing_rust_tpu.models import builders
+from raytracing_rust_tpu.ops.intersect import closest_hit
+
+RT = np.random.default_rng(17)
+
+
+def _random_scene(n_spheres=60, cubes=3, moving=4, xform=True):
+    b = SceneBuilder()
+    m = b.lambertian(b.solid(1, 1, 1))
+    for _ in range(n_spheres):
+        b.sphere(RT.normal(0, 5, 3), 0.2 + RT.random(), m)
+    for _ in range(moving):
+        c = RT.normal(0, 5, 3)
+        b.moving_sphere(c, c + RT.normal(0, 0.5, 3), 0.0, 1.0, 0.5, m)
+    for i in range(cubes):
+        p0 = RT.normal(0, 4, 3)
+        kw = {}
+        if xform and i % 2:
+            kw["xform"] = b.transform(offset=RT.normal(0, 2, 3),
+                                      rotate_axis="y",
+                                      angle_deg=float(RT.uniform(-90, 90)))
+        b.cube(p0, p0 + RT.uniform(0.5, 2.0, 3), m, **kw)
+    return b.build()
+
+
+def _rays(n=256):
+    o = RT.normal(0, 8, (n, 3))
+    d = -o + RT.normal(0, 2, (n, 3))  # aim toward the cluster
+    return (jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32),
+            jnp.asarray(RT.random(n), jnp.float32))
+
+
+def test_prim_aabbs_contain_hits():
+    """Every brute-force hit point must lie inside its prim's AABB."""
+    scene = _random_scene()
+    lo, hi = prim_aabbs(scene)
+    o, d, time = _rays()
+    h = closest_hit(scene, o, d, time, 1e-3)
+    t = np.asarray(h.t); idx = np.asarray(h.idx); mask = np.asarray(h.mask)
+    p = np.asarray(o) + t[:, None] * np.asarray(d)
+    eps = 1e-2
+    for i in np.nonzero(mask)[0]:
+        assert np.all(p[i] >= lo[idx[i]] - eps), (i, idx[i])
+        assert np.all(p[i] <= hi[idx[i]] + eps), (i, idx[i])
+
+
+def test_bvh_matches_brute_force():
+    scene = _random_scene()
+    bvh = build_bvh(scene)
+    o, d, time = _rays(512)
+    brute = closest_hit(scene, o, d, time, 1e-3)
+    fast = bvh_closest_hit(scene, bvh, o, d, time, 1e-3)
+    np.testing.assert_array_equal(np.asarray(brute.mask),
+                                  np.asarray(fast.mask))
+    np.testing.assert_array_equal(np.asarray(brute.idx),
+                                  np.asarray(fast.idx))
+    # t differs only by f32 summation order (matmul vs gathered products)
+    np.testing.assert_allclose(np.asarray(brute.t)[np.asarray(brute.mask)],
+                               np.asarray(fast.t)[np.asarray(fast.mask)],
+                               rtol=1e-4)
+
+
+def test_bvh_structure():
+    scene = _random_scene(n_spheres=33, cubes=0, moving=0)
+    bvh = build_bvh(scene, leaf_size=4)
+    order = np.asarray(bvh.prim_order)
+    real = order[order >= 0]
+    assert sorted(real.tolist()) == list(range(scene.num_prims))
+    assert len(order) % 4 == 0
+    counts = np.asarray(bvh.node_count)
+    lr = np.asarray(bvh.node_left).reshape(-1, 2)
+    # internal nodes' boxes contain their children's boxes
+    nmin = np.asarray(bvh.node_min); nmax = np.asarray(bvh.node_max)
+    for nid in np.nonzero(counts == 0)[0]:
+        for ch in lr[nid]:
+            assert np.all(nmin[nid] <= nmin[ch] + 1e-6)
+            assert np.all(nmax[nid] >= nmax[ch] - 1e-6)
+
+
+def test_bvh_on_random_spheres_preset():
+    """The ~441-prim random_spheres scene (the reference's BVH scene,
+    tests/test.rs:89-163) traverses correctly."""
+    scene = builders.random_spheres()
+    bvh = build_bvh(scene)
+    o, d, time = _rays(128)
+    brute = closest_hit(scene, o, d, time, 1e-3)
+    fast = bvh_closest_hit(scene, bvh, o, d, time, 1e-3)
+    np.testing.assert_array_equal(np.asarray(brute.idx), np.asarray(fast.idx))
+    # f32 order-of-operations noise; grazing hits see ~1e-4 absolute
+    np.testing.assert_allclose(np.asarray(brute.t), np.asarray(fast.t),
+                               rtol=1e-3, atol=1e-4)
