@@ -31,6 +31,28 @@ _CAM_FOLD = 1 << 20  # RNG purpose slot for camera jitter draws
 
 
 @partial(jax.jit, static_argnames=("spp", "nx", "ny", "max_depth",
+                                   "n_chunks"))
+def render_block_multi(scene: SceneTables, cam: Camera, pix: jnp.ndarray,
+                       key: jax.Array, spp: int, nx: int, ny: int,
+                       max_depth: int, n_chunks: int, bvh=None):
+    """`n_chunks` sequential sample chunks of one pixel block in a SINGLE
+    dispatch (lax.fori over the chunk id, radiance accumulated on device).
+
+    Each chunk folds its id into the key exactly like the host loop in
+    `render`, so images are identical to dispatch-per-chunk rendering —
+    this exists purely because device dispatches through a remote tunnel
+    cost ~0.5 s each.
+    """
+    def chunk(ch, acc):
+        k = jax.random.fold_in(key, ch)
+        return acc + render_block(scene, cam, pix, k, spp, nx, ny,
+                                  max_depth, bvh=bvh)
+
+    init = jnp.zeros((pix.shape[0], 3), cam.origin.dtype)
+    return jax.lax.fori_loop(0, n_chunks, chunk, init)
+
+
+@partial(jax.jit, static_argnames=("spp", "nx", "ny", "max_depth",
                                    "differentiable"))
 def render_block(scene: SceneTables, cam: Camera, pix: jnp.ndarray,
                  key: jax.Array, spp: int, nx: int, ny: int,
@@ -61,7 +83,7 @@ def render_block(scene: SceneTables, cam: Camera, pix: jnp.ndarray,
 
 
 def render(scene: SceneTables, cam: Camera, nx: int, ny: int, spp: int,
-           seed: int = 0, max_depth: int = 50, block_pixels: int = 1 << 14,
+           seed: int = 0, max_depth: int = 50, block_pixels: int = 1 << 16,
            spp_chunk: int | None = None, progress=None,
            use_bvh: bool = False) -> np.ndarray:
     """Full image render → float32 [ny, nx, 3], gamma-corrected like the
@@ -69,7 +91,10 @@ def render(scene: SceneTables, cam: Camera, nx: int, ny: int, spp: int,
     """
     block_pixels = min(block_pixels, nx * ny)
     if spp_chunk is None:
-        budget = max(1, (1 << 20) // block_pixels)
+        # lane budget per dispatch: big enough to amortize the ~0.5s
+        # remote-dispatch latency, small enough for the [lanes, P]
+        # intersection temps (~4 MB/lane-million/prim)
+        budget = max(1, (1 << 22) // block_pixels)
         # largest divisor of spp within the lane budget (one jit shape)
         spp_chunk = max(c for c in range(1, min(spp, budget) + 1)
                         if spp % c == 0)
@@ -92,15 +117,12 @@ def render(scene: SceneTables, cam: Camera, nx: int, ny: int, spp: int,
         ids = np.arange(lo, lo + block_pixels, dtype=np.int32)
         ids[hi - lo:] = n_pix - 1  # pad: re-render last pixel, discarded
         pix = jnp.asarray(ids)
-        acc = None
-        for ch in range(n_chunks):
-            key = jax.random.fold_in(jax.random.fold_in(base, blk), ch)
-            out = render_block(scene, cam, pix, key, spp_chunk, nx, ny,
-                               max_depth, bvh=bvh)
-            acc = out if acc is None else acc + out
-            done += 1
-            if progress is not None:
-                progress(done, n_blocks * n_chunks)
+        blk_key = jax.random.fold_in(base, blk)
+        acc = render_block_multi(scene, cam, pix, blk_key, spp_chunk, nx, ny,
+                                 max_depth, n_chunks, bvh=bvh)
+        done += n_chunks
+        if progress is not None:
+            progress(done, n_blocks * n_chunks)
         sums[lo:hi] += np.asarray(acc)[: hi - lo]
 
     img = np.sqrt(np.clip(sums / spp, 0.0, None))
