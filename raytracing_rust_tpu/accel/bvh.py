@@ -106,11 +106,31 @@ def prim_aabbs(scene: SceneTables) -> tuple[np.ndarray, np.ndarray]:
     return lo, hi
 
 
-def build_bvh(scene: SceneTables, leaf_size: int = LEAF_SIZE) -> FlatBVH:
+def build_bvh(scene: SceneTables, leaf_size: int = LEAF_SIZE,
+              prefer_native: bool = True) -> FlatBVH:
     """Median-split build over primitive bbox minima (reference
-    bvh.rs:17-66 semantics, deterministic axis)."""
+    bvh.rs:17-66 semantics, deterministic axis).
+
+    Uses the C++ builder (native/rt_native.cpp — bit-identical algorithm)
+    when the toolchain is available, NumPy otherwise.
+    """
     lo, hi = prim_aabbs(scene)
     P = lo.shape[0]
+
+    if prefer_native:
+        from .. import native
+        res = native.build_bvh_arrays(lo, hi, leaf_size)
+        if res is not None:
+            nmin, nmax, left, right, count, order = res
+            return FlatBVH(
+                node_min=jnp.asarray(nmin),
+                node_max=jnp.asarray(nmax),
+                node_left=jnp.asarray(
+                    np.stack([left, right], 1).reshape(-1)),
+                node_count=jnp.asarray(count),
+                prim_order=jnp.asarray(order),
+            )
+
     centroids = 0.5 * (lo + hi)
 
     node_min, node_max, node_left, node_count = [], [], [], []

@@ -1,0 +1,92 @@
+"""ctypes loader for the native host runtime (rt_native.cpp).
+
+Compiled on first use with g++ into the package directory; every caller
+has a pure-Python fallback, so a missing toolchain only costs speed.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "rt_native.cpp")
+_SO = os.path.join(_DIR, "librt_native.so")
+
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    try:
+        if (not os.path.exists(_SO)
+                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            subprocess.run(
+                ["g++", "-O2", "-shared", "-fPIC", "-o", _SO, _SRC],
+                check=True, capture_output=True, timeout=120)
+        lib = ctypes.CDLL(_SO)
+        lib.rt_build_bvh.restype = ctypes.c_int
+        lib.rt_encode_ppm.restype = ctypes.c_long
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def build_bvh_arrays(lo: np.ndarray, hi: np.ndarray, leaf_size: int):
+    """Native FlatBVH build → (node_min, node_max, left, right, count,
+    order) NumPy arrays, or None when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    P = lo.shape[0]
+    lo = np.ascontiguousarray(lo, np.float64)
+    hi = np.ascontiguousarray(hi, np.float64)
+    nn_cap = 2 * P + 1
+    no_cap = 2 * P + leaf_size
+    node_min = np.empty((nn_cap, 3), np.float32)
+    node_max = np.empty((nn_cap, 3), np.float32)
+    left = np.empty(nn_cap, np.int32)
+    right = np.empty(nn_cap, np.int32)
+    count = np.empty(nn_cap, np.int32)
+    order = np.empty(no_cap, np.int32)
+    out_nn = ctypes.c_int32()
+    out_no = ctypes.c_int32()
+    c = np.ctypeslib.as_ctypes
+    rc = lib.rt_build_bvh(
+        c(lo.reshape(-1)), c(hi.reshape(-1)), P, leaf_size,
+        c(node_min.reshape(-1)), c(node_max.reshape(-1)), c(left), c(right),
+        c(count), c(order), ctypes.byref(out_nn), ctypes.byref(out_no))
+    if rc != 0:
+        return None
+    nn, no = out_nn.value, out_no.value
+    return (node_min[:nn], node_max[:nn], left[:nn], right[:nn], count[:nn],
+            order[:no])
+
+
+def encode_ppm(img: np.ndarray) -> str | None:
+    """Native P3 encoding of a gamma-corrected [ny, nx, 3] float image,
+    byte-identical to utils.image_io.to_ppm; None when unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    ny, nx, _ = img.shape
+    img = np.ascontiguousarray(img, np.float32)
+    cap = 32 + 13 * nx * ny
+    buf = ctypes.create_string_buffer(cap)
+    n = lib.rt_encode_ppm(np.ctypeslib.as_ctypes(img.reshape(-1)),
+                          nx, ny, buf, ctypes.c_long(cap))
+    if n < 0:
+        return None
+    return buf.raw[:n].decode("ascii")

@@ -294,33 +294,51 @@ def _make_kernel(kinds, med_kinds, flags, background, nx, ny, spp,
         cvx, cvy, cvz = cs(C_V), cs(C_V + 1), cs(C_V + 2)
         lens_r, t0c, dtc = cs(C_LENS_R), cs(C_TIME0), cs(C_DTIME)
 
-        def sample_body(_, acc):
-            rr, rg, rb = acc
-            # --- ray generation (reference src/camera.rs:53-67 +
-            # sub-pixel jitter tests/test.rs:66-68) ---
-            u0, u1 = _uniform((SUB, LANES)), _uniform((SUB, LANES))
-            s = (icol + u0) * f(1.0 / nx)
-            t = (jflip + u1) * f(1.0 / ny)
-            ud0, ud1 = _uniform((SUB, LANES)), _uniform((SUB, LANES))
-            rdr = jnp.sqrt(ud0)
-            phi = f(2.0 * math.pi) * ud1
-            rdx = lens_r * rdr * jnp.cos(phi)
-            rdy = lens_r * rdr * jnp.sin(phi)
-            ox = ox0 + rdx * cux + rdy * cvx
-            oy = oy0 + rdx * cuy + rdy * cvy
-            oz = oz0 + rdx * cuz + rdy * cvz
-            dx = llx + s * hx + t * vx - ox
-            dy = lly + s * hy + t * vy - oy
-            dz = llz + s * hz + t * vz - oz
-            time = t0c + _uniform((SUB, LANES)) * dtc
+        # ---- persistent wavefront over the sample budget ----
+        # One lane = one pixel. Instead of tracing sample k of every lane
+        # to termination before sample k+1 (utilization = mean/max path
+        # length, ~30% in closed scenes), a lane whose path dies banks its
+        # radiance and immediately regenerates the next camera ray. Every
+        # iteration runs at ~full occupancy until the whole tile's spp
+        # budget drains; only the final tail is divergent.
+        if True:
+            def step(carry):
+                (ox, oy, oz, dx, dy, dz, time, thr_r, thr_g, thr_b,
+                 rad_r, rad_g, rad_b, alive, bcnt, scnt,
+                 acc_r, acc_g, acc_b) = carry
 
-            thr_r = thr_g = thr_b = jnp.full((SUB, LANES), f(1.0))
-            rad_r = rad_g = rad_b = jnp.zeros((SUB, LANES), f)
-            alive = jnp.full((SUB, LANES), f(1.0))
-
-            def bounce(carry):
-                (b, ox, oy, oz, dx, dy, dz, time, thr_r, thr_g, thr_b,
-                 rad_r, rad_g, rad_b, alive) = carry
+                # -- regenerate dead lanes that still owe samples
+                # (reference src/camera.rs:53-67 + jitter tests/test.rs:
+                # 66-68) --
+                regen = (alive == f(0.0)) & (scnt < f(spp))
+                u0, u1 = _uniform((SUB, LANES)), _uniform((SUB, LANES))
+                s = (icol + u0) * f(1.0 / nx)
+                t = (jflip + u1) * f(1.0 / ny)
+                ud0, ud1 = _uniform((SUB, LANES)), _uniform((SUB, LANES))
+                rdr = jnp.sqrt(ud0)
+                phi = f(2.0 * math.pi) * ud1
+                rdx = lens_r * rdr * jnp.cos(phi)
+                rdy = lens_r * rdr * jnp.sin(phi)
+                cox = ox0 + rdx * cux + rdy * cvx
+                coy = oy0 + rdx * cuy + rdy * cvy
+                coz = oz0 + rdx * cuz + rdy * cvz
+                ox = jnp.where(regen, cox, ox)
+                oy = jnp.where(regen, coy, oy)
+                oz = jnp.where(regen, coz, oz)
+                dx = jnp.where(regen, llx + s * hx + t * vx - cox, dx)
+                dy = jnp.where(regen, lly + s * hy + t * vy - coy, dy)
+                dz = jnp.where(regen, llz + s * hz + t * vz - coz, dz)
+                time = jnp.where(regen,
+                                 t0c + _uniform((SUB, LANES)) * dtc, time)
+                one = f(1.0)
+                thr_r = jnp.where(regen, one, thr_r)
+                thr_g = jnp.where(regen, one, thr_g)
+                thr_b = jnp.where(regen, one, thr_b)
+                rad_r = jnp.where(regen, f(0.0), rad_r)
+                rad_g = jnp.where(regen, f(0.0), rad_g)
+                rad_b = jnp.where(regen, f(0.0), rad_b)
+                bcnt = jnp.where(regen, f(0.0), bcnt)
+                alive = jnp.where(regen, one, alive)
 
                 # ---- closest hit: unrolled prim loop over SMEM scalars ----
                 t_best = jnp.full((SUB, LANES), f(BIG))
@@ -618,7 +636,7 @@ def _make_kernel(kinds, med_kinds, flags, background, nx, ny, spp,
                     att_g = jnp.where(is_diel, f(1.0), att_g)
                     att_b = jnp.where(is_diel, f(1.0), att_b)
                 # depth cap: scatter only while depth < 50 (src/color.rs:9)
-                below_cap = (b < max_depth).astype(f)
+                below_cap = (bcnt < f(max_depth)).astype(f)
                 cont = hit * ok * below_cap
 
                 thr_r = jnp.where(cont > f(0.0), thr_r * att_r, thr_r)
@@ -631,27 +649,34 @@ def _make_kernel(kinds, med_kinds, flags, background, nx, ny, spp,
                 dx = jnp.where(live, ndx, dx)
                 dy = jnp.where(live, ndy, dy)
                 dz = jnp.where(live, ndz, dz)
-                return (b + 1, ox, oy, oz, dx, dy, dz, time,
-                        thr_r, thr_g, thr_b, rad_r, rad_g, rad_b, cont)
+                # -- bank samples whose path just terminated --
+                died = alive * (one - cont)
+                acc_r = acc_r + died * rad_r
+                acc_g = acc_g + died * rad_g
+                acc_b = acc_b + died * rad_b
+                scnt = scnt + died
+                bcnt = bcnt + cont
 
-            def any_alive(carry):
-                # early exit once every lane in the tile has terminated —
-                # mean path length is far below the 51-bounce cap
-                b, alive = carry[0], carry[-1]
-                return (b <= max_depth) & (jnp.max(alive) > f(0.0))
+                return (ox, oy, oz, dx, dy, dz, time,
+                        thr_r, thr_g, thr_b, rad_r, rad_g, rad_b, cont,
+                        bcnt, scnt, acc_r, acc_g, acc_b)
 
-            st = (jnp.int32(0), ox, oy, oz, dx, dy, dz, time,
-                  thr_r, thr_g, thr_b, rad_r, rad_g, rad_b, alive)
-            st = jax.lax.while_loop(any_alive, bounce, st)
-            rad_r, rad_g, rad_b = st[11], st[12], st[13]
-            return (rr + rad_r, rg + rad_g, rb + rad_b)
+            def unfinished(carry):
+                alive, scnt = carry[13], carry[15]
+                return jnp.max(jnp.where(alive > f(0.0), f(1.0),
+                                         (scnt < f(spp)).astype(f))) > f(0.0)
 
-        zero = jnp.zeros((SUB, LANES), f)
-        rr, rg, rb = jax.lax.fori_loop(0, spp, sample_body,
-                                       (zero, zero, zero))
-        out_ref[0] = rr
-        out_ref[1] = rg
-        out_ref[2] = rb
+            zero = jnp.zeros((SUB, LANES), f)
+            one_a = jnp.full((SUB, LANES), f(1.0))
+            st = (zero, zero, zero, zero, zero, one_a,  # o, d=(0,0,1) dummy
+                  zero, one_a, one_a, one_a, zero, zero, zero,
+                  zero, zero, zero, zero, zero, zero)
+            st = jax.lax.while_loop(unfinished, step, st)
+            acc_r, acc_g, acc_b = st[16], st[17], st[18]
+
+        out_ref[0] = acc_r
+        out_ref[1] = acc_g
+        out_ref[2] = acc_b
 
     return kernel
 

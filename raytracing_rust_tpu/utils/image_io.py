@@ -17,7 +17,15 @@ def quantize(img: np.ndarray) -> np.ndarray:
 
 
 def to_ppm(img: np.ndarray) -> str:
-    """float [ny, nx, 3] (row 0 = top) → P3 PPM text (tests/test.rs:59,79)."""
+    """float [ny, nx, 3] (row 0 = top) → P3 PPM text (tests/test.rs:59,79).
+
+    Uses the native encoder (byte-identical) when available — the Python
+    string join is ~100x slower for full-size renders.
+    """
+    from .. import native
+    out = native.encode_ppm(np.clip(np.asarray(img), 0.0, 1.0))
+    if out is not None:
+        return out
     ny, nx, _ = img.shape
     q = quantize(img).reshape(-1, 3)
     body = "\n".join(f"{r} {g} {b}" for r, g, b in q)
