@@ -97,6 +97,9 @@ M_ALB = 19        # 19..21 isotropic phase-function albedo
 MEDREC = 22
 
 
+UNROLL_BUDGET = 96  # prims unrolled at trace time; spheres beyond go dynamic
+
+
 class UnsupportedScene(ValueError):
     """Scene uses features outside the megakernel's coverage."""
 
@@ -104,17 +107,15 @@ class UnsupportedScene(ValueError):
 def build_scene_record(scene: SceneTables):
     """Flatten SceneTables into the [P, REC] scalar record (host side).
 
-    Returns (record, kinds, med_rec, med_kinds, flags): kinds / med_kinds
-    are static tuples controlling the per-primitive / per-medium unrolls;
+    Returns (record, kinds, dyn_rec, n_dyn, med_rec, med_kinds, flags):
+    kinds / med_kinds are static tuples controlling the per-primitive /
+    per-medium unrolls; scenes with more than UNROLL_BUDGET primitives
+    move their spheres into dyn_rec, iterated by a runtime fori_loop with
+    dynamically-indexed SMEM scalar reads (rects must fit the unroll);
     flags is a static (has_checker, has_metal, has_diel) tuple that gates
     whole shading blocks out of scenes that don't use them. Raises
     UnsupportedScene for noise / image textures.
     """
-    if scene.num_prims > 96:
-        # the megakernel unrolls the primitive loop; beyond ~100 prims
-        # compile time and code size blow up — the XLA tier handles it
-        raise UnsupportedScene(
-            f"{scene.num_prims} primitives exceed the unrolled-loop budget")
     pk = jax.tree.map(np.asarray, pack_prims(scene))
     ptype = np.asarray(scene.prim_type)
     mat_type = np.asarray(scene.mat_type)
@@ -229,7 +230,24 @@ def build_scene_record(scene: SceneTables):
     flags = (bool(np.any(rec[:, R_CHECKER] > 0)),
              bool(np.any(rec[:, R_MAT] == MAT_METAL)),
              bool(np.any(rec[:, R_MAT] == MAT_DIELECTRIC)))
-    return rec, tuple(kinds), med_rec, tuple(med_kinds), flags
+
+    # partition: small scenes unroll everything; big scenes unroll rects
+    # and run spheres through the dynamic loop
+    dyn_rec = np.zeros((1, REC), np.float32)
+    n_dyn = 0
+    if P > UNROLL_BUDGET:
+        is_rect = np.array([k == "rect" for k in kinds])
+        if int(is_rect.sum()) > UNROLL_BUDGET:
+            raise UnsupportedScene(
+                f"{int(is_rect.sum())} rects exceed the unrolled-loop "
+                "budget; the XLA tier handles this scene")
+        dyn_rec = np.ascontiguousarray(rec[~is_rect])
+        n_dyn = int((~is_rect).sum())
+        rec = np.ascontiguousarray(rec[is_rect])
+        kinds = [k for k in kinds if k == "rect"]
+        if not kinds:  # SMEM inputs need at least one row
+            rec = np.zeros((1, REC), np.float32)
+    return rec, tuple(kinds), dyn_rec, n_dyn, med_rec, tuple(med_kinds), flags
 
 
 def build_camera_record(cam) -> np.ndarray:
@@ -261,15 +279,20 @@ def _dot3(ax, ay, az, bx, by, bz):
     return ax * bx + ay * by + az * bz
 
 
-def _make_kernel(kinds, med_kinds, flags, background, nx, ny, spp,
-                 max_depth):
-    """Build the megakernel body for a static scene structure."""
+def _make_kernel(kinds, n_dyn, med_kinds, flags, background, nx, ny):
+    """Build the megakernel body for a static scene structure.
+
+    spp / max_depth arrive as runtime scalars (params_ref = [seed, spp,
+    max_depth]) so one compile serves every sample count.
+    """
     has_checker, has_metal, has_diel = flags
     f = jnp.float32
 
-    def kernel(rec_ref, med_ref, cam_ref, seed_ref, out_ref):
+    def kernel(rec_ref, dyn_ref, med_ref, cam_ref, params_ref, out_ref):
         pid = pl.program_id(0)
-        pltpu.prng_seed(seed_ref[0], pid)
+        pltpu.prng_seed(params_ref[0], pid)
+        spp_v = params_ref[1].astype(jnp.float32)
+        depth_v = params_ref[2].astype(jnp.float32)
 
         # lane → pixel mapping (row 0 of the image = top scanline,
         # reference tests/test.rs:62-64 row order handled via j flip)
@@ -310,7 +333,7 @@ def _make_kernel(kinds, med_kinds, flags, background, nx, ny, spp,
                 # -- regenerate dead lanes that still owe samples
                 # (reference src/camera.rs:53-67 + jitter tests/test.rs:
                 # 66-68) --
-                regen = (alive == f(0.0)) & (scnt < f(spp))
+                regen = (alive == f(0.0)) & (scnt < spp_v)
                 u0, u1 = _uniform((SUB, LANES)), _uniform((SUB, LANES))
                 s = (icol + u0) * f(1.0 / nx)
                 t = (jflip + u1) * f(1.0 / ny)
@@ -425,6 +448,74 @@ def _make_kernel(kinds, med_kinds, flags, background, nx, ny, spp,
                         aog = jnp.where(better, r(R_ALB_ODD + 1), aog)
                         aob = jnp.where(better, r(R_ALB_ODD + 2), aob)
                         chk = jnp.where(better, r(R_CHECKER), chk)
+
+                if n_dyn:
+                    # ---- dynamic sphere loop: scenes beyond the unroll
+                    # budget (e.g. random_spheres' 441 spheres) iterate an
+                    # SMEM table with runtime-indexed scalar reads; the
+                    # moving-center form covers static spheres (dc=0,
+                    # inv_dt=0 ⇒ frac·dc = 0) ----
+                    def dyn_body(p, st):
+                        (t_best, nx_b, ny_b, nz_b, mat_b, par_b,
+                         emr, emg, emb, alr, alg, alb_,
+                         aor, aog, aob, chk) = st
+
+                        def r(i):
+                            return dyn_ref[p, i]
+
+                        frac = (time - r(R_T0)) * r(R_INV_DT)
+                        cx = r(R_C0) + frac * r(R_DC)
+                        cy = r(R_C0 + 1) + frac * r(R_DC + 1)
+                        cz = r(R_C0 + 2) + frac * r(R_DC + 2)
+                        ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+                        bq = _dot3(ocx, ocy, ocz, dx, dy, dz)
+                        cq = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) - r(R_R2)
+                        disc = bq * bq - a_dd * cq
+                        pos = disc > f(0.0)
+                        sq = jnp.sqrt(jnp.where(pos, disc, f(1.0)))
+                        t_near = (-bq - sq) * inv_a
+                        t_far = (-bq + sq) * inv_a
+                        near_ok = (pos & (t_near > f(T_MIN))
+                                   & (t_near < t_best))
+                        far_ok = pos & (t_far > f(T_MIN)) & (t_far < t_best)
+                        t_p = jnp.where(near_ok, t_near,
+                                        jnp.where(far_ok, t_far, f(BIG)))
+                        better = t_p < t_best
+                        inv_r = f(1.0) / r(R_RADIUS)
+                        flip = r(R_FLIP)
+                        nxx = (ocx + t_p * dx) * inv_r * flip
+                        nyy = (ocy + t_p * dy) * inv_r * flip
+                        nzz = (ocz + t_p * dz) * inv_r * flip
+
+                        t_best = jnp.where(better, t_p, t_best)
+                        nx_b = jnp.where(better, nxx, nx_b)
+                        ny_b = jnp.where(better, nyy, ny_b)
+                        nz_b = jnp.where(better, nzz, nz_b)
+                        mat_b = jnp.where(better, r(R_MAT), mat_b)
+                        par_b = jnp.where(better, r(R_PARAM), par_b)
+                        emr = jnp.where(better, r(R_EMIT), emr)
+                        emg = jnp.where(better, r(R_EMIT + 1), emg)
+                        emb = jnp.where(better, r(R_EMIT + 2), emb)
+                        alr = jnp.where(better, r(R_ALB_EVEN), alr)
+                        alg = jnp.where(better, r(R_ALB_EVEN + 1), alg)
+                        alb_ = jnp.where(better, r(R_ALB_EVEN + 2), alb_)
+                        aor = jnp.where(better, r(R_ALB_ODD), aor)
+                        aog = jnp.where(better, r(R_ALB_ODD + 1), aog)
+                        aob = jnp.where(better, r(R_ALB_ODD + 2), aob)
+                        chk = jnp.where(better, r(R_CHECKER), chk)
+                        return (t_best, nx_b, ny_b, nz_b, mat_b, par_b,
+                                emr, emg, emb, alr, alg, alb_,
+                                aor, aog, aob, chk)
+
+                    if not has_checker:
+                        aor = aog = aob = chk = jnp.zeros((SUB, LANES), f)
+                    (t_best, nx_b, ny_b, nz_b, mat_b, par_b,
+                     emr, emg, emb, alr, alg, alb_,
+                     aor, aog, aob, chk) = jax.lax.fori_loop(
+                        0, n_dyn, dyn_body,
+                        (t_best, nx_b, ny_b, nz_b, mat_b, par_b,
+                         emr, emg, emb, alr, alg, alb_,
+                         aor, aog, aob, chk))
 
                 if has_checker:
                     # checker sign at the winning surface hit point
@@ -636,7 +727,7 @@ def _make_kernel(kinds, med_kinds, flags, background, nx, ny, spp,
                     att_g = jnp.where(is_diel, f(1.0), att_g)
                     att_b = jnp.where(is_diel, f(1.0), att_b)
                 # depth cap: scatter only while depth < 50 (src/color.rs:9)
-                below_cap = (bcnt < f(max_depth)).astype(f)
+                below_cap = (bcnt < depth_v).astype(f)
                 cont = hit * ok * below_cap
 
                 thr_r = jnp.where(cont > f(0.0), thr_r * att_r, thr_r)
@@ -664,7 +755,7 @@ def _make_kernel(kinds, med_kinds, flags, background, nx, ny, spp,
             def unfinished(carry):
                 alive, scnt = carry[13], carry[15]
                 return jnp.max(jnp.where(alive > f(0.0), f(1.0),
-                                         (scnt < f(spp)).astype(f))) > f(0.0)
+                                         (scnt < spp_v).astype(f))) > f(0.0)
 
             zero = jnp.zeros((SUB, LANES), f)
             one_a = jnp.full((SUB, LANES), f(1.0))
@@ -682,12 +773,13 @@ def _make_kernel(kinds, med_kinds, flags, background, nx, ny, spp,
 
 
 @partial(jax.jit,
-         static_argnames=("kinds", "med_kinds", "flags", "background", "nx",
-                          "ny", "spp", "max_depth", "grid", "interpret"))
-def _trace_call(rec, med_rec, cam_rec, seed, kinds, med_kinds, flags,
-                background, nx, ny, spp, max_depth, grid, interpret=False):
-    kernel = _make_kernel(kinds, med_kinds, flags, background, nx, ny, spp,
-                          max_depth)
+         static_argnames=("kinds", "n_dyn", "med_kinds", "flags",
+                          "background", "nx", "ny", "grid", "interpret"))
+def _trace_call(rec, dyn_rec, med_rec, cam_rec, params, kinds, n_dyn,
+                med_kinds, flags, background, nx, ny, grid,
+                interpret=False):
+    kernel = _make_kernel(kinds, n_dyn, med_kinds, flags, background, nx,
+                          ny)
     return pl.pallas_call(
         kernel,
         interpret=interpret,
@@ -697,11 +789,12 @@ def _trace_call(rec, med_rec, cam_rec, seed, kinds, med_kinds, flags,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((3, SUB, LANES), lambda g: (0, g, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, grid * SUB, LANES), jnp.float32),
-    )(rec, med_rec, cam_rec, seed)
+    )(rec, dyn_rec, med_rec, cam_rec, params)
 
 
 def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
@@ -713,8 +806,10 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
 
     Raises UnsupportedScene when the scene needs the XLA tier.
     """
-    rec_np, kinds, med_np, med_kinds, flags = build_scene_record(scene)
+    (rec_np, kinds, dyn_np, n_dyn, med_np, med_kinds,
+     flags) = build_scene_record(scene)
     rec = jnp.asarray(rec_np)
+    dyn_rec = jnp.asarray(dyn_np)
     med_rec = jnp.asarray(med_np)
     cam_rec = jnp.asarray(build_camera_record(cam))
     n_pix = nx * ny
@@ -727,10 +822,11 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
     chunk_id = 0
     while done < spp:
         cur = min(spp_chunk, spp - done)
-        s = jnp.asarray([np.int32(seed + 0x9E37 * chunk_id)], jnp.int32)
-        out = _trace_call(rec, med_rec, cam_rec, s, kinds, med_kinds, flags,
-                          scene.background, nx, ny, cur, max_depth, grid,
-                          interpret)
+        params = jnp.asarray([np.int32(seed + 0x9E37 * chunk_id), cur,
+                              max_depth], jnp.int32)
+        out = _trace_call(rec, dyn_rec, med_rec, cam_rec, params, kinds,
+                          n_dyn, med_kinds, flags, scene.background, nx, ny,
+                          grid, interpret)
         lanes = np.asarray(out).transpose(1, 2, 0).reshape(-1, 3)
         sums += lanes[:n_pix]
         done += cur
