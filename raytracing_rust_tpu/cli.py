@@ -40,6 +40,10 @@ def main(argv=None) -> int:
     r.add_argument("--bvh", action="store_true",
                    help="use the flat BVH in the XLA tier (reference "
                         "src/bvh.rs analogue)")
+    r.add_argument("--checkpoint", default=None,
+                   help=".npz path for resumable rendering (XLA tier)")
+    r.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a jax.profiler trace of the render to DIR")
     r.add_argument("--log", default="log/log.log")
     r.add_argument("--no-progress", action="store_true")
 
@@ -87,6 +91,11 @@ def main(argv=None) -> int:
     cam = preset.camera()
 
     progress = None if args.no_progress else ProgressBar(args.scene)
+    profiler = None
+    if args.profile:
+        import jax
+        jax.profiler.start_trace(args.profile)
+        profiler = args.profile
     t0 = time.time()
     if args.sharded:
         from .parallel.sharding import make_mesh, render_sharded
@@ -108,8 +117,12 @@ def main(argv=None) -> int:
             from .render import render
             img = render(scene, cam, nx, ny, spp, seed=args.seed,
                          max_depth=args.max_depth, progress=progress,
-                         use_bvh=args.bvh)
+                         use_bvh=args.bvh, checkpoint=args.checkpoint)
     dt = time.time() - t0
+    if profiler:
+        import jax
+        jax.profiler.stop_trace()
+        log.write(f"profiler trace -> {profiler}")
 
     out = args.out or os.path.join("output", f"{args.scene}.ppm")
     os.makedirs(os.path.dirname(out) or ".", exist_ok=True)

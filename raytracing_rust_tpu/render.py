@@ -16,6 +16,7 @@ Output matches the reference exactly: image row 0 is the top scanline
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 
 import jax
@@ -85,9 +86,15 @@ def render_block(scene: SceneTables, cam: Camera, pix: jnp.ndarray,
 def render(scene: SceneTables, cam: Camera, nx: int, ny: int, spp: int,
            seed: int = 0, max_depth: int = 50, block_pixels: int = 1 << 16,
            spp_chunk: int | None = None, progress=None,
-           use_bvh: bool = False) -> np.ndarray:
+           use_bvh: bool = False, checkpoint: str | None = None) -> np.ndarray:
     """Full image render → float32 [ny, nx, 3], gamma-corrected like the
     reference (sqrt + clamp, tests/test.rs:72-75). Row 0 = top.
+
+    checkpoint: optional .npz path — per-block radiance sums are saved
+    after each pixel block and a matching partial render resumes from the
+    last completed block, bit-identical to an uninterrupted run (each
+    block's RNG key depends only on (seed, block id)). The reference has
+    no resume at all (SURVEY.md §5: whole image in one String).
     """
     block_pixels = min(block_pixels, nx * ny)
     if spp_chunk is None:
@@ -110,8 +117,16 @@ def render(scene: SceneTables, cam: Camera, nx: int, ny: int, spp: int,
 
     base = jax.random.key(seed)
     sums = np.zeros((n_pix, 3), np.float32)
-    done = 0
-    for blk in range(n_blocks):
+    start_blk = 0
+    ck_meta = np.asarray([nx, ny, spp, seed, max_depth, block_pixels])
+    if checkpoint and os.path.exists(checkpoint):
+        ck = np.load(checkpoint)
+        if np.array_equal(ck["meta"], ck_meta):
+            sums = ck["sums"]
+            start_blk = int(ck["next_block"])
+
+    done = start_blk * n_chunks
+    for blk in range(start_blk, n_blocks):
         lo = blk * block_pixels
         hi = min(lo + block_pixels, n_pix)
         ids = np.arange(lo, lo + block_pixels, dtype=np.int32)
@@ -124,6 +139,10 @@ def render(scene: SceneTables, cam: Camera, nx: int, ny: int, spp: int,
         if progress is not None:
             progress(done, n_blocks * n_chunks)
         sums[lo:hi] += np.asarray(acc)[: hi - lo]
+        if checkpoint:
+            tmp = checkpoint + ".tmp.npz"
+            np.savez(tmp, meta=ck_meta, sums=sums, next_block=blk + 1)
+            os.replace(tmp, checkpoint)
 
     img = np.sqrt(np.clip(sums / spp, 0.0, None))
     return np.clip(img, 0.0, 1.0).reshape(ny, nx, 3).astype(np.float32)

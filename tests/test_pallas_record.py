@@ -1,0 +1,89 @@
+"""Host-side megakernel scene-record builder (ops/pallas_tracer.py).
+
+The kernel itself needs TPU hardware (the core PRNG has no CPU lowering);
+its record flattening, feature flags, partitioning, and fallback triggers
+are pure host logic and tested here. Kernel-vs-XLA image parity is covered
+by the TPU-side bench/verify flow.
+"""
+
+import numpy as np
+import pytest
+
+from raytracing_rust_tpu.models import builders
+from raytracing_rust_tpu.models.scene import SceneBuilder, BG_BLACK
+from raytracing_rust_tpu.ops import pallas_tracer as pt
+
+REC_FIELDS = dict(mat=pt.R_MAT, emit=pt.R_EMIT, alb=pt.R_ALB_EVEN)
+
+
+def test_cornell_record():
+    scene = builders.cornell_box()
+    rec, kinds, dyn, n_dyn, med, med_kinds, flags = \
+        pt.build_scene_record(scene)
+    assert kinds == ("rect",) * 18
+    assert n_dyn == 0 and med_kinds == ()
+    assert flags == (False, False, False)  # no checker/metal/dielectric
+    # light rect (index 2) emits 15
+    np.testing.assert_allclose(rec[2, pt.R_EMIT:pt.R_EMIT + 3], 15.0)
+    # green wall flip carried
+    assert rec[0, pt.R_FLIP] == -1.0
+    np.testing.assert_allclose(rec[1, pt.R_ALB_EVEN:pt.R_ALB_EVEN + 3],
+                               [0.65, 0.05, 0.05], rtol=1e-6)
+
+
+def test_random_spheres_partition():
+    scene = builders.random_spheres()
+    rec, kinds, dyn, n_dyn, med, med_kinds, flags = \
+        pt.build_scene_record(scene)
+    assert n_dyn == scene.num_prims  # all spheres go dynamic
+    assert kinds == ()               # no rects; dummy unrolled row
+    has_checker, has_metal, has_diel = flags
+    assert has_checker and has_metal and has_diel
+    # moving spheres carry a nonzero center span
+    moving = np.abs(dyn[:, pt.R_DC:pt.R_DC + 3]).sum(axis=1) > 0
+    assert moving.any() and not moving.all()
+
+
+def test_smoke_media_records():
+    scene = builders.cornell_smoke()
+    rec, kinds, dyn, n_dyn, med, med_kinds, flags = \
+        pt.build_scene_record(scene)
+    assert med_kinds == ("mbox", "mbox")
+    np.testing.assert_allclose(med[:, pt.M_INV_RHO], 100.0)  # 1/0.01
+    # rotation block is orthonormal
+    for i in range(2):
+        R = med[i, pt.M_ROT:pt.M_ROT + 9].reshape(3, 3)
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-6)
+    np.testing.assert_allclose(med[0, pt.M_ALB:pt.M_ALB + 3], 1.0)
+    np.testing.assert_allclose(med[1, pt.M_ALB:pt.M_ALB + 3], 0.0)
+
+
+def test_unsupported_scenes_fall_back():
+    with pytest.raises(pt.UnsupportedScene):
+        pt.build_scene_record(builders.two_perlin_spheres())  # noise tex
+    with pytest.raises(pt.UnsupportedScene):
+        pt.build_scene_record(builders.earth())               # image tex
+    with pytest.raises(pt.UnsupportedScene):
+        pt.build_scene_record(builders.final_scene())         # 2400 rects
+
+
+def test_transformed_prims_hoisted():
+    """Cornell's rotated boxes arrive as world-space plane frames."""
+    scene = builders.cornell_box()
+    rec, *_ = pt.build_scene_record(scene)
+    # box faces (prims 6..18) have unit plane normals, some rotated off-axis
+    kn = rec[6:, pt.R_KN:pt.R_KN + 3]
+    np.testing.assert_allclose(np.linalg.norm(kn, axis=1), 1.0, rtol=1e-5)
+    off_axis = np.sum((np.abs(kn) > 1e-6).sum(axis=1) > 1)
+    assert off_axis > 0
+
+
+def test_camera_record():
+    p = builders.PRESETS["cornell_box"]
+    cam = p.camera()
+    rec = pt.build_camera_record(cam)
+    assert rec.shape == (pt.CAMREC,)
+    np.testing.assert_allclose(rec[pt.C_ORIGIN:pt.C_ORIGIN + 3],
+                               [278, 278, -800])
+    assert rec[pt.C_LENS_R] == np.float32(0.05)
+    assert rec[pt.C_DTIME] == 1.0
