@@ -40,14 +40,17 @@ BIG = 3.0e38  # stand-in for f64::MAX at reference src/color.rs:7
 
 
 def _mm(a, b):
-    """[N,3] @ [3,C] at full f32 precision.
+    """[N,3] @ [3,C] as an explicit f32 VPU contraction.
 
-    TPU matmuls default to bf16 inputs; at cornell-scale coordinates (~555,
-    bf16 ulp 2.0) that rounds ray origins onto the wrong side of their own
-    surface and every secondary ray self-intersects. HIGHEST forces the
-    f32-accurate path; K=3 keeps it cheap.
+    Not a real matmul on purpose, twice over: (1) TPU matmuls default to
+    bf16 inputs — at cornell-scale coordinates (~555, bf16 ulp 2.0) that
+    rounds ray origins onto the wrong side of their own surface and every
+    secondary ray self-intersects; (2) even at Precision.HIGHEST the MXU
+    pads K=3 to 128 and runs multiple passes, wasting ~97% of the array.
+    The unrolled K=3 elementwise form is exact f32 and stays on the VPU.
     """
-    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+    return (a[:, 0:1] * b[0][None, :] + a[:, 1:2] * b[1][None, :]
+            + a[:, 2:3] * b[2][None, :])
 
 
 def _onehot3(idx: jnp.ndarray, dtype) -> jnp.ndarray:

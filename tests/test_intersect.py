@@ -188,3 +188,19 @@ def test_chunking_invariance():
     r2 = _closest(scene, o, d, chunk=64)
     np.testing.assert_array_equal(r1[1], r2[1])
     np.testing.assert_allclose(r1[0], r2[0], rtol=1e-6)
+
+
+def test_negative_radius_hollow_sphere():
+    """Negative radius flips the normal via (p−c)/r — the book's hollow
+    glass trick (reference src/sphere.rs:46-52 sign convention)."""
+    b = SceneBuilder()
+    m = b.dielectric(1.5)
+    b.sphere((0, 0, 0), -0.5, m)
+    scene = b.build()
+    o = np.array([[0.0, 0.0, -2.0]])
+    d = np.array([[0.0, 0.0, 1.0]])
+    t, idx, mask, p, nrm, u, v = _closest(scene, o, d)
+    assert mask[0]
+    np.testing.assert_allclose(t[0], 1.5, rtol=1e-5)   # |r| sphere surface
+    # outward point, but normal points INWARD because r < 0
+    np.testing.assert_allclose(nrm[0], [0, 0, 1], atol=1e-5)
