@@ -107,14 +107,17 @@ class UnsupportedScene(ValueError):
 def build_scene_record(scene: SceneTables):
     """Flatten SceneTables into the [P, REC] scalar record (host side).
 
-    Returns (record, kinds, dyn_rec, n_dyn, med_rec, med_kinds, flags):
-    kinds / med_kinds are static tuples controlling the per-primitive /
-    per-medium unrolls; scenes with more than UNROLL_BUDGET primitives
-    move their spheres into dyn_rec, iterated by a runtime fori_loop with
-    dynamically-indexed SMEM scalar reads (rects must fit the unroll);
-    flags is a static (has_checker, has_metal, has_diel) tuple that gates
-    whole shading blocks out of scenes that don't use them. Raises
-    UnsupportedScene for noise / image textures.
+    Returns (record, kinds, rect_groups, dyn_rec, n_dyn, med_rec,
+    med_kinds, flags): kinds / med_kinds are static tuples controlling the
+    per-primitive / per-medium unrolls; rect_groups groups unrolled rect
+    rows by shared world plane frame (kn, an, bn) so the kernel computes
+    the six ray·frame dot products once per FRAME instead of once per
+    rect (cornell's 18 rects share 9 frames); scenes with more than
+    UNROLL_BUDGET primitives move their spheres into dyn_rec, iterated by
+    a runtime fori_loop with dynamically-indexed SMEM scalar reads (rects
+    must fit the unroll); flags is a static (has_checker, has_metal,
+    has_diel) tuple that gates whole shading blocks out of scenes that
+    don't use them. Raises UnsupportedScene for noise / image textures.
     """
     pk = jax.tree.map(np.asarray, pack_prims(scene))
     ptype = np.asarray(scene.prim_type)
@@ -247,7 +250,17 @@ def build_scene_record(scene: SceneTables):
         kinds = [k for k in kinds if k == "rect"]
         if not kinds:  # SMEM inputs need at least one row
             rec = np.zeros((1, REC), np.float32)
-    return rec, tuple(kinds), dyn_rec, n_dyn, med_rec, tuple(med_kinds), flags
+
+    # group unrolled rects by world frame
+    groups = {}
+    for i, k in enumerate(kinds):
+        if k != "rect":
+            continue
+        key = tuple(np.round(rec[i, R_KN:R_BN + 3], 5).tolist())
+        groups.setdefault(key, []).append(i)
+    rect_groups = tuple(tuple(g) for g in groups.values())
+    return (rec, tuple(kinds), rect_groups, dyn_rec, n_dyn, med_rec,
+            tuple(med_kinds), flags)
 
 
 def build_camera_record(cam) -> np.ndarray:
@@ -279,7 +292,8 @@ def _dot3(ax, ay, az, bx, by, bz):
     return ax * bx + ay * by + az * bz
 
 
-def _make_kernel(kinds, n_dyn, med_kinds, flags, background, nx, ny):
+def _make_kernel(kinds, rect_groups, n_dyn, med_kinds, flags, background,
+                 nx, ny):
     """Build the megakernel body for a static scene structure.
 
     spp / max_depth arrive as runtime scalars (params_ref = [seed, spp,
@@ -375,60 +389,9 @@ def _make_kernel(kinds, n_dyn, med_kinds, flags, background, nx, ny):
                 a_dd = _dot3(dx, dy, dz, dx, dy, dz)
                 inv_a = f(1.0) / a_dd
 
-                for p, kind in enumerate(kinds):
-                    def r(i):
-                        return rec_ref[p, i]
-
-                    if kind in ("sphere", "moving"):
-                        # reference src/sphere.rs:37-77 (+ :115-118 motion)
-                        if kind == "moving":
-                            frac = (time - r(R_T0)) * r(R_INV_DT)
-                            cx = r(R_C0) + frac * r(R_DC)
-                            cy = r(R_C0 + 1) + frac * r(R_DC + 1)
-                            cz = r(R_C0 + 2) + frac * r(R_DC + 2)
-                        else:
-                            cx, cy, cz = r(R_C0), r(R_C0 + 1), r(R_C0 + 2)
-                        ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
-                        bq = _dot3(ocx, ocy, ocz, dx, dy, dz)
-                        cq = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) - r(R_R2)
-                        disc = bq * bq - a_dd * cq
-                        pos = disc > f(0.0)
-                        sq = jnp.sqrt(jnp.where(pos, disc, f(1.0)))
-                        t_near = (-bq - sq) * inv_a
-                        t_far = (-bq + sq) * inv_a
-                        near_ok = pos & (t_near > f(T_MIN)) & (t_near < t_best)
-                        far_ok = pos & (t_far > f(T_MIN)) & (t_far < t_best)
-                        t_p = jnp.where(near_ok, t_near,
-                                        jnp.where(far_ok, t_far, f(BIG)))
-                        better = t_p < t_best
-                        inv_r = f(1.0) / r(R_RADIUS)
-                        nxx = (ocx + t_p * dx) * inv_r
-                        nyy = (ocy + t_p * dy) * inv_r
-                        nzz = (ocz + t_p * dz) * inv_r
-                    else:
-                        # reference src/rect.rs:39-69 via world-frame plane
-                        knx, kny, knz = r(R_KN), r(R_KN + 1), r(R_KN + 2)
-                        d_kn = _dot3(dx, dy, dz, knx, kny, knz)
-                        o_kn = _dot3(ox, oy, oz, knx, kny, knz)
-                        safe = jnp.where(d_kn == f(0.0), f(1.0), d_kn)
-                        t_p = (r(R_KOFF) - o_kn) / safe
-                        px = ox + t_p * dx
-                        py = oy + t_p * dy
-                        pz = oz + t_p * dz
-                        xa = _dot3(px, py, pz, r(R_AN), r(R_AN + 1),
-                                   r(R_AN + 2)) - r(R_AOFF)
-                        yb = _dot3(px, py, pz, r(R_BN), r(R_BN + 1),
-                                   r(R_BN + 2)) - r(R_BOFF)
-                        ok = ((d_kn != f(0.0)) & (t_p > f(T_MIN))
-                              & (t_p < t_best)
-                              & (xa >= r(R_A0)) & (xa <= r(R_A1))
-                              & (yb >= r(R_B0)) & (yb <= r(R_B1)))
-                        t_p = jnp.where(ok, t_p, f(BIG))
-                        better = ok
-                        nxx = jnp.full((SUB, LANES), knx)
-                        nyy = jnp.full((SUB, LANES), kny)
-                        nzz = jnp.full((SUB, LANES), knz)
-
+                def select(r, better, t_p, nxx, nyy, nzz, st):
+                    (t_best, nx_b, ny_b, nz_b, mat_b, par_b,
+                     emr, emg, emb, alr, alg, alb_) = st[:12]
                     flip = r(R_FLIP)
                     t_best = jnp.where(better, t_p, t_best)
                     nx_b = jnp.where(better, nxx * flip, nx_b)
@@ -443,11 +406,100 @@ def _make_kernel(kinds, n_dyn, med_kinds, flags, background, nx, ny):
                     alr = jnp.where(better, r(R_ALB_EVEN), alr)
                     alg = jnp.where(better, r(R_ALB_EVEN + 1), alg)
                     alb_ = jnp.where(better, r(R_ALB_EVEN + 2), alb_)
+                    out = [t_best, nx_b, ny_b, nz_b, mat_b, par_b,
+                           emr, emg, emb, alr, alg, alb_]
                     if has_checker:
-                        aor = jnp.where(better, r(R_ALB_ODD), aor)
-                        aog = jnp.where(better, r(R_ALB_ODD + 1), aog)
-                        aob = jnp.where(better, r(R_ALB_ODD + 2), aob)
-                        chk = jnp.where(better, r(R_CHECKER), chk)
+                        aor, aog, aob, chk = st[12:]
+                        out += [jnp.where(better, r(R_ALB_ODD), aor),
+                                jnp.where(better, r(R_ALB_ODD + 1), aog),
+                                jnp.where(better, r(R_ALB_ODD + 2), aob),
+                                jnp.where(better, r(R_CHECKER), chk)]
+                    return out
+
+                st = [t_best, nx_b, ny_b, nz_b, mat_b, par_b,
+                      emr, emg, emb, alr, alg, alb_]
+                if has_checker:
+                    st += [aor, aog, aob, chk]
+
+                # spheres / moving spheres (reference src/sphere.rs:37-77,
+                # :115-118)
+                for p, kind in enumerate(kinds):
+                    if kind == "rect":
+                        continue
+
+                    def r(i, p=p):
+                        return rec_ref[p, i]
+
+                    if kind == "moving":
+                        frac = (time - r(R_T0)) * r(R_INV_DT)
+                        cx = r(R_C0) + frac * r(R_DC)
+                        cy = r(R_C0 + 1) + frac * r(R_DC + 1)
+                        cz = r(R_C0 + 2) + frac * r(R_DC + 2)
+                    else:
+                        cx, cy, cz = r(R_C0), r(R_C0 + 1), r(R_C0 + 2)
+                    ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+                    t_best = st[0]
+                    bq = _dot3(ocx, ocy, ocz, dx, dy, dz)
+                    cq = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) - r(R_R2)
+                    disc = bq * bq - a_dd * cq
+                    pos = disc > f(0.0)
+                    sq = jnp.sqrt(jnp.where(pos, disc, f(1.0)))
+                    t_near = (-bq - sq) * inv_a
+                    t_far = (-bq + sq) * inv_a
+                    near_ok = pos & (t_near > f(T_MIN)) & (t_near < t_best)
+                    far_ok = pos & (t_far > f(T_MIN)) & (t_far < t_best)
+                    t_p = jnp.where(near_ok, t_near,
+                                    jnp.where(far_ok, t_far, f(BIG)))
+                    better = t_p < t_best
+                    inv_r = f(1.0) / r(R_RADIUS)
+                    nxx = (ocx + t_p * dx) * inv_r
+                    nyy = (ocy + t_p * dy) * inv_r
+                    nzz = (ocz + t_p * dz) * inv_r
+                    st = select(r, better, t_p, nxx, nyy, nzz, st)
+
+                # rects, grouped by world frame: the six ray·frame dot
+                # products amortize over every rect in the frame
+                # (reference src/rect.rs:39-69; x = (o+td)·an expands to
+                # o·an + t·(d·an))
+                for group in rect_groups:
+                    def r0(i, p=group[0]):
+                        return rec_ref[p, i]
+
+                    knx, kny, knz = r0(R_KN), r0(R_KN + 1), r0(R_KN + 2)
+                    d_kn = _dot3(dx, dy, dz, knx, kny, knz)
+                    o_kn = _dot3(ox, oy, oz, knx, kny, knz)
+                    nonpar = d_kn != f(0.0)
+                    inv_kn = f(1.0) / jnp.where(nonpar, d_kn, f(1.0))
+                    o_an = _dot3(ox, oy, oz, r0(R_AN), r0(R_AN + 1),
+                                 r0(R_AN + 2))
+                    d_an = _dot3(dx, dy, dz, r0(R_AN), r0(R_AN + 1),
+                                 r0(R_AN + 2))
+                    o_bn = _dot3(ox, oy, oz, r0(R_BN), r0(R_BN + 1),
+                                 r0(R_BN + 2))
+                    d_bn = _dot3(dx, dy, dz, r0(R_BN), r0(R_BN + 1),
+                                 r0(R_BN + 2))
+                    nxx = jnp.full((SUB, LANES), knx)
+                    nyy = jnp.full((SUB, LANES), kny)
+                    nzz = jnp.full((SUB, LANES), knz)
+
+                    for p in group:
+                        def r(i, p=p):
+                            return rec_ref[p, i]
+
+                        t_best = st[0]
+                        t_p = (r(R_KOFF) - o_kn) * inv_kn
+                        xa = o_an + t_p * d_an - r(R_AOFF)
+                        yb = o_bn + t_p * d_bn - r(R_BOFF)
+                        ok = (nonpar & (t_p > f(T_MIN)) & (t_p < t_best)
+                              & (xa >= r(R_A0)) & (xa <= r(R_A1))
+                              & (yb >= r(R_B0)) & (yb <= r(R_B1)))
+                        t_p = jnp.where(ok, t_p, f(BIG))
+                        st = select(r, ok, t_p, nxx, nyy, nzz, st)
+
+                (t_best, nx_b, ny_b, nz_b, mat_b, par_b,
+                 emr, emg, emb, alr, alg, alb_) = st[:12]
+                if has_checker:
+                    aor, aog, aob, chk = st[12:]
 
                 if n_dyn:
                     # ---- dynamic sphere loop: scenes beyond the unroll
@@ -773,13 +825,14 @@ def _make_kernel(kinds, n_dyn, med_kinds, flags, background, nx, ny):
 
 
 @partial(jax.jit,
-         static_argnames=("kinds", "n_dyn", "med_kinds", "flags",
-                          "background", "nx", "ny", "grid", "interpret"))
-def _trace_call(rec, dyn_rec, med_rec, cam_rec, params, kinds, n_dyn,
-                med_kinds, flags, background, nx, ny, grid,
+         static_argnames=("kinds", "rect_groups", "n_dyn", "med_kinds",
+                          "flags", "background", "nx", "ny", "grid",
+                          "interpret"))
+def _trace_call(rec, dyn_rec, med_rec, cam_rec, params, kinds, rect_groups,
+                n_dyn, med_kinds, flags, background, nx, ny, grid,
                 interpret=False):
-    kernel = _make_kernel(kinds, n_dyn, med_kinds, flags, background, nx,
-                          ny)
+    kernel = _make_kernel(kinds, rect_groups, n_dyn, med_kinds, flags,
+                          background, nx, ny)
     return pl.pallas_call(
         kernel,
         interpret=interpret,
@@ -806,7 +859,7 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
 
     Raises UnsupportedScene when the scene needs the XLA tier.
     """
-    (rec_np, kinds, dyn_np, n_dyn, med_np, med_kinds,
+    (rec_np, kinds, rect_groups, dyn_np, n_dyn, med_np, med_kinds,
      flags) = build_scene_record(scene)
     rec = jnp.asarray(rec_np)
     dyn_rec = jnp.asarray(dyn_np)
@@ -825,8 +878,8 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
         params = jnp.asarray([np.int32(seed + 0x9E37 * chunk_id), cur,
                               max_depth], jnp.int32)
         out = _trace_call(rec, dyn_rec, med_rec, cam_rec, params, kinds,
-                          n_dyn, med_kinds, flags, scene.background, nx, ny,
-                          grid, interpret)
+                          rect_groups, n_dyn, med_kinds, flags,
+                          scene.background, nx, ny, grid, interpret)
         lanes = np.asarray(out).transpose(1, 2, 0).reshape(-1, 3)
         sums += lanes[:n_pix]
         done += cur

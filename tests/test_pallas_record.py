@@ -18,9 +18,12 @@ REC_FIELDS = dict(mat=pt.R_MAT, emit=pt.R_EMIT, alb=pt.R_ALB_EVEN)
 
 def test_cornell_record():
     scene = builders.cornell_box()
-    rec, kinds, dyn, n_dyn, med, med_kinds, flags = \
+    rec, kinds, groups, dyn, n_dyn, med, med_kinds, flags = \
         pt.build_scene_record(scene)
     assert kinds == ("rect",) * 18
+    # 18 rects share 9 world frames (axis walls + two rotated boxes)
+    assert sorted(sum((list(g) for g in groups), [])) == list(range(18))
+    assert len(groups) == 9
     assert n_dyn == 0 and med_kinds == ()
     assert flags == (False, False, False)  # no checker/metal/dielectric
     # light rect (index 2) emits 15
@@ -33,7 +36,7 @@ def test_cornell_record():
 
 def test_random_spheres_partition():
     scene = builders.random_spheres()
-    rec, kinds, dyn, n_dyn, med, med_kinds, flags = \
+    rec, kinds, groups, dyn, n_dyn, med, med_kinds, flags = \
         pt.build_scene_record(scene)
     assert n_dyn == scene.num_prims  # all spheres go dynamic
     assert kinds == ()               # no rects; dummy unrolled row
@@ -46,7 +49,7 @@ def test_random_spheres_partition():
 
 def test_smoke_media_records():
     scene = builders.cornell_smoke()
-    rec, kinds, dyn, n_dyn, med, med_kinds, flags = \
+    rec, kinds, groups, dyn, n_dyn, med, med_kinds, flags = \
         pt.build_scene_record(scene)
     assert med_kinds == ("mbox", "mbox")
     np.testing.assert_allclose(med[:, pt.M_INV_RHO], 100.0)  # 1/0.01
