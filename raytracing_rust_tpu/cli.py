@@ -42,6 +42,9 @@ def main(argv=None) -> int:
                         "src/bvh.rs analogue)")
     r.add_argument("--checkpoint", default=None,
                    help=".npz path for resumable rendering (XLA tier)")
+    r.add_argument("--rr-depth", type=int, default=None,
+                   help="start Russian roulette at this bounce (opt-in, "
+                        "unbiased; the reference always runs to the cap)")
     r.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax.profiler trace of the render to DIR")
     r.add_argument("--log", default="log/log.log")
@@ -107,7 +110,8 @@ def main(argv=None) -> int:
             from .ops.pallas_tracer import UnsupportedScene, render_pallas
             try:
                 img = render_pallas(scene, cam, nx, ny, spp, seed=args.seed,
-                                    max_depth=args.max_depth)
+                                    max_depth=args.max_depth,
+                                    rr_depth=args.rr_depth)
             except UnsupportedScene as e:
                 if args.engine == "pallas":
                     print(f"pallas engine: {e}", file=sys.stderr)
@@ -117,7 +121,8 @@ def main(argv=None) -> int:
             from .render import render
             img = render(scene, cam, nx, ny, spp, seed=args.seed,
                          max_depth=args.max_depth, progress=progress,
-                         use_bvh=args.bvh, checkpoint=args.checkpoint)
+                         use_bvh=args.bvh, checkpoint=args.checkpoint,
+                         rr_depth=args.rr_depth)
     dt = time.time() - t0
     if profiler:
         import jax

@@ -38,6 +38,7 @@ from .materials import scatter as mat_scatter
 _U_SPHERE = 0
 _U_BRANCH = 1
 _U_MEDIUM = 2
+_U_RR = 3
 
 T_MIN = 1e-3  # ray epsilon, reference src/color.rs:7
 
@@ -55,7 +56,7 @@ def background(scene: SceneTables, d: jnp.ndarray) -> jnp.ndarray:
 
 
 def _bounce(scene: SceneTables, pack, key, max_depth, b, o, d, time, thr,
-            rad, alive, bvh=None):
+            rad, alive, bvh=None, rr_depth=None):
     """One wavefront bounce; returns updated (o, d, thr, rad, alive)."""
     n = o.shape[0]
     if bvh is not None:
@@ -102,20 +103,37 @@ def _bounce(scene: SceneTables, pack, key, max_depth, b, o, d, time, thr,
     # scatter allowed only below the depth cap (src/color.rs:9 `depth < 50`)
     cont = alive & hit_any & ok & (b < max_depth)
     thr = jnp.where(cont[:, None], thr * att, thr)
+
+    if rr_depth is not None:
+        # Russian roulette (NOT in the reference; opt-in, unbiased):
+        # beyond rr_depth bounces, survive with p = max channel of the
+        # throughput and compensate survivors by 1/p.
+        u_rr = rng.uniforms(key, b, _U_RR, (n,), o.dtype)
+        q = jnp.clip(jnp.max(thr, axis=-1), 0.05, 1.0)
+        roulette = b >= rr_depth
+        survive = (~roulette) | (u_rr < q)
+        thr = jnp.where((cont & roulette & survive)[:, None],
+                        thr / q[:, None], thr)
+        cont = cont & survive
+
     o = jnp.where(cont[:, None], p, o)
     d = jnp.where(cont[:, None], new_d, d)
     return o, d, thr, rad, cont
 
 
-@partial(jax.jit, static_argnames=("max_depth", "differentiable"))
+@partial(jax.jit, static_argnames=("max_depth", "differentiable",
+                                   "rr_depth"))
 def trace(scene: SceneTables, o, d, time, key, max_depth: int = 50,
-          differentiable: bool = False, bvh=None) -> jnp.ndarray:
+          differentiable: bool = False, bvh=None,
+          rr_depth: int | None = None) -> jnp.ndarray:
     """Trace a batch of rays to completion → radiance [N, 3].
 
     o, d, time: ray batch (directions unnormalized, reference convention);
     key: RNG key for this batch (bounce/purpose folded in internally);
     bvh: optional FlatBVH — closest-hit goes through stacked traversal
-    instead of the dense all-prims scan.
+    instead of the dense all-prims scan;
+    rr_depth: optional bounce index to start Russian roulette (an opt-in
+    unbiased estimator change — the reference always runs to the cap).
     """
     thr = jnp.ones_like(o)
     rad = jnp.zeros_like(o)
@@ -127,7 +145,7 @@ def trace(scene: SceneTables, o, d, time, key, max_depth: int = 50,
             o, d, thr, rad, alive = carry
             o, d, thr, rad, alive = _bounce(scene, pack, key, max_depth, b,
                                             o, d, time, thr, rad, alive,
-                                            bvh=bvh)
+                                            bvh=bvh, rr_depth=rr_depth)
             return (o, d, thr, rad, alive), None
 
         body = jax.checkpoint(body)  # O(1) residual memory per bounce
@@ -142,7 +160,8 @@ def trace(scene: SceneTables, o, d, time, key, max_depth: int = 50,
     def body(carry):
         b, o, d, thr, rad, alive = carry
         o, d, thr, rad, alive = _bounce(scene, pack, key, max_depth, b,
-                                        o, d, time, thr, rad, alive, bvh=bvh)
+                                        o, d, time, thr, rad, alive, bvh=bvh,
+                                        rr_depth=rr_depth)
         return b + 1, o, d, thr, rad, alive
 
     _, _, _, _, rad, _ = jax.lax.while_loop(

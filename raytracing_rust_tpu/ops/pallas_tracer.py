@@ -25,9 +25,10 @@ Coverage: sphere / moving-sphere / rect primitives, instance transforms
 (pre-hoisted into world space by `pack_prims`), lambertian / metal /
 dielectric / diffuse-light materials, solid + checker textures, black / sky
 backgrounds — i.e. the reference scenes cornell_box, two_spheres,
-random_spheres (the BASELINE.json headline config included). Scenes with
-Perlin/image textures or participating media fall back to the XLA tier
-(`render(engine='xla')`), which covers everything.
+random_spheres (the BASELINE.json headline config included). Constant-density media
+(ConstantMedium, analytic sphere/box boundaries with hoisted transforms)
+run in-kernel too. Scenes with Perlin/image textures fall back to the XLA
+tier (`render(engine='xla')`), which covers everything.
 
 Semantics match the reference math exactly like the XLA tier does
 (src/sphere.rs:37-77, src/rect.rs:39-69, src/material.rs:35-131,
@@ -293,7 +294,7 @@ def _dot3(ax, ay, az, bx, by, bz):
 
 
 def _make_kernel(kinds, rect_groups, n_dyn, med_kinds, flags, background,
-                 nx, ny):
+                 nx, ny, rr_depth=None):
     """Build the megakernel body for a static scene structure.
 
     spp / max_depth arrive as runtime scalars (params_ref = [seed, spp,
@@ -338,107 +339,187 @@ def _make_kernel(kinds, rect_groups, n_dyn, med_kinds, flags, background,
         # radiance and immediately regenerates the next camera ray. Every
         # iteration runs at ~full occupancy until the whole tile's spp
         # budget drains; only the final tail is divergent.
-        if True:
-            def step(carry):
-                (ox, oy, oz, dx, dy, dz, time, thr_r, thr_g, thr_b,
-                 rad_r, rad_g, rad_b, alive, bcnt, scnt,
-                 acc_r, acc_g, acc_b) = carry
+        def step(carry):
+            (ox, oy, oz, dx, dy, dz, time, thr_r, thr_g, thr_b,
+             rad_r, rad_g, rad_b, alive, bcnt, scnt,
+             acc_r, acc_g, acc_b) = carry
 
-                # -- regenerate dead lanes that still owe samples
-                # (reference src/camera.rs:53-67 + jitter tests/test.rs:
-                # 66-68) --
-                regen = (alive == f(0.0)) & (scnt < spp_v)
-                u0, u1 = _uniform((SUB, LANES)), _uniform((SUB, LANES))
-                s = (icol + u0) * f(1.0 / nx)
-                t = (jflip + u1) * f(1.0 / ny)
-                ud0, ud1 = _uniform((SUB, LANES)), _uniform((SUB, LANES))
-                rdr = jnp.sqrt(ud0)
-                phi = f(2.0 * math.pi) * ud1
-                rdx = lens_r * rdr * jnp.cos(phi)
-                rdy = lens_r * rdr * jnp.sin(phi)
-                cox = ox0 + rdx * cux + rdy * cvx
-                coy = oy0 + rdx * cuy + rdy * cvy
-                coz = oz0 + rdx * cuz + rdy * cvz
-                ox = jnp.where(regen, cox, ox)
-                oy = jnp.where(regen, coy, oy)
-                oz = jnp.where(regen, coz, oz)
-                dx = jnp.where(regen, llx + s * hx + t * vx - cox, dx)
-                dy = jnp.where(regen, lly + s * hy + t * vy - coy, dy)
-                dz = jnp.where(regen, llz + s * hz + t * vz - coz, dz)
-                time = jnp.where(regen,
-                                 t0c + _uniform((SUB, LANES)) * dtc, time)
-                one = f(1.0)
-                thr_r = jnp.where(regen, one, thr_r)
-                thr_g = jnp.where(regen, one, thr_g)
-                thr_b = jnp.where(regen, one, thr_b)
-                rad_r = jnp.where(regen, f(0.0), rad_r)
-                rad_g = jnp.where(regen, f(0.0), rad_g)
-                rad_b = jnp.where(regen, f(0.0), rad_b)
-                bcnt = jnp.where(regen, f(0.0), bcnt)
-                alive = jnp.where(regen, one, alive)
+            # -- regenerate dead lanes that still owe samples
+            # (reference src/camera.rs:53-67 + jitter tests/test.rs:
+            # 66-68) --
+            regen = (alive == f(0.0)) & (scnt < spp_v)
+            u0, u1 = _uniform((SUB, LANES)), _uniform((SUB, LANES))
+            s = (icol + u0) * f(1.0 / nx)
+            t = (jflip + u1) * f(1.0 / ny)
+            ud0, ud1 = _uniform((SUB, LANES)), _uniform((SUB, LANES))
+            rdr = jnp.sqrt(ud0)
+            phi = f(2.0 * math.pi) * ud1
+            rdx = lens_r * rdr * jnp.cos(phi)
+            rdy = lens_r * rdr * jnp.sin(phi)
+            cox = ox0 + rdx * cux + rdy * cvx
+            coy = oy0 + rdx * cuy + rdy * cvy
+            coz = oz0 + rdx * cuz + rdy * cvz
+            ox = jnp.where(regen, cox, ox)
+            oy = jnp.where(regen, coy, oy)
+            oz = jnp.where(regen, coz, oz)
+            dx = jnp.where(regen, llx + s * hx + t * vx - cox, dx)
+            dy = jnp.where(regen, lly + s * hy + t * vy - coy, dy)
+            dz = jnp.where(regen, llz + s * hz + t * vz - coz, dz)
+            time = jnp.where(regen,
+                             t0c + _uniform((SUB, LANES)) * dtc, time)
+            one = f(1.0)
+            thr_r = jnp.where(regen, one, thr_r)
+            thr_g = jnp.where(regen, one, thr_g)
+            thr_b = jnp.where(regen, one, thr_b)
+            rad_r = jnp.where(regen, f(0.0), rad_r)
+            rad_g = jnp.where(regen, f(0.0), rad_g)
+            rad_b = jnp.where(regen, f(0.0), rad_b)
+            bcnt = jnp.where(regen, f(0.0), bcnt)
+            alive = jnp.where(regen, one, alive)
 
-                # ---- closest hit: unrolled prim loop over SMEM scalars ----
-                t_best = jnp.full((SUB, LANES), f(BIG))
-                nx_b = ny_b = nz_b = jnp.zeros((SUB, LANES), f)
-                mat_b = par_b = jnp.zeros((SUB, LANES), f)
-                emr = emg = emb = jnp.zeros((SUB, LANES), f)
-                alr = alg = alb_ = jnp.zeros((SUB, LANES), f)
+            # ---- closest hit: unrolled prim loop over SMEM scalars ----
+            t_best = jnp.full((SUB, LANES), f(BIG))
+            nx_b = ny_b = nz_b = jnp.zeros((SUB, LANES), f)
+            mat_b = par_b = jnp.zeros((SUB, LANES), f)
+            emr = emg = emb = jnp.zeros((SUB, LANES), f)
+            alr = alg = alb_ = jnp.zeros((SUB, LANES), f)
+            if has_checker:
+                aor = aog = aob = chk = jnp.zeros((SUB, LANES), f)
+
+            a_dd = _dot3(dx, dy, dz, dx, dy, dz)
+            inv_a = f(1.0) / a_dd
+
+            def select(r, better, t_p, nxx, nyy, nzz, st):
+                (t_best, nx_b, ny_b, nz_b, mat_b, par_b,
+                 emr, emg, emb, alr, alg, alb_) = st[:12]
+                flip = r(R_FLIP)
+                t_best = jnp.where(better, t_p, t_best)
+                nx_b = jnp.where(better, nxx * flip, nx_b)
+                ny_b = jnp.where(better, nyy * flip, ny_b)
+                nz_b = jnp.where(better, nzz * flip, nz_b)
+                mat_b = jnp.where(better, r(R_MAT), mat_b)
+                if has_metal or has_diel:
+                    par_b = jnp.where(better, r(R_PARAM), par_b)
+                emr = jnp.where(better, r(R_EMIT), emr)
+                emg = jnp.where(better, r(R_EMIT + 1), emg)
+                emb = jnp.where(better, r(R_EMIT + 2), emb)
+                alr = jnp.where(better, r(R_ALB_EVEN), alr)
+                alg = jnp.where(better, r(R_ALB_EVEN + 1), alg)
+                alb_ = jnp.where(better, r(R_ALB_EVEN + 2), alb_)
+                out = [t_best, nx_b, ny_b, nz_b, mat_b, par_b,
+                       emr, emg, emb, alr, alg, alb_]
                 if has_checker:
-                    aor = aog = aob = chk = jnp.zeros((SUB, LANES), f)
+                    aor, aog, aob, chk = st[12:]
+                    out += [jnp.where(better, r(R_ALB_ODD), aor),
+                            jnp.where(better, r(R_ALB_ODD + 1), aog),
+                            jnp.where(better, r(R_ALB_ODD + 2), aob),
+                            jnp.where(better, r(R_CHECKER), chk)]
+                return out
 
-                a_dd = _dot3(dx, dy, dz, dx, dy, dz)
-                inv_a = f(1.0) / a_dd
+            st = [t_best, nx_b, ny_b, nz_b, mat_b, par_b,
+                  emr, emg, emb, alr, alg, alb_]
+            if has_checker:
+                st += [aor, aog, aob, chk]
 
-                def select(r, better, t_p, nxx, nyy, nzz, st):
-                    (t_best, nx_b, ny_b, nz_b, mat_b, par_b,
-                     emr, emg, emb, alr, alg, alb_) = st[:12]
-                    flip = r(R_FLIP)
-                    t_best = jnp.where(better, t_p, t_best)
-                    nx_b = jnp.where(better, nxx * flip, nx_b)
-                    ny_b = jnp.where(better, nyy * flip, ny_b)
-                    nz_b = jnp.where(better, nzz * flip, nz_b)
-                    mat_b = jnp.where(better, r(R_MAT), mat_b)
-                    if has_metal or has_diel:
-                        par_b = jnp.where(better, r(R_PARAM), par_b)
-                    emr = jnp.where(better, r(R_EMIT), emr)
-                    emg = jnp.where(better, r(R_EMIT + 1), emg)
-                    emb = jnp.where(better, r(R_EMIT + 2), emb)
-                    alr = jnp.where(better, r(R_ALB_EVEN), alr)
-                    alg = jnp.where(better, r(R_ALB_EVEN + 1), alg)
-                    alb_ = jnp.where(better, r(R_ALB_EVEN + 2), alb_)
-                    out = [t_best, nx_b, ny_b, nz_b, mat_b, par_b,
-                           emr, emg, emb, alr, alg, alb_]
-                    if has_checker:
-                        aor, aog, aob, chk = st[12:]
-                        out += [jnp.where(better, r(R_ALB_ODD), aor),
-                                jnp.where(better, r(R_ALB_ODD + 1), aog),
-                                jnp.where(better, r(R_ALB_ODD + 2), aob),
-                                jnp.where(better, r(R_CHECKER), chk)]
-                    return out
+            # spheres / moving spheres (reference src/sphere.rs:37-77,
+            # :115-118)
+            for p, kind in enumerate(kinds):
+                if kind == "rect":
+                    continue
 
-                st = [t_best, nx_b, ny_b, nz_b, mat_b, par_b,
-                      emr, emg, emb, alr, alg, alb_]
-                if has_checker:
-                    st += [aor, aog, aob, chk]
+                def r(i, p=p):
+                    return rec_ref[p, i]
 
-                # spheres / moving spheres (reference src/sphere.rs:37-77,
-                # :115-118)
-                for p, kind in enumerate(kinds):
-                    if kind == "rect":
-                        continue
+                if kind == "moving":
+                    frac = (time - r(R_T0)) * r(R_INV_DT)
+                    cx = r(R_C0) + frac * r(R_DC)
+                    cy = r(R_C0 + 1) + frac * r(R_DC + 1)
+                    cz = r(R_C0 + 2) + frac * r(R_DC + 2)
+                else:
+                    cx, cy, cz = r(R_C0), r(R_C0 + 1), r(R_C0 + 2)
+                ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+                t_best = st[0]
+                bq = _dot3(ocx, ocy, ocz, dx, dy, dz)
+                cq = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) - r(R_R2)
+                disc = bq * bq - a_dd * cq
+                pos = disc > f(0.0)
+                sq = jnp.sqrt(jnp.where(pos, disc, f(1.0)))
+                t_near = (-bq - sq) * inv_a
+                t_far = (-bq + sq) * inv_a
+                near_ok = pos & (t_near > f(T_MIN)) & (t_near < t_best)
+                far_ok = pos & (t_far > f(T_MIN)) & (t_far < t_best)
+                t_p = jnp.where(near_ok, t_near,
+                                jnp.where(far_ok, t_far, f(BIG)))
+                better = t_p < t_best
+                inv_r = f(1.0) / r(R_RADIUS)
+                nxx = (ocx + t_p * dx) * inv_r
+                nyy = (ocy + t_p * dy) * inv_r
+                nzz = (ocz + t_p * dz) * inv_r
+                st = select(r, better, t_p, nxx, nyy, nzz, st)
 
+            # rects, grouped by world frame: the six ray·frame dot
+            # products amortize over every rect in the frame
+            # (reference src/rect.rs:39-69; x = (o+td)·an expands to
+            # o·an + t·(d·an))
+            for group in rect_groups:
+                def r0(i, p=group[0]):
+                    return rec_ref[p, i]
+
+                knx, kny, knz = r0(R_KN), r0(R_KN + 1), r0(R_KN + 2)
+                d_kn = _dot3(dx, dy, dz, knx, kny, knz)
+                o_kn = _dot3(ox, oy, oz, knx, kny, knz)
+                nonpar = d_kn != f(0.0)
+                inv_kn = f(1.0) / jnp.where(nonpar, d_kn, f(1.0))
+                o_an = _dot3(ox, oy, oz, r0(R_AN), r0(R_AN + 1),
+                             r0(R_AN + 2))
+                d_an = _dot3(dx, dy, dz, r0(R_AN), r0(R_AN + 1),
+                             r0(R_AN + 2))
+                o_bn = _dot3(ox, oy, oz, r0(R_BN), r0(R_BN + 1),
+                             r0(R_BN + 2))
+                d_bn = _dot3(dx, dy, dz, r0(R_BN), r0(R_BN + 1),
+                             r0(R_BN + 2))
+                nxx = jnp.full((SUB, LANES), knx)
+                nyy = jnp.full((SUB, LANES), kny)
+                nzz = jnp.full((SUB, LANES), knz)
+
+                for p in group:
                     def r(i, p=p):
                         return rec_ref[p, i]
 
-                    if kind == "moving":
-                        frac = (time - r(R_T0)) * r(R_INV_DT)
-                        cx = r(R_C0) + frac * r(R_DC)
-                        cy = r(R_C0 + 1) + frac * r(R_DC + 1)
-                        cz = r(R_C0 + 2) + frac * r(R_DC + 2)
-                    else:
-                        cx, cy, cz = r(R_C0), r(R_C0 + 1), r(R_C0 + 2)
-                    ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
                     t_best = st[0]
+                    t_p = (r(R_KOFF) - o_kn) * inv_kn
+                    xa = o_an + t_p * d_an - r(R_AOFF)
+                    yb = o_bn + t_p * d_bn - r(R_BOFF)
+                    ok = (nonpar & (t_p > f(T_MIN)) & (t_p < t_best)
+                          & (xa >= r(R_A0)) & (xa <= r(R_A1))
+                          & (yb >= r(R_B0)) & (yb <= r(R_B1)))
+                    t_p = jnp.where(ok, t_p, f(BIG))
+                    st = select(r, ok, t_p, nxx, nyy, nzz, st)
+
+            (t_best, nx_b, ny_b, nz_b, mat_b, par_b,
+             emr, emg, emb, alr, alg, alb_) = st[:12]
+            if has_checker:
+                aor, aog, aob, chk = st[12:]
+
+            if n_dyn:
+                # ---- dynamic sphere loop: scenes beyond the unroll
+                # budget (e.g. random_spheres' 441 spheres) iterate an
+                # SMEM table with runtime-indexed scalar reads; the
+                # moving-center form covers static spheres (dc=0,
+                # inv_dt=0 ⇒ frac·dc = 0) ----
+                def dyn_body(p, st):
+                    (t_best, nx_b, ny_b, nz_b, mat_b, par_b,
+                     emr, emg, emb, alr, alg, alb_,
+                     aor, aog, aob, chk) = st
+
+                    def r(i):
+                        return dyn_ref[p, i]
+
+                    frac = (time - r(R_T0)) * r(R_INV_DT)
+                    cx = r(R_C0) + frac * r(R_DC)
+                    cy = r(R_C0 + 1) + frac * r(R_DC + 1)
+                    cz = r(R_C0 + 2) + frac * r(R_DC + 2)
+                    ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
                     bq = _dot3(ocx, ocy, ocz, dx, dy, dz)
                     cq = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) - r(R_R2)
                     disc = bq * bq - a_dd * cq
@@ -446,376 +527,295 @@ def _make_kernel(kinds, rect_groups, n_dyn, med_kinds, flags, background,
                     sq = jnp.sqrt(jnp.where(pos, disc, f(1.0)))
                     t_near = (-bq - sq) * inv_a
                     t_far = (-bq + sq) * inv_a
-                    near_ok = pos & (t_near > f(T_MIN)) & (t_near < t_best)
+                    near_ok = (pos & (t_near > f(T_MIN))
+                               & (t_near < t_best))
                     far_ok = pos & (t_far > f(T_MIN)) & (t_far < t_best)
                     t_p = jnp.where(near_ok, t_near,
                                     jnp.where(far_ok, t_far, f(BIG)))
                     better = t_p < t_best
                     inv_r = f(1.0) / r(R_RADIUS)
-                    nxx = (ocx + t_p * dx) * inv_r
-                    nyy = (ocy + t_p * dy) * inv_r
-                    nzz = (ocz + t_p * dz) * inv_r
-                    st = select(r, better, t_p, nxx, nyy, nzz, st)
+                    flip = r(R_FLIP)
+                    nxx = (ocx + t_p * dx) * inv_r * flip
+                    nyy = (ocy + t_p * dy) * inv_r * flip
+                    nzz = (ocz + t_p * dz) * inv_r * flip
 
-                # rects, grouped by world frame: the six ray·frame dot
-                # products amortize over every rect in the frame
-                # (reference src/rect.rs:39-69; x = (o+td)·an expands to
-                # o·an + t·(d·an))
-                for group in rect_groups:
-                    def r0(i, p=group[0]):
-                        return rec_ref[p, i]
+                    t_best = jnp.where(better, t_p, t_best)
+                    nx_b = jnp.where(better, nxx, nx_b)
+                    ny_b = jnp.where(better, nyy, ny_b)
+                    nz_b = jnp.where(better, nzz, nz_b)
+                    mat_b = jnp.where(better, r(R_MAT), mat_b)
+                    par_b = jnp.where(better, r(R_PARAM), par_b)
+                    emr = jnp.where(better, r(R_EMIT), emr)
+                    emg = jnp.where(better, r(R_EMIT + 1), emg)
+                    emb = jnp.where(better, r(R_EMIT + 2), emb)
+                    alr = jnp.where(better, r(R_ALB_EVEN), alr)
+                    alg = jnp.where(better, r(R_ALB_EVEN + 1), alg)
+                    alb_ = jnp.where(better, r(R_ALB_EVEN + 2), alb_)
+                    aor = jnp.where(better, r(R_ALB_ODD), aor)
+                    aog = jnp.where(better, r(R_ALB_ODD + 1), aog)
+                    aob = jnp.where(better, r(R_ALB_ODD + 2), aob)
+                    chk = jnp.where(better, r(R_CHECKER), chk)
+                    return (t_best, nx_b, ny_b, nz_b, mat_b, par_b,
+                            emr, emg, emb, alr, alg, alb_,
+                            aor, aog, aob, chk)
 
-                    knx, kny, knz = r0(R_KN), r0(R_KN + 1), r0(R_KN + 2)
-                    d_kn = _dot3(dx, dy, dz, knx, kny, knz)
-                    o_kn = _dot3(ox, oy, oz, knx, kny, knz)
-                    nonpar = d_kn != f(0.0)
-                    inv_kn = f(1.0) / jnp.where(nonpar, d_kn, f(1.0))
-                    o_an = _dot3(ox, oy, oz, r0(R_AN), r0(R_AN + 1),
-                                 r0(R_AN + 2))
-                    d_an = _dot3(dx, dy, dz, r0(R_AN), r0(R_AN + 1),
-                                 r0(R_AN + 2))
-                    o_bn = _dot3(ox, oy, oz, r0(R_BN), r0(R_BN + 1),
-                                 r0(R_BN + 2))
-                    d_bn = _dot3(dx, dy, dz, r0(R_BN), r0(R_BN + 1),
-                                 r0(R_BN + 2))
-                    nxx = jnp.full((SUB, LANES), knx)
-                    nyy = jnp.full((SUB, LANES), kny)
-                    nzz = jnp.full((SUB, LANES), knz)
-
-                    for p in group:
-                        def r(i, p=p):
-                            return rec_ref[p, i]
-
-                        t_best = st[0]
-                        t_p = (r(R_KOFF) - o_kn) * inv_kn
-                        xa = o_an + t_p * d_an - r(R_AOFF)
-                        yb = o_bn + t_p * d_bn - r(R_BOFF)
-                        ok = (nonpar & (t_p > f(T_MIN)) & (t_p < t_best)
-                              & (xa >= r(R_A0)) & (xa <= r(R_A1))
-                              & (yb >= r(R_B0)) & (yb <= r(R_B1)))
-                        t_p = jnp.where(ok, t_p, f(BIG))
-                        st = select(r, ok, t_p, nxx, nyy, nzz, st)
-
+                if not has_checker:
+                    aor = aog = aob = chk = jnp.zeros((SUB, LANES), f)
                 (t_best, nx_b, ny_b, nz_b, mat_b, par_b,
-                 emr, emg, emb, alr, alg, alb_) = st[:12]
-                if has_checker:
-                    aor, aog, aob, chk = st[12:]
-
-                if n_dyn:
-                    # ---- dynamic sphere loop: scenes beyond the unroll
-                    # budget (e.g. random_spheres' 441 spheres) iterate an
-                    # SMEM table with runtime-indexed scalar reads; the
-                    # moving-center form covers static spheres (dc=0,
-                    # inv_dt=0 ⇒ frac·dc = 0) ----
-                    def dyn_body(p, st):
-                        (t_best, nx_b, ny_b, nz_b, mat_b, par_b,
-                         emr, emg, emb, alr, alg, alb_,
-                         aor, aog, aob, chk) = st
-
-                        def r(i):
-                            return dyn_ref[p, i]
-
-                        frac = (time - r(R_T0)) * r(R_INV_DT)
-                        cx = r(R_C0) + frac * r(R_DC)
-                        cy = r(R_C0 + 1) + frac * r(R_DC + 1)
-                        cz = r(R_C0 + 2) + frac * r(R_DC + 2)
-                        ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
-                        bq = _dot3(ocx, ocy, ocz, dx, dy, dz)
-                        cq = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) - r(R_R2)
-                        disc = bq * bq - a_dd * cq
-                        pos = disc > f(0.0)
-                        sq = jnp.sqrt(jnp.where(pos, disc, f(1.0)))
-                        t_near = (-bq - sq) * inv_a
-                        t_far = (-bq + sq) * inv_a
-                        near_ok = (pos & (t_near > f(T_MIN))
-                                   & (t_near < t_best))
-                        far_ok = pos & (t_far > f(T_MIN)) & (t_far < t_best)
-                        t_p = jnp.where(near_ok, t_near,
-                                        jnp.where(far_ok, t_far, f(BIG)))
-                        better = t_p < t_best
-                        inv_r = f(1.0) / r(R_RADIUS)
-                        flip = r(R_FLIP)
-                        nxx = (ocx + t_p * dx) * inv_r * flip
-                        nyy = (ocy + t_p * dy) * inv_r * flip
-                        nzz = (ocz + t_p * dz) * inv_r * flip
-
-                        t_best = jnp.where(better, t_p, t_best)
-                        nx_b = jnp.where(better, nxx, nx_b)
-                        ny_b = jnp.where(better, nyy, ny_b)
-                        nz_b = jnp.where(better, nzz, nz_b)
-                        mat_b = jnp.where(better, r(R_MAT), mat_b)
-                        par_b = jnp.where(better, r(R_PARAM), par_b)
-                        emr = jnp.where(better, r(R_EMIT), emr)
-                        emg = jnp.where(better, r(R_EMIT + 1), emg)
-                        emb = jnp.where(better, r(R_EMIT + 2), emb)
-                        alr = jnp.where(better, r(R_ALB_EVEN), alr)
-                        alg = jnp.where(better, r(R_ALB_EVEN + 1), alg)
-                        alb_ = jnp.where(better, r(R_ALB_EVEN + 2), alb_)
-                        aor = jnp.where(better, r(R_ALB_ODD), aor)
-                        aog = jnp.where(better, r(R_ALB_ODD + 1), aog)
-                        aob = jnp.where(better, r(R_ALB_ODD + 2), aob)
-                        chk = jnp.where(better, r(R_CHECKER), chk)
-                        return (t_best, nx_b, ny_b, nz_b, mat_b, par_b,
-                                emr, emg, emb, alr, alg, alb_,
-                                aor, aog, aob, chk)
-
-                    if not has_checker:
-                        aor = aog = aob = chk = jnp.zeros((SUB, LANES), f)
+                 emr, emg, emb, alr, alg, alb_,
+                 aor, aog, aob, chk) = jax.lax.fori_loop(
+                    0, n_dyn, dyn_body,
                     (t_best, nx_b, ny_b, nz_b, mat_b, par_b,
                      emr, emg, emb, alr, alg, alb_,
-                     aor, aog, aob, chk) = jax.lax.fori_loop(
-                        0, n_dyn, dyn_body,
-                        (t_best, nx_b, ny_b, nz_b, mat_b, par_b,
-                         emr, emg, emb, alr, alg, alb_,
-                         aor, aog, aob, chk))
+                     aor, aog, aob, chk))
 
-                if has_checker:
-                    # checker sign at the winning surface hit point
-                    # (reference src/texture.rs:40-47)
-                    px = ox + t_best * dx
-                    py = oy + t_best * dy
-                    pz = oz + t_best * dz
-                    sines = (jnp.sin(f(10.0) * px) * jnp.sin(f(10.0) * py)
-                             * jnp.sin(f(10.0) * pz))
-                    use_odd = ((sines < f(0.0)).astype(f) * chk) > f(0.0)
-                    alr = jnp.where(use_odd, aor, alr)
-                    alg = jnp.where(use_odd, aog, alg)
-                    alb_ = jnp.where(use_odd, aob, alb_)
-
-                if med_kinds:
-                    # ---- ConstantMedium events (reference src/medium.rs:
-                    # 28-56): analytic entry/exit on the infinite line,
-                    # clamped to [T_MIN, closest surface], exponential
-                    # free flight −(1/ρ)·ln U ----
-                    d_len = jnp.sqrt(a_dd)
-                    inv_dlen = f(1.0) / d_len
-                    t_med = jnp.full((SUB, LANES), f(BIG))
-                    mar = mag = mab = jnp.zeros((SUB, LANES), f)
-                    for i, mk in enumerate(med_kinds):
-                        def mr(k):
-                            return med_ref[i, k]
-
-                        # world→object (reference src/traslate.rs:18 +
-                        # src/rotate.rs:87-97, hoisted into R₋, offset)
-                        wx = ox - mr(M_OFF)
-                        wy = oy - mr(M_OFF + 1)
-                        wz = oz - mr(M_OFF + 2)
-                        o0x = mr(M_ROT) * wx + mr(M_ROT + 1) * wy + mr(M_ROT + 2) * wz
-                        o0y = mr(M_ROT + 3) * wx + mr(M_ROT + 4) * wy + mr(M_ROT + 5) * wz
-                        o0z = mr(M_ROT + 6) * wx + mr(M_ROT + 7) * wy + mr(M_ROT + 8) * wz
-                        d0x = mr(M_ROT) * dx + mr(M_ROT + 1) * dy + mr(M_ROT + 2) * dz
-                        d0y = mr(M_ROT + 3) * dx + mr(M_ROT + 4) * dy + mr(M_ROT + 5) * dz
-                        d0z = mr(M_ROT + 6) * dx + mr(M_ROT + 7) * dy + mr(M_ROT + 8) * dz
-
-                        if mk == "msphere":
-                            ocx = o0x - mr(M_DATA)
-                            ocy = o0y - mr(M_DATA + 1)
-                            ocz = o0z - mr(M_DATA + 2)
-                            bq = _dot3(ocx, ocy, ocz, d0x, d0y, d0z)
-                            cq = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) \
-                                - mr(M_DATA + 3)
-                            disc = bq * bq - a_dd * cq
-                            mok = disc > f(0.0)
-                            sq = jnp.sqrt(jnp.where(mok, disc, f(1.0)))
-                            enter = (-bq - sq) * inv_a
-                            exit_ = (-bq + sq) * inv_a
-                        else:
-                            tiny = f(1e-30)
-                            sx = jnp.where(jnp.abs(d0x) < tiny, tiny, d0x)
-                            sy = jnp.where(jnp.abs(d0y) < tiny, tiny, d0y)
-                            sz = jnp.where(jnp.abs(d0z) < tiny, tiny, d0z)
-                            ax0 = (mr(M_DATA) - o0x) / sx
-                            ax1 = (mr(M_DATA + 3) - o0x) / sx
-                            ay0 = (mr(M_DATA + 1) - o0y) / sy
-                            ay1 = (mr(M_DATA + 4) - o0y) / sy
-                            az0 = (mr(M_DATA + 2) - o0z) / sz
-                            az1 = (mr(M_DATA + 5) - o0z) / sz
-                            enter = jnp.maximum(
-                                jnp.maximum(jnp.minimum(ax0, ax1),
-                                            jnp.minimum(ay0, ay1)),
-                                jnp.minimum(az0, az1))
-                            exit_ = jnp.minimum(
-                                jnp.minimum(jnp.maximum(ax0, ax1),
-                                            jnp.maximum(ay0, ay1)),
-                                jnp.maximum(az0, az1))
-                            mok = enter < exit_
-
-                        enter = jnp.maximum(enter, f(T_MIN))
-                        exit_ = jnp.minimum(exit_, t_best)
-                        mok = mok & (enter < exit_)
-                        u_m = _uniform((SUB, LANES))
-                        flight = -mr(M_INV_RHO) * jnp.log(
-                            jnp.maximum(u_m, f(1e-37)))
-                        dist_inside = (exit_ - enter) * d_len
-                        scat = (mok.astype(f)
-                                * (flight < dist_inside).astype(f)) > f(0.0)
-                        t_i = jnp.where(scat, enter + flight * inv_dlen,
-                                        f(BIG))
-                        mbetter = t_i < t_med
-                        t_med = jnp.where(mbetter, t_i, t_med)
-                        mar = jnp.where(mbetter, mr(M_ALB), mar)
-                        mag = jnp.where(mbetter, mr(M_ALB + 1), mag)
-                        mab = jnp.where(mbetter, mr(M_ALB + 2), mab)
-
-                    med_event = t_med < t_best
-                    t_best = jnp.where(med_event, t_med, t_best)
-                    mat_b = jnp.where(med_event, f(MAT_ISOTROPIC), mat_b)
-                    alr = jnp.where(med_event, mar, alr)
-                    alg = jnp.where(med_event, mag, alg)
-                    alb_ = jnp.where(med_event, mab, alb_)
-                    emr = jnp.where(med_event, f(0.0), emr)
-                    emg = jnp.where(med_event, f(0.0), emg)
-                    emb = jnp.where(med_event, f(0.0), emb)
-
-                hit = (t_best < f(BIG)).astype(f) * alive
-
-                # hit point (surface or medium event)
+            if has_checker:
+                # checker sign at the winning surface hit point
+                # (reference src/texture.rs:40-47)
                 px = ox + t_best * dx
                 py = oy + t_best * dy
                 pz = oz + t_best * dz
+                sines = (jnp.sin(f(10.0) * px) * jnp.sin(f(10.0) * py)
+                         * jnp.sin(f(10.0) * pz))
+                use_odd = ((sines < f(0.0)).astype(f) * chk) > f(0.0)
+                alr = jnp.where(use_odd, aor, alr)
+                alg = jnp.where(use_odd, aog, alg)
+                alb_ = jnp.where(use_odd, aob, alb_)
 
-                # ---- emitted + background (reference src/color.rs:8-22) ----
-                rad_r = rad_r + hit * thr_r * emr
-                rad_g = rad_g + hit * thr_g * emg
-                rad_b = rad_b + hit * thr_b * emb
-                miss = alive * (f(1.0) - (t_best < f(BIG)).astype(f))
-                if background == BG_SKY:
-                    inv_len = jax.lax.rsqrt(a_dd)
-                    ty = f(0.5) * (dy * inv_len + f(1.0))
-                    rad_r = rad_r + miss * thr_r * (f(1.0) - f(0.5) * ty)
-                    rad_g = rad_g + miss * thr_g * (f(1.0) - f(0.3) * ty)
-                    rad_b = rad_b + miss * thr_b * f(1.0)
-                # BG_BLACK adds nothing
+            if med_kinds:
+                # ---- ConstantMedium events (reference src/medium.rs:
+                # 28-56): analytic entry/exit on the infinite line,
+                # clamped to [T_MIN, closest surface], exponential
+                # free flight −(1/ρ)·ln U ----
+                d_len = jnp.sqrt(a_dd)
+                inv_dlen = f(1.0) / d_len
+                t_med = jnp.full((SUB, LANES), f(BIG))
+                mar = mag = mab = jnp.zeros((SUB, LANES), f)
+                for i, mk in enumerate(med_kinds):
+                    def mr(k):
+                        return med_ref[i, k]
 
-                # ---- scatter (reference src/material.rs) ----
-                su0 = _uniform((SUB, LANES))
-                su1 = _uniform((SUB, LANES))
-                su2 = _uniform((SUB, LANES))
-                if has_diel:
-                    u_branch = _uniform((SUB, LANES))
-                cos_t = f(2.0) * su0 - f(1.0)
-                sin_t = jnp.sqrt(jnp.maximum(f(0.0), f(1.0) - cos_t * cos_t))
-                sphi = f(2.0 * math.pi) * su1
-                # cbrt has no Mosaic lowering; exp(log/3) (su2 > 0 by
-                # construction: the uniform is in [2^-24, 1) after the +1 ulp)
-                srad = jnp.exp(jnp.log(jnp.maximum(su2, f(1e-12)))
-                               * f(1.0 / 3.0))
-                spx = srad * sin_t * jnp.cos(sphi)
-                spy = srad * sin_t * jnp.sin(sphi)
-                spz = srad * cos_t
+                    # world→object (reference src/traslate.rs:18 +
+                    # src/rotate.rs:87-97, hoisted into R₋, offset)
+                    wx = ox - mr(M_OFF)
+                    wy = oy - mr(M_OFF + 1)
+                    wz = oz - mr(M_OFF + 2)
+                    o0x = mr(M_ROT) * wx + mr(M_ROT + 1) * wy + mr(M_ROT + 2) * wz
+                    o0y = mr(M_ROT + 3) * wx + mr(M_ROT + 4) * wy + mr(M_ROT + 5) * wz
+                    o0z = mr(M_ROT + 6) * wx + mr(M_ROT + 7) * wy + mr(M_ROT + 8) * wz
+                    d0x = mr(M_ROT) * dx + mr(M_ROT + 1) * dy + mr(M_ROT + 2) * dz
+                    d0y = mr(M_ROT + 3) * dx + mr(M_ROT + 4) * dy + mr(M_ROT + 5) * dz
+                    d0z = mr(M_ROT + 6) * dx + mr(M_ROT + 7) * dy + mr(M_ROT + 8) * dz
 
-                # lambertian: n + ball sample (src/material.rs:49-53)
-                ndx = nx_b + spx
-                ndy = ny_b + spy
-                ndz = nz_b + spz
-                att_r, att_g, att_b = alr, alg, alb_
-                ok = (mat_b != f(MAT_DIFFUSE_LIGHT)).astype(f)
+                    if mk == "msphere":
+                        ocx = o0x - mr(M_DATA)
+                        ocy = o0y - mr(M_DATA + 1)
+                        ocz = o0z - mr(M_DATA + 2)
+                        bq = _dot3(ocx, ocy, ocz, d0x, d0y, d0z)
+                        cq = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) \
+                            - mr(M_DATA + 3)
+                        disc = bq * bq - a_dd * cq
+                        mok = disc > f(0.0)
+                        sq = jnp.sqrt(jnp.where(mok, disc, f(1.0)))
+                        enter = (-bq - sq) * inv_a
+                        exit_ = (-bq + sq) * inv_a
+                    else:
+                        tiny = f(1e-30)
+                        sx = jnp.where(jnp.abs(d0x) < tiny, tiny, d0x)
+                        sy = jnp.where(jnp.abs(d0y) < tiny, tiny, d0y)
+                        sz = jnp.where(jnp.abs(d0z) < tiny, tiny, d0z)
+                        ax0 = (mr(M_DATA) - o0x) / sx
+                        ax1 = (mr(M_DATA + 3) - o0x) / sx
+                        ay0 = (mr(M_DATA + 1) - o0y) / sy
+                        ay1 = (mr(M_DATA + 4) - o0y) / sy
+                        az0 = (mr(M_DATA + 2) - o0z) / sz
+                        az1 = (mr(M_DATA + 5) - o0z) / sz
+                        enter = jnp.maximum(
+                            jnp.maximum(jnp.minimum(ax0, ax1),
+                                        jnp.minimum(ay0, ay1)),
+                            jnp.minimum(az0, az1))
+                        exit_ = jnp.minimum(
+                            jnp.minimum(jnp.maximum(ax0, ax1),
+                                        jnp.maximum(ay0, ay1)),
+                            jnp.maximum(az0, az1))
+                        mok = enter < exit_
 
-                if med_kinds:
-                    # isotropic phase function: bare ball sample
-                    # (src/material.rs:164-168)
-                    is_iso = mat_b == f(MAT_ISOTROPIC)
-                    ndx = jnp.where(is_iso, spx, ndx)
-                    ndy = jnp.where(is_iso, spy, ndy)
-                    ndz = jnp.where(is_iso, spz, ndz)
+                    enter = jnp.maximum(enter, f(T_MIN))
+                    exit_ = jnp.minimum(exit_, t_best)
+                    mok = mok & (enter < exit_)
+                    u_m = _uniform((SUB, LANES))
+                    flight = -mr(M_INV_RHO) * jnp.log(
+                        jnp.maximum(u_m, f(1e-37)))
+                    dist_inside = (exit_ - enter) * d_len
+                    scat = (mok.astype(f)
+                            * (flight < dist_inside).astype(f)) > f(0.0)
+                    t_i = jnp.where(scat, enter + flight * inv_dlen,
+                                    f(BIG))
+                    mbetter = t_i < t_med
+                    t_med = jnp.where(mbetter, t_i, t_med)
+                    mar = jnp.where(mbetter, mr(M_ALB), mar)
+                    mag = jnp.where(mbetter, mr(M_ALB + 1), mag)
+                    mab = jnp.where(mbetter, mr(M_ALB + 2), mab)
 
-                if has_metal or has_diel:
-                    inv_len = jax.lax.rsqrt(a_dd)
-                    udx, udy, udz = dx * inv_len, dy * inv_len, dz * inv_len
+                med_event = t_med < t_best
+                t_best = jnp.where(med_event, t_med, t_best)
+                mat_b = jnp.where(med_event, f(MAT_ISOTROPIC), mat_b)
+                alr = jnp.where(med_event, mar, alr)
+                alg = jnp.where(med_event, mag, alg)
+                alb_ = jnp.where(med_event, mab, alb_)
+                emr = jnp.where(med_event, f(0.0), emr)
+                emg = jnp.where(med_event, f(0.0), emg)
+                emb = jnp.where(med_event, f(0.0), emb)
 
-                if has_metal:
-                    # reflect(unit(d), n) + fuzz*ball (src/material.rs:76-87)
-                    is_met = mat_b == f(MAT_METAL)
-                    ddn_u = _dot3(udx, udy, udz, nx_b, ny_b, nz_b)
-                    mdx = udx - f(2.0) * ddn_u * nx_b + par_b * spx
-                    mdy = udy - f(2.0) * ddn_u * ny_b + par_b * spy
-                    mdz = udz - f(2.0) * ddn_u * nz_b + par_b * spz
-                    met_ok = _dot3(mdx, mdy, mdz, nx_b, ny_b, nz_b) > f(0.0)
-                    ndx = jnp.where(is_met, mdx, ndx)
-                    ndy = jnp.where(is_met, mdy, ndy)
-                    ndz = jnp.where(is_met, mdz, ndz)
-                    # bool-valued selects lower poorly in Mosaic (i8<->i1
-                    # trunc); keep the masks in f32 arithmetic instead
-                    is_met_f = is_met.astype(f)
-                    ok = (is_met_f * met_ok.astype(f)
-                          + (f(1.0) - is_met_f) * ok)
+            hit = (t_best < f(BIG)).astype(f) * alive
 
-                if has_diel:
-                    # dielectric (src/material.rs:105-126)
-                    is_diel = mat_b == f(MAT_DIELECTRIC)
-                    d_dot_n = _dot3(dx, dy, dz, nx_b, ny_b, nz_b)
-                    d_len = jnp.sqrt(a_dd)
-                    exiting = d_dot_n > f(0.0)
-                    sgn = jnp.where(exiting, f(-1.0), f(1.0))
-                    onx, ony, onz = sgn * nx_b, sgn * ny_b, sgn * nz_b
-                    eta = jnp.where(exiting, par_b, f(1.0) / par_b)
-                    cosine = jnp.where(exiting, par_b * d_dot_n / d_len,
-                                       -d_dot_n / d_len)
-                    dt_u = _dot3(udx, udy, udz, onx, ony, onz)
-                    disc_r = f(1.0) - eta * eta * (f(1.0) - dt_u * dt_u)
-                    can_refract = disc_r > f(0.0)
-                    sq_r = jnp.sqrt(jnp.where(can_refract, disc_r, f(1.0)))
-                    rfx = eta * (udx - onx * dt_u) - onx * sq_r
-                    rfy = eta * (udy - ony * dt_u) - ony * sq_r
-                    rfz = eta * (udz - onz * dt_u) - onz * sq_r
-                    r0 = (f(1.0) - par_b) / (f(1.0) + par_b)
-                    r0 = r0 * r0
-                    one_c = f(1.0) - cosine
-                    one_c2 = one_c * one_c
-                    schlick = r0 + (f(1.0) - r0) * one_c2 * one_c2 * one_c
-                    refl_prob = jnp.where(can_refract, schlick, f(1.0))
-                    take_refr = can_refract & (u_branch >= refl_prob)
-                    ddn = d_dot_n
-                    refx = dx - f(2.0) * ddn * nx_b
-                    refy = dy - f(2.0) * ddn * ny_b
-                    refz = dz - f(2.0) * ddn * nz_b
-                    gdx = jnp.where(take_refr, rfx, refx)
-                    gdy = jnp.where(take_refr, rfy, refy)
-                    gdz = jnp.where(take_refr, rfz, refz)
-                    ndx = jnp.where(is_diel, gdx, ndx)
-                    ndy = jnp.where(is_diel, gdy, ndy)
-                    ndz = jnp.where(is_diel, gdz, ndz)
-                    att_r = jnp.where(is_diel, f(1.0), att_r)
-                    att_g = jnp.where(is_diel, f(1.0), att_g)
-                    att_b = jnp.where(is_diel, f(1.0), att_b)
-                # depth cap: scatter only while depth < 50 (src/color.rs:9)
-                below_cap = (bcnt < depth_v).astype(f)
-                cont = hit * ok * below_cap
+            # hit point (surface or medium event)
+            px = ox + t_best * dx
+            py = oy + t_best * dy
+            pz = oz + t_best * dz
 
-                thr_r = jnp.where(cont > f(0.0), thr_r * att_r, thr_r)
-                thr_g = jnp.where(cont > f(0.0), thr_g * att_g, thr_g)
-                thr_b = jnp.where(cont > f(0.0), thr_b * att_b, thr_b)
-                live = cont > f(0.0)
-                ox = jnp.where(live, px, ox)
-                oy = jnp.where(live, py, oy)
-                oz = jnp.where(live, pz, oz)
-                dx = jnp.where(live, ndx, dx)
-                dy = jnp.where(live, ndy, dy)
-                dz = jnp.where(live, ndz, dz)
-                # -- bank samples whose path just terminated --
-                died = alive * (one - cont)
-                acc_r = acc_r + died * rad_r
-                acc_g = acc_g + died * rad_g
-                acc_b = acc_b + died * rad_b
-                scnt = scnt + died
-                bcnt = bcnt + cont
+            # ---- emitted + background (reference src/color.rs:8-22) ----
+            rad_r = rad_r + hit * thr_r * emr
+            rad_g = rad_g + hit * thr_g * emg
+            rad_b = rad_b + hit * thr_b * emb
+            miss = alive * (f(1.0) - (t_best < f(BIG)).astype(f))
+            if background == BG_SKY:
+                inv_len = jax.lax.rsqrt(a_dd)
+                ty = f(0.5) * (dy * inv_len + f(1.0))
+                rad_r = rad_r + miss * thr_r * (f(1.0) - f(0.5) * ty)
+                rad_g = rad_g + miss * thr_g * (f(1.0) - f(0.3) * ty)
+                rad_b = rad_b + miss * thr_b * f(1.0)
+            # BG_BLACK adds nothing
 
-                return (ox, oy, oz, dx, dy, dz, time,
-                        thr_r, thr_g, thr_b, rad_r, rad_g, rad_b, cont,
-                        bcnt, scnt, acc_r, acc_g, acc_b)
+            # ---- scatter (reference src/material.rs) ----
+            su0 = _uniform((SUB, LANES))
+            su1 = _uniform((SUB, LANES))
+            su2 = _uniform((SUB, LANES))
+            if has_diel:
+                u_branch = _uniform((SUB, LANES))
+            cos_t = f(2.0) * su0 - f(1.0)
+            sin_t = jnp.sqrt(jnp.maximum(f(0.0), f(1.0) - cos_t * cos_t))
+            sphi = f(2.0 * math.pi) * su1
+            # cbrt has no Mosaic lowering; exp(log/3) (su2 > 0 by
+            # construction: the uniform is in [2^-24, 1) after the +1 ulp)
+            srad = jnp.exp(jnp.log(jnp.maximum(su2, f(1e-12)))
+                           * f(1.0 / 3.0))
+            spx = srad * sin_t * jnp.cos(sphi)
+            spy = srad * sin_t * jnp.sin(sphi)
+            spz = srad * cos_t
 
-            def unfinished(carry):
-                alive, scnt = carry[13], carry[15]
-                return jnp.max(jnp.where(alive > f(0.0), f(1.0),
-                                         (scnt < spp_v).astype(f))) > f(0.0)
+            # lambertian: n + ball sample (src/material.rs:49-53)
+            ndx = nx_b + spx
+            ndy = ny_b + spy
+            ndz = nz_b + spz
+            att_r, att_g, att_b = alr, alg, alb_
+            ok = (mat_b != f(MAT_DIFFUSE_LIGHT)).astype(f)
 
-            zero = jnp.zeros((SUB, LANES), f)
-            one_a = jnp.full((SUB, LANES), f(1.0))
-            st = (zero, zero, zero, zero, zero, one_a,  # o, d=(0,0,1) dummy
-                  zero, one_a, one_a, one_a, zero, zero, zero,
-                  zero, zero, zero, zero, zero, zero)
-            st = jax.lax.while_loop(unfinished, step, st)
-            acc_r, acc_g, acc_b = st[16], st[17], st[18]
+            if med_kinds:
+                # isotropic phase function: bare ball sample
+                # (src/material.rs:164-168)
+                is_iso = mat_b == f(MAT_ISOTROPIC)
+                ndx = jnp.where(is_iso, spx, ndx)
+                ndy = jnp.where(is_iso, spy, ndy)
+                ndz = jnp.where(is_iso, spz, ndz)
+
+            if has_metal or has_diel:
+                inv_len = jax.lax.rsqrt(a_dd)
+                udx, udy, udz = dx * inv_len, dy * inv_len, dz * inv_len
+
+            if has_metal:
+                # reflect(unit(d), n) + fuzz*ball (src/material.rs:76-87)
+                is_met = mat_b == f(MAT_METAL)
+                ddn_u = _dot3(udx, udy, udz, nx_b, ny_b, nz_b)
+                mdx = udx - f(2.0) * ddn_u * nx_b + par_b * spx
+                mdy = udy - f(2.0) * ddn_u * ny_b + par_b * spy
+                mdz = udz - f(2.0) * ddn_u * nz_b + par_b * spz
+                met_ok = _dot3(mdx, mdy, mdz, nx_b, ny_b, nz_b) > f(0.0)
+                ndx = jnp.where(is_met, mdx, ndx)
+                ndy = jnp.where(is_met, mdy, ndy)
+                ndz = jnp.where(is_met, mdz, ndz)
+                # bool-valued selects lower poorly in Mosaic (i8<->i1
+                # trunc); keep the masks in f32 arithmetic instead
+                is_met_f = is_met.astype(f)
+                ok = (is_met_f * met_ok.astype(f)
+                      + (f(1.0) - is_met_f) * ok)
+
+            if has_diel:
+                # dielectric (src/material.rs:105-126)
+                is_diel = mat_b == f(MAT_DIELECTRIC)
+                d_dot_n = _dot3(dx, dy, dz, nx_b, ny_b, nz_b)
+                d_len = jnp.sqrt(a_dd)
+                exiting = d_dot_n > f(0.0)
+                sgn = jnp.where(exiting, f(-1.0), f(1.0))
+                onx, ony, onz = sgn * nx_b, sgn * ny_b, sgn * nz_b
+                eta = jnp.where(exiting, par_b, f(1.0) / par_b)
+                cosine = jnp.where(exiting, par_b * d_dot_n / d_len,
+                                   -d_dot_n / d_len)
+                dt_u = _dot3(udx, udy, udz, onx, ony, onz)
+                disc_r = f(1.0) - eta * eta * (f(1.0) - dt_u * dt_u)
+                can_refract = disc_r > f(0.0)
+                sq_r = jnp.sqrt(jnp.where(can_refract, disc_r, f(1.0)))
+                rfx = eta * (udx - onx * dt_u) - onx * sq_r
+                rfy = eta * (udy - ony * dt_u) - ony * sq_r
+                rfz = eta * (udz - onz * dt_u) - onz * sq_r
+                r0 = (f(1.0) - par_b) / (f(1.0) + par_b)
+                r0 = r0 * r0
+                one_c = f(1.0) - cosine
+                one_c2 = one_c * one_c
+                schlick = r0 + (f(1.0) - r0) * one_c2 * one_c2 * one_c
+                refl_prob = jnp.where(can_refract, schlick, f(1.0))
+                take_refr = can_refract & (u_branch >= refl_prob)
+                ddn = d_dot_n
+                refx = dx - f(2.0) * ddn * nx_b
+                refy = dy - f(2.0) * ddn * ny_b
+                refz = dz - f(2.0) * ddn * nz_b
+                gdx = jnp.where(take_refr, rfx, refx)
+                gdy = jnp.where(take_refr, rfy, refy)
+                gdz = jnp.where(take_refr, rfz, refz)
+                ndx = jnp.where(is_diel, gdx, ndx)
+                ndy = jnp.where(is_diel, gdy, ndy)
+                ndz = jnp.where(is_diel, gdz, ndz)
+                att_r = jnp.where(is_diel, f(1.0), att_r)
+                att_g = jnp.where(is_diel, f(1.0), att_g)
+                att_b = jnp.where(is_diel, f(1.0), att_b)
+            # depth cap: scatter only while depth < 50 (src/color.rs:9)
+            below_cap = (bcnt < depth_v).astype(f)
+            cont = hit * ok * below_cap
+
+            thr_r = jnp.where(cont > f(0.0), thr_r * att_r, thr_r)
+            thr_g = jnp.where(cont > f(0.0), thr_g * att_g, thr_g)
+            thr_b = jnp.where(cont > f(0.0), thr_b * att_b, thr_b)
+            live = cont > f(0.0)
+            ox = jnp.where(live, px, ox)
+            oy = jnp.where(live, py, oy)
+            oz = jnp.where(live, pz, oz)
+            dx = jnp.where(live, ndx, dx)
+            dy = jnp.where(live, ndy, dy)
+            dz = jnp.where(live, ndz, dz)
+            # -- bank samples whose path just terminated --
+            died = alive * (one - cont)
+            acc_r = acc_r + died * rad_r
+            acc_g = acc_g + died * rad_g
+            acc_b = acc_b + died * rad_b
+            scnt = scnt + died
+            bcnt = bcnt + cont
+
+            return (ox, oy, oz, dx, dy, dz, time,
+                    thr_r, thr_g, thr_b, rad_r, rad_g, rad_b, cont,
+                    bcnt, scnt, acc_r, acc_g, acc_b)
+
+        def unfinished(carry):
+            alive, scnt = carry[13], carry[15]
+            return jnp.max(jnp.where(alive > f(0.0), f(1.0),
+                                     (scnt < spp_v).astype(f))) > f(0.0)
+
+        zero = jnp.zeros((SUB, LANES), f)
+        one_a = jnp.full((SUB, LANES), f(1.0))
+        st = (zero, zero, zero, zero, zero, one_a,  # o, d=(0,0,1) dummy
+              zero, one_a, one_a, one_a, zero, zero, zero,
+              zero, zero, zero, zero, zero, zero)
+        st = jax.lax.while_loop(unfinished, step, st)
+        acc_r, acc_g, acc_b = st[16], st[17], st[18]
 
         out_ref[0] = acc_r
         out_ref[1] = acc_g
@@ -827,12 +827,12 @@ def _make_kernel(kinds, rect_groups, n_dyn, med_kinds, flags, background,
 @partial(jax.jit,
          static_argnames=("kinds", "rect_groups", "n_dyn", "med_kinds",
                           "flags", "background", "nx", "ny", "grid",
-                          "interpret"))
+                          "interpret", "rr_depth"))
 def _trace_call(rec, dyn_rec, med_rec, cam_rec, params, kinds, rect_groups,
                 n_dyn, med_kinds, flags, background, nx, ny, grid,
-                interpret=False):
+                interpret=False, rr_depth=None):
     kernel = _make_kernel(kinds, rect_groups, n_dyn, med_kinds, flags,
-                          background, nx, ny)
+                          background, nx, ny, rr_depth=rr_depth)
     return pl.pallas_call(
         kernel,
         interpret=interpret,
@@ -853,7 +853,8 @@ def _trace_call(rec, dyn_rec, med_rec, cam_rec, params, kinds, rect_groups,
 def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
                   seed: int = 0, max_depth: int = 50,
                   spp_chunk: int | None = None,
-                  interpret: bool = False) -> np.ndarray:
+                  interpret: bool = False,
+                  rr_depth: int | None = None) -> np.ndarray:
     """Full-image render on the megakernel → float32 [ny, nx, 3] with the
     reference's gamma (sqrt + clamp, tests/test.rs:72-75).
 
@@ -879,7 +880,8 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
                               max_depth], jnp.int32)
         out = _trace_call(rec, dyn_rec, med_rec, cam_rec, params, kinds,
                           rect_groups, n_dyn, med_kinds, flags,
-                          scene.background, nx, ny, grid, interpret)
+                          scene.background, nx, ny, grid, interpret,
+                          rr_depth)
         lanes = np.asarray(out).transpose(1, 2, 0).reshape(-1, 3)
         sums += lanes[:n_pix]
         done += cur

@@ -32,10 +32,11 @@ _CAM_FOLD = 1 << 20  # RNG purpose slot for camera jitter draws
 
 
 @partial(jax.jit, static_argnames=("spp", "nx", "ny", "max_depth",
-                                   "n_chunks"))
+                                   "n_chunks", "rr_depth"))
 def render_block_multi(scene: SceneTables, cam: Camera, pix: jnp.ndarray,
                        key: jax.Array, spp: int, nx: int, ny: int,
-                       max_depth: int, n_chunks: int, bvh=None):
+                       max_depth: int, n_chunks: int, bvh=None,
+                       rr_depth=None):
     """`n_chunks` sequential sample chunks of one pixel block in a SINGLE
     dispatch (lax.fori over the chunk id, radiance accumulated on device).
 
@@ -47,18 +48,18 @@ def render_block_multi(scene: SceneTables, cam: Camera, pix: jnp.ndarray,
     def chunk(ch, acc):
         k = jax.random.fold_in(key, ch)
         return acc + render_block(scene, cam, pix, k, spp, nx, ny,
-                                  max_depth, bvh=bvh)
+                                  max_depth, bvh=bvh, rr_depth=rr_depth)
 
     init = jnp.zeros((pix.shape[0], 3), cam.origin.dtype)
     return jax.lax.fori_loop(0, n_chunks, chunk, init)
 
 
 @partial(jax.jit, static_argnames=("spp", "nx", "ny", "max_depth",
-                                   "differentiable"))
+                                   "differentiable", "rr_depth"))
 def render_block(scene: SceneTables, cam: Camera, pix: jnp.ndarray,
                  key: jax.Array, spp: int, nx: int, ny: int,
                  max_depth: int = 50, differentiable: bool = False,
-                 bvh=None):
+                 bvh=None, rr_depth=None):
     """Radiance sums over `spp` samples for a block of pixel ids → [Nb, 3].
 
     pix: int32[Nb] flat pixel ids in output order (0 = top-left, row-major).
@@ -79,14 +80,15 @@ def render_block(scene: SceneTables, cam: Camera, pix: jnp.ndarray,
     o, d, time = get_rays(cam, s, t, u[:, 2:5])
 
     rad = trace(scene, o, d, time, key, max_depth=max_depth,
-                differentiable=differentiable, bvh=bvh)
+                differentiable=differentiable, bvh=bvh, rr_depth=rr_depth)
     return rad.reshape(nb, spp, 3).sum(axis=1)
 
 
 def render(scene: SceneTables, cam: Camera, nx: int, ny: int, spp: int,
            seed: int = 0, max_depth: int = 50, block_pixels: int = 1 << 16,
            spp_chunk: int | None = None, progress=None,
-           use_bvh: bool = False, checkpoint: str | None = None) -> np.ndarray:
+           use_bvh: bool = False, checkpoint: str | None = None,
+           rr_depth: int | None = None) -> np.ndarray:
     """Full image render → float32 [ny, nx, 3], gamma-corrected like the
     reference (sqrt + clamp, tests/test.rs:72-75). Row 0 = top.
 
@@ -134,7 +136,8 @@ def render(scene: SceneTables, cam: Camera, nx: int, ny: int, spp: int,
         pix = jnp.asarray(ids)
         blk_key = jax.random.fold_in(base, blk)
         acc = render_block_multi(scene, cam, pix, blk_key, spp_chunk, nx, ny,
-                                 max_depth, n_chunks, bvh=bvh)
+                                 max_depth, n_chunks, bvh=bvh,
+                                 rr_depth=rr_depth)
         done += n_chunks
         if progress is not None:
             progress(done, n_blocks * n_chunks)
