@@ -103,7 +103,8 @@ def main(argv=None) -> int:
     if args.sharded:
         from .parallel.sharding import make_mesh, render_sharded
         img = render_sharded(scene, cam, nx, ny, spp, make_mesh(),
-                             seed=args.seed, max_depth=args.max_depth)
+                             seed=args.seed, max_depth=args.max_depth,
+                             rr_depth=args.rr_depth)
     else:
         img = None
         if args.engine in ("auto", "pallas"):

@@ -109,7 +109,11 @@ def _bounce(scene: SceneTables, pack, key, max_depth, b, o, d, time, thr,
         # beyond rr_depth bounces, survive with p = max channel of the
         # throughput and compensate survivors by 1/p.
         u_rr = rng.uniforms(key, b, _U_RR, (n,), o.dtype)
-        q = jnp.clip(jnp.max(thr, axis=-1), 0.05, 1.0)
+        # stop_gradient: the survival decision is a detached discrete
+        # choice (like hit selection); differentiating through q(theta)
+        # would leave an uncancelled -f*q'/q term in reverse mode
+        q = jax.lax.stop_gradient(
+            jnp.clip(jnp.max(thr, axis=-1), 0.05, 1.0))
         roulette = b >= rr_depth
         survive = (~roulette) | (u_rr < q)
         thr = jnp.where((cont & roulette & survive)[:, None],

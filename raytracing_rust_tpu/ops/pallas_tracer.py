@@ -785,6 +785,23 @@ def _make_kernel(kinds, rect_groups, n_dyn, med_kinds, flags, background,
             thr_r = jnp.where(cont > f(0.0), thr_r * att_r, thr_r)
             thr_g = jnp.where(cont > f(0.0), thr_g * att_g, thr_g)
             thr_b = jnp.where(cont > f(0.0), thr_b * att_b, thr_b)
+
+            if rr_depth is not None:
+                # Russian roulette (opt-in, unbiased; not in the
+                # reference): beyond rr_depth bounces survive with
+                # p = max throughput channel, compensate by 1/p
+                u_rr = _uniform((SUB, LANES))
+                q = jnp.clip(jnp.maximum(thr_r, jnp.maximum(thr_g, thr_b)),
+                             f(0.05), f(1.0))
+                rl = (bcnt >= f(rr_depth)).astype(f)
+                surv = (f(1.0) - rl) + rl * (u_rr < q).astype(f)
+                boost = cont * rl * surv
+                inv_q = f(1.0) / q
+                thr_r = jnp.where(boost > f(0.0), thr_r * inv_q, thr_r)
+                thr_g = jnp.where(boost > f(0.0), thr_g * inv_q, thr_g)
+                thr_b = jnp.where(boost > f(0.0), thr_b * inv_q, thr_b)
+                cont = cont * surv
+
             live = cont > f(0.0)
             ox = jnp.where(live, px, ox)
             oy = jnp.where(live, py, oy)

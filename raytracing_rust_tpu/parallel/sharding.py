@@ -49,7 +49,8 @@ def make_mesh(devices=None, dp: int | None = None, sp: int | None = None) -> Mes
 
 
 def _lane_radiance(scene: SceneTables, cam: Camera, pix, key, nx: int, ny: int,
-                   spp: int, max_depth: int, differentiable: bool):
+                   spp: int, max_depth: int, differentiable: bool,
+                   rr_depth=None):
     """Radiance sums [Npix, 3] for a [Npix, spp] lane grid.
 
     pix: int32[Npix]; lanes laid out [Npix, spp] so sharding P('dp','sp')
@@ -69,14 +70,15 @@ def _lane_radiance(scene: SceneTables, cam: Camera, pix, key, nx: int, ny: int,
     flat = lambda x: x.reshape(npix * spp, *x.shape[2:])
     o, d, time = get_rays(cam, flat(s), flat(t), flat(u[..., 2:5]))
     rad = trace(scene, o, d, time, key, max_depth=max_depth,
-                differentiable=differentiable)
+                differentiable=differentiable, rr_depth=rr_depth)
     return rad.reshape(npix, spp, 3).sum(axis=1)
 
 
-@partial(jax.jit, static_argnames=("nx", "ny", "spp", "max_depth", "mesh"))
+@partial(jax.jit, static_argnames=("nx", "ny", "spp", "max_depth", "mesh",
+                                   "rr_depth"))
 def render_block_sharded(scene: SceneTables, cam: Camera, pix, key,
                          nx: int, ny: int, spp: int, max_depth: int,
-                         mesh: Mesh):
+                         mesh: Mesh, rr_depth=None):
     """Forward render of a pixel block, sharded (pixels × samples) over mesh.
 
     Scene/camera replicate; the [Npix, spp] lane grid shards P('dp', 'sp');
@@ -84,14 +86,16 @@ def render_block_sharded(scene: SceneTables, cam: Camera, pix, key,
     """
     pix = jax.lax.with_sharding_constraint(
         pix, NamedSharding(mesh, P("dp")))
-    out = _lane_radiance(scene, cam, pix, key, nx, ny, spp, max_depth, False)
+    out = _lane_radiance(scene, cam, pix, key, nx, ny, spp, max_depth, False,
+                         rr_depth=rr_depth)
     return jax.lax.with_sharding_constraint(
         out, NamedSharding(mesh, P("dp", None)))
 
 
 def render_sharded(scene: SceneTables, cam: Camera, nx: int, ny: int,
                    spp: int, mesh: Mesh, seed: int = 0, max_depth: int = 50,
-                   block_pixels: int | None = None) -> np.ndarray:
+                   block_pixels: int | None = None,
+                   rr_depth: int | None = None) -> np.ndarray:
     """Full sharded render → float32 [ny, nx, 3] (gamma like the reference)."""
     n_pix = nx * ny
     dp = mesh.shape["dp"]
@@ -108,7 +112,8 @@ def render_sharded(scene: SceneTables, cam: Camera, nx: int, ny: int,
         ids[hi - lo:] = n_pix - 1
         key = jax.random.fold_in(base, blk)
         out = render_block_sharded(scene, cam, jnp.asarray(ids), key,
-                                   nx, ny, spp, max_depth, mesh)
+                                   nx, ny, spp, max_depth, mesh,
+                                   rr_depth=rr_depth)
         sums[lo:hi] += np.asarray(out)[: hi - lo]
 
     img = np.sqrt(np.clip(sums / spp, 0.0, None))

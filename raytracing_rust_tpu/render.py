@@ -120,7 +120,8 @@ def render(scene: SceneTables, cam: Camera, nx: int, ny: int, spp: int,
     base = jax.random.key(seed)
     sums = np.zeros((n_pix, 3), np.float32)
     start_blk = 0
-    ck_meta = np.asarray([nx, ny, spp, seed, max_depth, block_pixels])
+    ck_meta = np.asarray([nx, ny, spp, seed, max_depth, block_pixels,
+                          -1 if rr_depth is None else rr_depth])
     if checkpoint and os.path.exists(checkpoint):
         ck = np.load(checkpoint)
         if np.array_equal(ck["meta"], ck_meta):

@@ -39,7 +39,8 @@ def test_rr_is_unbiased():
     full = _mean(scene, k1, rr_depth=None)
     rr = _mean(scene, k2, rr_depth=3)
     assert full > 0.05
-    # same expectation within MC error (20k paths, ~2% rel tolerance band)
+    # same expectation; 6% band covers MC noise of two independent
+    # 20k-path means plus the RR variance inflation
     np.testing.assert_allclose(rr, full, rtol=0.06)
 
 
