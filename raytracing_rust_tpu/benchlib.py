@@ -48,9 +48,9 @@ def run(scene: str = "cornell_box_baseline", spp: int | None = None,
                 raise
             use_pallas = False
 
-    # best-of-3: device dispatch goes through a remote tunnel whose latency
+    # best-of-5: device dispatch goes through a remote tunnel whose latency
     # jitter can double a single-shot wall time
-    reps = 3 if use_pallas else 1
+    reps = 5 if use_pallas else 1
     dt = float("inf")
     for r in range(reps):
         if use_pallas:

@@ -308,12 +308,13 @@ def _make_kernel(kinds, rect_groups, n_dyn, med_kinds, flags, background,
         pltpu.prng_seed(params_ref[0], pid)
         spp_v = params_ref[1].astype(jnp.float32)
         depth_v = params_ref[2].astype(jnp.float32)
+        grid_base = params_ref[3]  # first tile id (multi-device splits)
 
         # lane → pixel mapping (row 0 of the image = top scanline,
         # reference tests/test.rs:62-64 row order handled via j flip)
         row = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 1)
-        pix = pid * TILE + row * LANES + col
+        pix = (grid_base + pid) * TILE + row * LANES + col
         pix = jnp.minimum(pix, nx * ny - 1)
         # exact int div via f32 (pix < 2^24): floor((pix+.5)/nx)
         pixf = pix.astype(f)
@@ -871,11 +872,16 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
                   seed: int = 0, max_depth: int = 50,
                   spp_chunk: int | None = None,
                   interpret: bool = False,
-                  rr_depth: int | None = None) -> np.ndarray:
+                  rr_depth: int | None = None,
+                  devices=None) -> np.ndarray:
     """Full-image render on the megakernel → float32 [ny, nx, 3] with the
     reference's gamma (sqrt + clamp, tests/test.rs:72-75).
 
-    Raises UnsupportedScene when the scene needs the XLA tier.
+    devices: list of TPU devices to split the pixel-tile grid across
+    (defaults to all visible devices; scene tables replicate, each device
+    renders a contiguous tile range — the sample axis is per-device
+    seeded, so any split is deterministic for a given seed and device
+    count). Raises UnsupportedScene when the scene needs the XLA tier.
     """
     (rec_np, kinds, rect_groups, dyn_np, n_dyn, med_np, med_kinds,
      flags) = build_scene_record(scene)
@@ -886,6 +892,18 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
     n_pix = nx * ny
     grid = -(-n_pix // TILE)
 
+    if devices is None:
+        devices = [d for d in jax.devices() if d.platform == "tpu"] \
+            or jax.devices()[:1]
+    n_dev = min(len(devices), grid)
+    devices = devices[:n_dev]
+    per = -(-grid // n_dev)
+    bounds = [min(i * per, grid) for i in range(n_dev + 1)]
+    bounds[-1] = grid
+    dev_args = [tuple(jax.device_put(x, d)
+                      for x in (rec, dyn_rec, med_rec, cam_rec))
+                for d in devices]
+
     if spp_chunk is None:
         spp_chunk = spp
     sums = np.zeros((n_pix, 3), np.float64)
@@ -893,13 +911,22 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
     chunk_id = 0
     while done < spp:
         cur = min(spp_chunk, spp - done)
-        params = jnp.asarray([np.int32(seed + 0x9E37 * chunk_id), cur,
-                              max_depth], jnp.int32)
-        out = _trace_call(rec, dyn_rec, med_rec, cam_rec, params, kinds,
-                          rect_groups, n_dyn, med_kinds, flags,
-                          scene.background, nx, ny, grid, interpret,
-                          rr_depth)
-        lanes = np.asarray(out).transpose(1, 2, 0).reshape(-1, 3)
+        outs = []
+        for di, dev in enumerate(devices):
+            g0, g1 = bounds[di], bounds[di + 1]
+            if g1 == g0:
+                continue
+            params = jax.device_put(
+                jnp.asarray([np.int32(seed + 0x9E37 * chunk_id + 7919 * di),
+                             cur, max_depth, g0], jnp.int32), dev)
+            outs.append(_trace_call(
+                dev_args[di][0], dev_args[di][1], dev_args[di][2],
+                dev_args[di][3], params, kinds, rect_groups, n_dyn,
+                med_kinds, flags, scene.background, nx, ny, g1 - g0,
+                interpret, rr_depth))
+        # all device dispatches are in flight; gather in order
+        lanes = np.concatenate(
+            [np.asarray(o).transpose(1, 2, 0).reshape(-1, 3) for o in outs])
         sums += lanes[:n_pix]
         done += cur
         chunk_id += 1
