@@ -47,7 +47,9 @@ def test_prim_aabbs_contain_hits():
     o, d, time = _rays()
     h = closest_hit(scene, o, d, time, 1e-3)
     t = np.asarray(h.t); idx = np.asarray(h.idx); mask = np.asarray(h.mask)
-    p = np.asarray(o) + t[:, None] * np.asarray(d)
+    # float64: miss lanes carry t=BIG, which overflows the f32 product
+    p = np.asarray(o, np.float64) + t[:, None].astype(np.float64) \
+        * np.asarray(d, np.float64)
     eps = 1e-2
     for i in np.nonzero(mask)[0]:
         assert np.all(p[i] >= lo[idx[i]] - eps), (i, idx[i])
