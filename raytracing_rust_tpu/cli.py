@@ -107,7 +107,12 @@ def main(argv=None) -> int:
                              rr_depth=args.rr_depth)
     else:
         img = None
-        if args.engine in ("auto", "pallas"):
+        use_pallas = args.engine == "pallas"
+        if args.engine == "auto":
+            # the megakernel needs the TPU core PRNG — no CPU lowering
+            import jax
+            use_pallas = any(d.platform == "tpu" for d in jax.devices())
+        if use_pallas:
             from .ops.pallas_tracer import UnsupportedScene, render_pallas
             try:
                 img = render_pallas(scene, cam, nx, ny, spp, seed=args.seed,
