@@ -73,8 +73,49 @@ def run(scene: str = "cornell_box_baseline", spp: int | None = None,
         "vs_baseline": round(rays_per_sec / REFERENCE_EST_RAYS_PER_SEC, 2),
         "wall_seconds": round(dt, 2),
         "engine": "pallas" if use_pallas else "xla",
+        "grad_fd_max_abs_err": grad_fd_err(tables),
         "device": str(jax.devices()[0]),
     }
+
+
+def grad_fd_err(scene, n_rays: int = 64) -> float:
+    """BASELINE.json metric 2: max abs err of autodiff pixel gradients vs
+    central finite differences, probed on the two largest-gradient texture
+    channels at fixed RNG (at fixed sample paths the depth-3 estimator is
+    piecewise low-degree in albedo, so agreement is near f32 exactness)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from .ops.integrator import trace
+
+    key = jax.random.key(7)
+    rng = np.random.default_rng(5)
+    o = jnp.asarray(np.tile([278.0, 278.0, -500.0], (n_rays, 1)), jnp.float32)
+    d = jnp.asarray(np.stack([rng.uniform(-200, 200, n_rays),
+                              rng.uniform(-200, 200, n_rays),
+                              np.full(n_rays, 600.0)], -1), jnp.float32)
+
+    def loss(tex_color):
+        s2 = type(scene)(**{**scene.__dict__, "tex_color": tex_color})
+        rad = trace(s2, o, d, jnp.zeros(n_rays), key, max_depth=3,
+                    differentiable=True)
+        return jnp.mean(rad)
+
+    grad = jax.grad(loss)(scene.tex_color)
+    g_np = np.abs(np.asarray(grad))
+    # probe the two largest-|grad| texture channels (guaranteed non-vacuous)
+    flat = np.argsort(g_np.ravel())[::-1][:2]
+    probes = [(int(i // 3), int(i % 3)) for i in flat]
+    worst = 0.0
+    base = np.asarray(scene.tex_color, np.float32)
+    for ti, ci in probes:
+        eps = 1e-2
+        hi = base.copy(); hi[ti, ci] += eps
+        lo = base.copy(); lo[ti, ci] -= eps
+        fd = (float(loss(jnp.asarray(hi))) - float(loss(jnp.asarray(lo)))) \
+            / (2 * eps)
+        worst = max(worst, abs(float(grad[ti, ci]) - fd))
+    return float(f"{worst:.3g}")
 
 
 def to_json(result: dict) -> str:
