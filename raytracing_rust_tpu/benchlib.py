@@ -39,10 +39,24 @@ def run(scene: str = "cornell_box_baseline", spp: int | None = None,
     tables = preset.build()
     cam = preset.camera()
 
+    def _with_retry(fn, tries=3, backoff=90):
+        # the TPU worker behind the device tunnel occasionally crashes and
+        # needs a minute to recover; a headless bench must survive that
+        for attempt in range(tries):
+            try:
+                return fn()
+            except UnsupportedScene:
+                raise
+            except Exception:
+                if attempt == tries - 1:
+                    raise
+                time.sleep(backoff)
+
     use_pallas = engine in ("auto", "pallas")
     if use_pallas:
         try:  # warmup doubles as the support check
-            render_pallas(tables, cam, nx, ny, 2, seed=seed)
+            _with_retry(lambda: render_pallas(tables, cam, nx, ny, 2,
+                                              seed=seed))
         except UnsupportedScene:
             if engine == "pallas":
                 raise
@@ -55,14 +69,16 @@ def run(scene: str = "cornell_box_baseline", spp: int | None = None,
     for r in range(reps):
         if use_pallas:
             t0 = time.perf_counter()
-            render_pallas(tables, cam, nx, ny, spp, seed=seed + r)
+            _with_retry(lambda: render_pallas(tables, cam, nx, ny, spp,
+                                              seed=seed + r))
             dt = min(dt, time.perf_counter() - t0)
         else:
             warm_spp = min(spp, 4)
-            render(tables, cam, nx, ny, warm_spp, seed=seed,
-                   spp_chunk=warm_spp)
+            _with_retry(lambda: render(tables, cam, nx, ny, warm_spp,
+                                       seed=seed, spp_chunk=warm_spp))
             t0 = time.perf_counter()
-            render(tables, cam, nx, ny, spp, seed=seed, spp_chunk=warm_spp)
+            _with_retry(lambda: render(tables, cam, nx, ny, spp, seed=seed,
+                                       spp_chunk=warm_spp))
             dt = min(dt, time.perf_counter() - t0)
 
     rays_per_sec = nx * ny * spp / dt
@@ -73,7 +89,7 @@ def run(scene: str = "cornell_box_baseline", spp: int | None = None,
         "vs_baseline": round(rays_per_sec / REFERENCE_EST_RAYS_PER_SEC, 2),
         "wall_seconds": round(dt, 2),
         "engine": "pallas" if use_pallas else "xla",
-        "grad_fd_max_abs_err": grad_fd_err(tables),
+        "grad_fd_max_abs_err": _with_retry(lambda: grad_fd_err(tables)),
         "device": str(jax.devices()[0]),
     }
 
