@@ -49,7 +49,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..models.scene import (SceneTables, BG_SKY, MAT_LAMBERTIAN, MAT_METAL,
                             MAT_DIELECTRIC, MAT_DIFFUSE_LIGHT, MAT_ISOTROPIC,
-                            TEX_SOLID, TEX_CHECKER, TEX_NOISE, PRIM_RECT)
+                            TEX_SOLID, TEX_CHECKER, PRIM_RECT)
 from .intersect import pack_prims
 
 BIG = 3.0e38
@@ -82,9 +82,7 @@ R_EMIT = 30       # 30..32
 R_ALB_EVEN = 33   # 33..35
 R_ALB_ODD = 36    # 36..38
 R_CHECKER = 39
-R_NOISE = 40      # marble (Perlin turbulence) texture flag
-R_NSCALE = 41     # noise scale (reference src/texture.rs:66-70)
-REC = 42
+REC = 40
 
 # camera scalar record (f32[CAMREC])
 C_ORIGIN, C_LL, C_HORIZ, C_VERT, C_U, C_V = 0, 3, 6, 9, 12, 15
@@ -187,11 +185,6 @@ def build_scene_record(scene: SceneTables):
             rec[p, R_ALB_ODD:R_ALB_ODD + 3] = tex_color[odd]
             rec[p, R_ALB_EVEN:R_ALB_EVEN + 3] = tex_color[even]
             rec[p, R_CHECKER] = 1.0
-        elif tt == TEX_NOISE:
-            if mt == MAT_DIFFUSE_LIGHT:
-                raise UnsupportedScene("emissive noise texture")
-            rec[p, R_NOISE] = 1.0
-            rec[p, R_NSCALE] = np.asarray(scene.tex_scale)[tx]
         else:
             raise UnsupportedScene(f"texture type {tt} needs the XLA tier")
 
@@ -240,8 +233,7 @@ def build_scene_record(scene: SceneTables):
 
     flags = (bool(np.any(rec[:, R_CHECKER] > 0)),
              bool(np.any(rec[:, R_MAT] == MAT_METAL)),
-             bool(np.any(rec[:, R_MAT] == MAT_DIELECTRIC)),
-             bool(np.any(rec[:, R_NOISE] > 0)))
+             bool(np.any(rec[:, R_MAT] == MAT_DIELECTRIC)))
 
     # partition: small scenes unroll everything; big scenes unroll rects
     # and run spheres through the dynamic loop
@@ -517,8 +509,9 @@ def _make_kernel(kinds, rect_groups, n_dyn, med_kinds, flags, background,
                 # moving-center form covers static spheres (dc=0,
                 # inv_dt=0 ⇒ frac·dc = 0) ----
                 def dyn_body(p, st):
-                    st = list(st)
-                    t_best = st[0]
+                    (t_best, nx_b, ny_b, nz_b, mat_b, par_b,
+                     emr, emg, emb, alr, alg, alb_,
+                     aor, aog, aob, chk) = st
 
                     def r(i):
                         return dyn_ref[p, i]
@@ -542,12 +535,40 @@ def _make_kernel(kinds, rect_groups, n_dyn, med_kinds, flags, background,
                                     jnp.where(far_ok, t_far, f(BIG)))
                     better = t_p < t_best
                     inv_r = f(1.0) / r(R_RADIUS)
-                    nxx = (ocx + t_p * dx) * inv_r
-                    nyy = (ocy + t_p * dy) * inv_r
-                    nzz = (ocz + t_p * dz) * inv_r
-                    return tuple(select(r, better, t_p, nxx, nyy, nzz, st))
+                    flip = r(R_FLIP)
+                    nxx = (ocx + t_p * dx) * inv_r * flip
+                    nyy = (ocy + t_p * dy) * inv_r * flip
+                    nzz = (ocz + t_p * dz) * inv_r * flip
 
-                st = list(jax.lax.fori_loop(0, n_dyn, dyn_body, tuple(st)))
+                    t_best = jnp.where(better, t_p, t_best)
+                    nx_b = jnp.where(better, nxx, nx_b)
+                    ny_b = jnp.where(better, nyy, ny_b)
+                    nz_b = jnp.where(better, nzz, nz_b)
+                    mat_b = jnp.where(better, r(R_MAT), mat_b)
+                    par_b = jnp.where(better, r(R_PARAM), par_b)
+                    emr = jnp.where(better, r(R_EMIT), emr)
+                    emg = jnp.where(better, r(R_EMIT + 1), emg)
+                    emb = jnp.where(better, r(R_EMIT + 2), emb)
+                    alr = jnp.where(better, r(R_ALB_EVEN), alr)
+                    alg = jnp.where(better, r(R_ALB_EVEN + 1), alg)
+                    alb_ = jnp.where(better, r(R_ALB_EVEN + 2), alb_)
+                    aor = jnp.where(better, r(R_ALB_ODD), aor)
+                    aog = jnp.where(better, r(R_ALB_ODD + 1), aog)
+                    aob = jnp.where(better, r(R_ALB_ODD + 2), aob)
+                    chk = jnp.where(better, r(R_CHECKER), chk)
+                    return (t_best, nx_b, ny_b, nz_b, mat_b, par_b,
+                            emr, emg, emb, alr, alg, alb_,
+                            aor, aog, aob, chk)
+
+                if not has_checker:
+                    aor = aog = aob = chk = jnp.zeros((SUB, LANES), f)
+                (t_best, nx_b, ny_b, nz_b, mat_b, par_b,
+                 emr, emg, emb, alr, alg, alb_,
+                 aor, aog, aob, chk) = jax.lax.fori_loop(
+                    0, n_dyn, dyn_body,
+                    (t_best, nx_b, ny_b, nz_b, mat_b, par_b,
+                     emr, emg, emb, alr, alg, alb_,
+                     aor, aog, aob, chk))
 
             if has_checker:
                 # checker sign at the winning surface hit point
@@ -561,22 +582,6 @@ def _make_kernel(kinds, rect_groups, n_dyn, med_kinds, flags, background,
                 alr = jnp.where(use_odd, aor, alr)
                 alg = jnp.where(use_odd, aog, alg)
                 alb_ = jnp.where(use_odd, aob, alb_)
-
-            if has_noise:
-                # marble: 0.5·(1 + sin(scale·x + 5·turb(p, 7)))
-                # (reference src/texture.rs:66-70) at the winning surface
-                # hit point, via in-kernel per-lane table gathers
-                px = ox + t_best * dx
-                py = oy + t_best * dy
-                pz = oz + t_best * dz
-                tabs = (perm_ref[0], perm_ref[1], perm_ref[2],
-                        rv_ref[0], rv_ref[1], rv_ref[2])
-                turb = perlin_turb(px, py, pz, tabs)
-                marble = f(0.5) * (f(1.0) + jnp.sin(nsc * px + f(5.0) * turb))
-                use_noise = noiz > f(0.0)
-                alr = jnp.where(use_noise, marble, alr)
-                alg = jnp.where(use_noise, marble, alg)
-                alb_ = jnp.where(use_noise, marble, alb_)
 
             if med_kinds:
                 # ---- ConstantMedium events (reference src/medium.rs:
@@ -841,9 +846,9 @@ def _make_kernel(kinds, rect_groups, n_dyn, med_kinds, flags, background,
          static_argnames=("kinds", "rect_groups", "n_dyn", "med_kinds",
                           "flags", "background", "nx", "ny", "grid",
                           "interpret", "rr_depth"))
-def _trace_call(rec, dyn_rec, med_rec, cam_rec, perm_tab, rv_tab, params,
-                kinds, rect_groups, n_dyn, med_kinds, flags, background,
-                nx, ny, grid, interpret=False, rr_depth=None):
+def _trace_call(rec, dyn_rec, med_rec, cam_rec, params, kinds, rect_groups,
+                n_dyn, med_kinds, flags, background, nx, ny, grid,
+                interpret=False, rr_depth=None):
     kernel = _make_kernel(kinds, rect_groups, n_dyn, med_kinds, flags,
                           background, nx, ny, rr_depth=rr_depth)
     return pl.pallas_call(
@@ -855,14 +860,12 @@ def _trace_call(rec, dyn_rec, med_rec, cam_rec, perm_tab, rv_tab, params,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # perlin perm tables
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # perlin gradients
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((3, SUB, LANES), lambda g: (0, g, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, grid * SUB, LANES), jnp.float32),
-    )(rec, dyn_rec, med_rec, cam_rec, perm_tab, rv_tab, params)
+    )(rec, dyn_rec, med_rec, cam_rec, params)
 
 
 def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
@@ -886,21 +889,8 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
     dyn_rec = jnp.asarray(dyn_np)
     med_rec = jnp.asarray(med_np)
     cam_rec = jnp.asarray(build_camera_record(cam))
-    # perlin tables, broadcast to lane shape for per-lane VMEM gathers
-    # (256 entries live in the first 256 columns; minimal dummies when the
-    # scene has no noise texture)
-    if flags[3]:
-        perm = np.asarray(scene.perlin_perm)          # [3, 256] i32
-        rv = np.asarray(scene.perlin_ranvec).T        # [3, 256] f32
-        perm_l = np.zeros((3, SUB, LANES), np.int32)
-        rv_l = np.zeros((3, SUB, LANES), np.float32)
-        perm_l[:, :, :256] = perm[:, None, :]
-        rv_l[:, :, :256] = rv[:, None, :]
-    else:
-        perm_l = np.zeros((3, SUB, LANES), np.int32)
-        rv_l = np.zeros((3, SUB, LANES), np.float32)
-    perm_tab = jnp.asarray(perm_l)
-    rv_tab = jnp.asarray(rv_l)
+    n_pix = nx * ny
+    grid = -(-n_pix // TILE)
 
     if devices is None:
         devices = [d for d in jax.devices() if d.platform == "tpu"] \
@@ -911,8 +901,7 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
     bounds = [min(i * per, grid) for i in range(n_dev + 1)]
     bounds[-1] = grid
     dev_args = [tuple(jax.device_put(x, d)
-                      for x in (rec, dyn_rec, med_rec, cam_rec, perm_tab,
-                                rv_tab))
+                      for x in (rec, dyn_rec, med_rec, cam_rec))
                 for d in devices]
 
     if spp_chunk is None:
@@ -932,9 +921,9 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
                              cur, max_depth, g0], jnp.int32), dev)
             outs.append(_trace_call(
                 dev_args[di][0], dev_args[di][1], dev_args[di][2],
-                dev_args[di][3], dev_args[di][4], dev_args[di][5], params,
-                kinds, rect_groups, n_dyn, med_kinds, flags,
-                scene.background, nx, ny, g1 - g0, interpret, rr_depth))
+                dev_args[di][3], params, kinds, rect_groups, n_dyn,
+                med_kinds, flags, scene.background, nx, ny, g1 - g0,
+                interpret, rr_depth))
         # all device dispatches are in flight; gather in order
         lanes = np.concatenate(
             [np.asarray(o).transpose(1, 2, 0).reshape(-1, 3) for o in outs])

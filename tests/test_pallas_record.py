@@ -25,7 +25,7 @@ def test_cornell_record():
     assert sorted(sum((list(g) for g in groups), [])) == list(range(18))
     assert len(groups) == 9
     assert n_dyn == 0 and med_kinds == ()
-    assert flags == (False, False, False, False)  # checker/metal/diel/noise
+    assert flags == (False, False, False)  # no checker/metal/dielectric
     # light rect (index 2) emits 15
     np.testing.assert_allclose(rec[2, pt.R_EMIT:pt.R_EMIT + 3], 15.0)
     # green wall flip carried
@@ -40,8 +40,8 @@ def test_random_spheres_partition():
         pt.build_scene_record(scene)
     assert n_dyn == scene.num_prims  # all spheres go dynamic
     assert kinds == ()               # no rects; dummy unrolled row
-    has_checker, has_metal, has_diel, has_noise = flags
-    assert has_checker and has_metal and has_diel and not has_noise
+    has_checker, has_metal, has_diel = flags
+    assert has_checker and has_metal and has_diel
     # moving spheres carry a nonzero center span
     moving = np.abs(dyn[:, pt.R_DC:pt.R_DC + 3]).sum(axis=1) > 0
     assert moving.any() and not moving.all()
@@ -63,19 +63,11 @@ def test_smoke_media_records():
 
 def test_unsupported_scenes_fall_back():
     with pytest.raises(pt.UnsupportedScene):
+        pt.build_scene_record(builders.two_perlin_spheres())  # noise tex
+    with pytest.raises(pt.UnsupportedScene):
         pt.build_scene_record(builders.earth())               # image tex
     with pytest.raises(pt.UnsupportedScene):
         pt.build_scene_record(builders.final_scene())         # 2400 rects
-
-
-def test_noise_scene_record():
-    # Perlin marble runs in-kernel (two_perlin_spheres, simple_light)
-    for build in (builders.two_perlin_spheres, builders.simple_light):
-        rec, kinds, groups, dyn, n_dyn, med, med_kinds, flags = \
-            pt.build_scene_record(build())
-        assert flags[3]  # has_noise
-        assert np.any(rec[:, pt.R_NOISE] > 0)
-        assert np.any(rec[:, pt.R_NSCALE] == 4.0)
 
 
 def test_transformed_prims_hoisted():
