@@ -17,8 +17,8 @@ intersected/shaded against all primitives with pure vectorized math:
   convex analytic boundary (sphere or box), sampled in closed form.
 * materials   — lambertian/metal/dielectric/diffuse_light/isotropic tags
   (reference src/material.rs:35-173).
-* textures    — solid/checker/noise/image tags (reference src/texture.rs:8-108)
-  plus Perlin tables (reference src/perlin.rs).
+* textures    — solid/checker/noise/image tags (reference src/texture.rs:8-108);
+  Perlin noise is a lattice hash, seeded per scene (see ops/perlin.py).
 
 All float arrays participate in autodiff: `jax.grad` of a rendered pixel flows
 into `prim_data` (geometry), `mat_param`, `tex_color`, and image texels.
@@ -34,8 +34,6 @@ from typing import List, Optional
 import jax
 import numpy as np
 import jax.numpy as jnp
-
-from ..ops import perlin as perlin_ops
 
 # Primitive type tags.
 PRIM_SPHERE = 0
@@ -114,13 +112,12 @@ class SceneTables:
     # reference, so I=1, H=512, W=1024 typically; (1,1,1,3) when unused)
     images: jax.Array         # f32[I, H, W, 3]
 
-    # Perlin tables (reference src/perlin.rs:58-74)
-    perlin_ranvec: jax.Array  # f32[256, 3]
-    perlin_perm: jax.Array    # int32[3, 256]
-
     # scalar scene config (static python values so jit specializes per scene
     # and scenes don't pay for features they don't use)
     background: int = field(metadata=dict(static=True), default=BG_BLACK)
+    # Perlin hash seed (reference src/perlin.rs builds random tables; we hash
+    # the lattice — see ops/perlin.py module docstring)
+    perlin_seed: int = field(metadata=dict(static=True), default=0)
     has_media: bool = field(metadata=dict(static=True), default=False)
     has_noise_tex: bool = field(metadata=dict(static=True), default=False)
     has_image_tex: bool = field(metadata=dict(static=True), default=False)
@@ -338,8 +335,6 @@ class SceneBuilder:
             for i, im in enumerate(self._images):
                 images[i, : im.shape[0], : im.shape[1]] = im
 
-        ranvec, perm = perlin_ops.make_tables(self.perlin_seed)
-
         def f(x):
             return jnp.asarray(np.asarray(x), dtype)
 
@@ -371,9 +366,8 @@ class SceneBuilder:
             tex_scale=f(self._tex_scale),
             tex_image=i32(self._tex_image),
             images=jnp.asarray(images, dtype),
-            perlin_ranvec=f(ranvec),
-            perlin_perm=i32(perm),
             background=self.background,
+            perlin_seed=self.perlin_seed,
             has_media=M > 0,
             has_noise_tex=TEX_NOISE in self._tex_type,
             has_image_tex=TEX_IMAGE in self._tex_type,

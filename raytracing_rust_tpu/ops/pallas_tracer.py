@@ -23,12 +23,17 @@ light. This kernel inverts the layout:
 
 Coverage: sphere / moving-sphere / rect primitives, instance transforms
 (pre-hoisted into world space by `pack_prims`), lambertian / metal /
-dielectric / diffuse-light materials, solid + checker textures, black / sky
-backgrounds — i.e. the reference scenes cornell_box, two_spheres,
-random_spheres (the BASELINE.json headline config included). Constant-density media
-(ConstantMedium, analytic sphere/box boundaries with hoisted transforms)
-run in-kernel too. Scenes with Perlin/image textures fall back to the XLA
-tier (`render(engine='xla')`), which covers everything.
+dielectric / diffuse-light materials, solid + checker + Perlin-marble
+textures, black / sky backgrounds — i.e. the reference scenes cornell_box,
+two_spheres, random_spheres (the BASELINE.json headline config included),
+two_perlin_spheres, simple_light. Constant-density media (ConstantMedium,
+analytic sphere/box boundaries with hoisted transforms) run in-kernel too.
+Noise textures are evaluated fully in-kernel: the hash-gradient Perlin
+(ops/perlin.py — the framework's table-free redesign of reference
+src/perlin.rs) is pure per-lane VPU arithmetic, so the kernel shares
+`_gradient` with the XLA tier and the two tiers agree to f32 ulps. Scenes
+with image textures fall back to the XLA tier (`render(engine='xla')`),
+which covers everything.
 
 Semantics match the reference math exactly like the XLA tier does
 (src/sphere.rs:37-77, src/rect.rs:39-69, src/material.rs:35-131,
@@ -49,8 +54,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..models.scene import (SceneTables, BG_SKY, MAT_LAMBERTIAN, MAT_METAL,
                             MAT_DIELECTRIC, MAT_DIFFUSE_LIGHT, MAT_ISOTROPIC,
-                            TEX_SOLID, TEX_CHECKER, PRIM_RECT)
+                            TEX_SOLID, TEX_CHECKER, TEX_NOISE, PRIM_RECT)
 from .intersect import pack_prims
+from .perlin import _gradient
 
 BIG = 3.0e38
 T_MIN = 1e-3   # reference src/color.rs:7
@@ -82,7 +88,9 @@ R_EMIT = 30       # 30..32
 R_ALB_EVEN = 33   # 33..35
 R_ALB_ODD = 36    # 36..38
 R_CHECKER = 39
-REC = 40
+R_NOISE = 40      # 1.0 ⇒ marble (Perlin turbulence) albedo
+R_NSCALE = 41     # noise scale (reference src/texture.rs:66-70)
+REC = 42
 
 # camera scalar record (f32[CAMREC])
 C_ORIGIN, C_LL, C_HORIZ, C_VERT, C_U, C_V = 0, 3, 6, 9, 12, 15
@@ -117,8 +125,9 @@ def build_scene_record(scene: SceneTables):
     UNROLL_BUDGET primitives move their spheres into dyn_rec, iterated by
     a runtime fori_loop with dynamically-indexed SMEM scalar reads (rects
     must fit the unroll); flags is a static (has_checker, has_metal,
-    has_diel) tuple that gates whole shading blocks out of scenes that
-    don't use them. Raises UnsupportedScene for noise / image textures.
+    has_diel, has_noise) tuple that gates whole shading blocks out of
+    scenes that don't use them. Raises UnsupportedScene for image
+    textures (and emissive noise, which no reference scene builds).
     """
     pk = jax.tree.map(np.asarray, pack_prims(scene))
     ptype = np.asarray(scene.prim_type)
@@ -185,6 +194,13 @@ def build_scene_record(scene: SceneTables):
             rec[p, R_ALB_ODD:R_ALB_ODD + 3] = tex_color[odd]
             rec[p, R_ALB_EVEN:R_ALB_EVEN + 3] = tex_color[even]
             rec[p, R_CHECKER] = 1.0
+        elif tt == TEX_NOISE:
+            # marble albedo, evaluated in-kernel (reference
+            # src/texture.rs:66-70)
+            if mt == MAT_DIFFUSE_LIGHT:
+                raise UnsupportedScene("emissive noise texture")
+            rec[p, R_NOISE] = 1.0
+            rec[p, R_NSCALE] = np.asarray(scene.tex_scale)[tx]
         else:
             raise UnsupportedScene(f"texture type {tt} needs the XLA tier")
 
@@ -233,7 +249,8 @@ def build_scene_record(scene: SceneTables):
 
     flags = (bool(np.any(rec[:, R_CHECKER] > 0)),
              bool(np.any(rec[:, R_MAT] == MAT_METAL)),
-             bool(np.any(rec[:, R_MAT] == MAT_DIELECTRIC)))
+             bool(np.any(rec[:, R_MAT] == MAT_DIELECTRIC)),
+             bool(np.any(rec[:, R_NOISE] > 0)))
 
     # partition: small scenes unroll everything; big scenes unroll rects
     # and run spheres through the dynamic loop
@@ -293,15 +310,70 @@ def _dot3(ax, ay, az, bx, by, bz):
     return ax * bx + ay * by + az * bz
 
 
+def _noise3(px, py, pz, seed):
+    """Hash-gradient Perlin noise on scalar-triple lane tiles.
+
+    The same formula as ops/perlin.noise (reference src/perlin.rs:58-97
+    with hash gradients — see that module's docstring), restructured over
+    (px, py, pz) component planes instead of a stacked [..., 3] axis,
+    which is the layout the VPU wants. Shares `_gradient` with the XLA
+    tier so the integer path is bit-identical across tiers.
+    """
+    f = jnp.float32
+    fx, fy, fz = jnp.floor(px), jnp.floor(py), jnp.floor(pz)
+    ux, uy, uz = px - fx, py - fy, pz - fz
+    ix = fx.astype(jnp.int32)
+    iy = fy.astype(jnp.int32)
+    iz = fz.astype(jnp.int32)
+    # Hermite smoothing (reference src/perlin.rs:39-41)
+    sx = ux * ux * (f(3.0) - f(2.0) * ux)
+    sy = uy * uy * (f(3.0) - f(2.0) * uy)
+    sz = uz * uz * (f(3.0) - f(2.0) * uz)
+    accum = jnp.zeros_like(px)
+    for di in (0, 1):
+        wu = sx if di else (f(1.0) - sx)
+        for dj in (0, 1):
+            wv = sy if dj else (f(1.0) - sy)
+            for dk in (0, 1):
+                ww = sz if dk else (f(1.0) - sz)
+                gx, gy, gz = _gradient((ix + di) & 255, (iy + dj) & 255,
+                                       (iz + dk) & 255, seed)
+                dot = (gx * (ux - f(di)) + gy * (uy - f(dj))
+                       + gz * (uz - f(dk)))
+                accum = accum + wu * wv * ww * dot
+    return accum
+
+
+def _turb3(px, py, pz, seed, depth=7):
+    """|Σ 0.5^k noise(2^k p)| (reference src/perlin.rs:99-109)."""
+    f = jnp.float32
+    accum = jnp.zeros_like(px)
+    weight = 1.0
+    qx, qy, qz = px, py, pz
+    for _ in range(depth):
+        accum = accum + f(weight) * _noise3(qx, qy, qz, seed)
+        weight *= 0.5
+        qx, qy, qz = qx * f(2.0), qy * f(2.0), qz * f(2.0)
+    return jnp.abs(accum)
+
+
 def _make_kernel(kinds, rect_groups, n_dyn, med_kinds, flags, background,
-                 nx, ny, rr_depth=None):
+                 nx, ny, rr_depth=None, perlin_seed=0):
     """Build the megakernel body for a static scene structure.
 
     spp / max_depth arrive as runtime scalars (params_ref = [seed, spp,
     max_depth]) so one compile serves every sample count.
     """
-    has_checker, has_metal, has_diel = flags
+    has_checker, has_metal, has_diel, has_noise = flags
     f = jnp.float32
+
+    # optional per-prim record fields threaded through the hit-selection
+    # state beyond the 12 core entries, in this order
+    extra_fields = []
+    if has_checker:
+        extra_fields += [R_ALB_ODD, R_ALB_ODD + 1, R_ALB_ODD + 2, R_CHECKER]
+    if has_noise:
+        extra_fields += [R_NOISE, R_NSCALE]
 
     def kernel(rec_ref, dyn_ref, med_ref, cam_ref, params_ref, out_ref):
         pid = pl.program_id(0)
@@ -384,8 +456,6 @@ def _make_kernel(kinds, rect_groups, n_dyn, med_kinds, flags, background,
             mat_b = par_b = jnp.zeros((SUB, LANES), f)
             emr = emg = emb = jnp.zeros((SUB, LANES), f)
             alr = alg = alb_ = jnp.zeros((SUB, LANES), f)
-            if has_checker:
-                aor = aog = aob = chk = jnp.zeros((SUB, LANES), f)
 
             a_dd = _dot3(dx, dy, dz, dx, dy, dz)
             inv_a = f(1.0) / a_dd
@@ -409,18 +479,13 @@ def _make_kernel(kinds, rect_groups, n_dyn, med_kinds, flags, background,
                 alb_ = jnp.where(better, r(R_ALB_EVEN + 2), alb_)
                 out = [t_best, nx_b, ny_b, nz_b, mat_b, par_b,
                        emr, emg, emb, alr, alg, alb_]
-                if has_checker:
-                    aor, aog, aob, chk = st[12:]
-                    out += [jnp.where(better, r(R_ALB_ODD), aor),
-                            jnp.where(better, r(R_ALB_ODD + 1), aog),
-                            jnp.where(better, r(R_ALB_ODD + 2), aob),
-                            jnp.where(better, r(R_CHECKER), chk)]
+                out += [jnp.where(better, r(fid), st[12 + i])
+                        for i, fid in enumerate(extra_fields)]
                 return out
 
             st = [t_best, nx_b, ny_b, nz_b, mat_b, par_b,
                   emr, emg, emb, alr, alg, alb_]
-            if has_checker:
-                st += [aor, aog, aob, chk]
+            st += [jnp.zeros((SUB, LANES), f) for _ in extra_fields]
 
             # spheres / moving spheres (reference src/sphere.rs:37-77,
             # :115-118)
@@ -497,11 +562,6 @@ def _make_kernel(kinds, rect_groups, n_dyn, med_kinds, flags, background,
                     t_p = jnp.where(ok, t_p, f(BIG))
                     st = select(r, ok, t_p, nxx, nyy, nzz, st)
 
-            (t_best, nx_b, ny_b, nz_b, mat_b, par_b,
-             emr, emg, emb, alr, alg, alb_) = st[:12]
-            if has_checker:
-                aor, aog, aob, chk = st[12:]
-
             if n_dyn:
                 # ---- dynamic sphere loop: scenes beyond the unroll
                 # budget (e.g. random_spheres' 441 spheres) iterate an
@@ -509,9 +569,8 @@ def _make_kernel(kinds, rect_groups, n_dyn, med_kinds, flags, background,
                 # moving-center form covers static spheres (dc=0,
                 # inv_dt=0 ⇒ frac·dc = 0) ----
                 def dyn_body(p, st):
-                    (t_best, nx_b, ny_b, nz_b, mat_b, par_b,
-                     emr, emg, emb, alr, alg, alb_,
-                     aor, aog, aob, chk) = st
+                    st = list(st)
+                    t_best = st[0]
 
                     def r(i):
                         return dyn_ref[p, i]
@@ -535,40 +594,21 @@ def _make_kernel(kinds, rect_groups, n_dyn, med_kinds, flags, background,
                                     jnp.where(far_ok, t_far, f(BIG)))
                     better = t_p < t_best
                     inv_r = f(1.0) / r(R_RADIUS)
-                    flip = r(R_FLIP)
-                    nxx = (ocx + t_p * dx) * inv_r * flip
-                    nyy = (ocy + t_p * dy) * inv_r * flip
-                    nzz = (ocz + t_p * dz) * inv_r * flip
+                    nxx = (ocx + t_p * dx) * inv_r
+                    nyy = (ocy + t_p * dy) * inv_r
+                    nzz = (ocz + t_p * dz) * inv_r
+                    return tuple(select(r, better, t_p, nxx, nyy, nzz, st))
 
-                    t_best = jnp.where(better, t_p, t_best)
-                    nx_b = jnp.where(better, nxx, nx_b)
-                    ny_b = jnp.where(better, nyy, ny_b)
-                    nz_b = jnp.where(better, nzz, nz_b)
-                    mat_b = jnp.where(better, r(R_MAT), mat_b)
-                    par_b = jnp.where(better, r(R_PARAM), par_b)
-                    emr = jnp.where(better, r(R_EMIT), emr)
-                    emg = jnp.where(better, r(R_EMIT + 1), emg)
-                    emb = jnp.where(better, r(R_EMIT + 2), emb)
-                    alr = jnp.where(better, r(R_ALB_EVEN), alr)
-                    alg = jnp.where(better, r(R_ALB_EVEN + 1), alg)
-                    alb_ = jnp.where(better, r(R_ALB_EVEN + 2), alb_)
-                    aor = jnp.where(better, r(R_ALB_ODD), aor)
-                    aog = jnp.where(better, r(R_ALB_ODD + 1), aog)
-                    aob = jnp.where(better, r(R_ALB_ODD + 2), aob)
-                    chk = jnp.where(better, r(R_CHECKER), chk)
-                    return (t_best, nx_b, ny_b, nz_b, mat_b, par_b,
-                            emr, emg, emb, alr, alg, alb_,
-                            aor, aog, aob, chk)
+                st = list(jax.lax.fori_loop(0, n_dyn, dyn_body, tuple(st)))
 
-                if not has_checker:
-                    aor = aog = aob = chk = jnp.zeros((SUB, LANES), f)
-                (t_best, nx_b, ny_b, nz_b, mat_b, par_b,
-                 emr, emg, emb, alr, alg, alb_,
-                 aor, aog, aob, chk) = jax.lax.fori_loop(
-                    0, n_dyn, dyn_body,
-                    (t_best, nx_b, ny_b, nz_b, mat_b, par_b,
-                     emr, emg, emb, alr, alg, alb_,
-                     aor, aog, aob, chk))
+            (t_best, nx_b, ny_b, nz_b, mat_b, par_b,
+             emr, emg, emb, alr, alg, alb_) = st[:12]
+            pos_x = 12
+            if has_checker:
+                aor, aog, aob, chk = st[pos_x:pos_x + 4]
+                pos_x += 4
+            if has_noise:
+                noiz, nsc = st[pos_x:pos_x + 2]
 
             if has_checker:
                 # checker sign at the winning surface hit point
@@ -582,6 +622,22 @@ def _make_kernel(kinds, rect_groups, n_dyn, med_kinds, flags, background,
                 alr = jnp.where(use_odd, aor, alr)
                 alg = jnp.where(use_odd, aog, alg)
                 alb_ = jnp.where(use_odd, aob, alb_)
+
+            if has_noise:
+                # marble albedo at the winning surface hit point:
+                # 0.5·(1 + sin(scale·x + 5·turb(p, 7))) (reference
+                # src/texture.rs:66-70), Perlin evaluated in-kernel with
+                # the hash-gradient form (ops/perlin.py)
+                px = ox + t_best * dx
+                py = oy + t_best * dy
+                pz = oz + t_best * dz
+                turb = _turb3(px, py, pz, perlin_seed)
+                marble = f(0.5) * (f(1.0)
+                                   + jnp.sin(nsc * px + f(5.0) * turb))
+                use_noise = noiz > f(0.0)
+                alr = jnp.where(use_noise, marble, alr)
+                alg = jnp.where(use_noise, marble, alg)
+                alb_ = jnp.where(use_noise, marble, alb_)
 
             if med_kinds:
                 # ---- ConstantMedium events (reference src/medium.rs:
@@ -845,12 +901,13 @@ def _make_kernel(kinds, rect_groups, n_dyn, med_kinds, flags, background,
 @partial(jax.jit,
          static_argnames=("kinds", "rect_groups", "n_dyn", "med_kinds",
                           "flags", "background", "nx", "ny", "grid",
-                          "interpret", "rr_depth"))
+                          "interpret", "rr_depth", "perlin_seed"))
 def _trace_call(rec, dyn_rec, med_rec, cam_rec, params, kinds, rect_groups,
                 n_dyn, med_kinds, flags, background, nx, ny, grid,
-                interpret=False, rr_depth=None):
+                interpret=False, rr_depth=None, perlin_seed=0):
     kernel = _make_kernel(kinds, rect_groups, n_dyn, med_kinds, flags,
-                          background, nx, ny, rr_depth=rr_depth)
+                          background, nx, ny, rr_depth=rr_depth,
+                          perlin_seed=perlin_seed)
     return pl.pallas_call(
         kernel,
         interpret=interpret,
@@ -923,7 +980,7 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
                 dev_args[di][0], dev_args[di][1], dev_args[di][2],
                 dev_args[di][3], params, kinds, rect_groups, n_dyn,
                 med_kinds, flags, scene.background, nx, ny, g1 - g0,
-                interpret, rr_depth))
+                interpret, rr_depth, scene.perlin_seed))
         # all device dispatches are in flight; gather in order
         lanes = np.concatenate(
             [np.asarray(o).transpose(1, 2, 0).reshape(-1, 3) for o in outs])

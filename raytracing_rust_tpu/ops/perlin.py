@@ -1,34 +1,72 @@
-"""Batched Perlin noise (reference src/perlin.rs).
+"""Batched Perlin noise (reference src/perlin.rs) — hash-gradient form.
 
 The reference builds 256 random unit gradient vectors plus three Fisher-Yates
-permutation tables at texture construction (src/perlin.rs:12-36) and evaluates
-Hermite-smoothed trilinear gradient interpolation per point (src/perlin.rs:38-97)
-and a 7-octave turbulence sum (src/perlin.rs:99-109).
+permutation tables at texture construction (src/perlin.rs:12-26, :28-36) and
+evaluates Hermite-smoothed trilinear gradient interpolation per point
+(src/perlin.rs:38-97) and a 7-octave turbulence sum (src/perlin.rs:99-109).
 
-Deviations from the reference, both deliberate (SURVEY.md §7 quirk (b)):
-* tables come from a seeded `np.random.Generator`, not an unseeded thread RNG —
-  renders are reproducible;
+TPU-first redesign — the tables are replaced by an arithmetic lattice hash:
+
+* the reference's tables come from an UNSEEDED thread RNG (src/perlin.rs:5,13)
+  — every run gets a different noise field, so there is no fixed pattern to
+  match, only a distribution. We therefore derive each lattice corner's
+  gradient from a murmur-style uint32 hash of (i & 255, j & 255, k & 255,
+  seed): two hash uniforms parameterize a uniformly-distributed unit vector
+  (cosθ = 2u₁−1, φ = 2πu₂) — the same gradient distribution as the
+  reference's `random unit vectors`, with the same 256-periodic tiling as
+  its `& 255` index wrap, but deterministic per seed and computable with
+  pure per-lane VPU arithmetic. No tables means no gathers, which Mosaic
+  (the Pallas TPU compiler) does not support per-lane — this is what lets
+  the megakernel evaluate noise in-kernel instead of falling back to XLA.
 * lattice coordinates use a true signed floor. The reference's
-  `floor(p) as usize` saturates negative coordinates to 0 (degenerate noise for
-  p<0); we use the canonical `& 255` wrap for all coordinates.
+  `floor(p) as usize` saturates negative coordinates to 0 (degenerate noise
+  for p < 0); we use the canonical signed wrap for all coordinates.
+
+The interpolation (Hermite weights, gradient dot products, octave sum) is
+unchanged from the reference. `tests/oracle.py::perlin_noise` is the scalar
+f64 mirror of this exact formula; `ops/pallas_tracer.py` carries the
+in-kernel copy. The three implementations share bit-identical integer paths
+(uints throughout; float transcendentals may differ by ulps per backend).
 """
 
 from __future__ import annotations
 
-import numpy as np
+import math
+
 import jax.numpy as jnp
 
-
-def make_tables(seed: int = 0):
-    """Host-side table build (reference src/perlin.rs:12-36)."""
-    rng = np.random.default_rng(np.uint64(seed) + np.uint64(0x9E3779B97F4A7C15))
-    vecs = rng.uniform(-1.0, 1.0, size=(256, 3))
-    vecs /= np.linalg.norm(vecs, axis=-1, keepdims=True)
-    perm = np.stack([rng.permutation(256) for _ in range(3)])
-    return vecs.astype(np.float32), perm.astype(np.int32)
+# hash constants (distinct large odd 32-bit multipliers; murmur3 finalizers)
+HA, HB, HC = 0x8DA6B343, 0xD8163841, 0xCB1AB31F
+HSEED = 0x27D4EB2F
+HM1, HM2, HM3 = 0x9E3779B1, 0x85EBCA6B, 0xC2B2AE35
+INV24 = 1.0 / (1 << 24)
 
 
-def noise(ranvec: jnp.ndarray, perm: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+def _gradient(ci, cj, ck, seed: int):
+    """Unit gradient vector at integer lattice corner (ci, cj, ck) & 255.
+
+    ci/cj/ck: int32 arrays with values already wrapped to [0, 255].
+    Returns (gx, gy, gz) f32 arrays. Mirrors reference src/perlin.rs:12-26
+    (random unit vectors) via two hash uniforms instead of stored tables.
+    """
+    u = jnp.uint32
+    h = ((ci.astype(u) * u(HA)) ^ (cj.astype(u) * u(HB))
+         ^ (ck.astype(u) * u(HC)) ^ u((seed * HSEED) & 0xFFFFFFFF))
+    h = h ^ (h >> u(13))
+    h = h * u(HM1)
+    h = h ^ (h >> u(16))
+    g = (h ^ u(HM2)) * u(HM3)
+    g = g ^ (g >> u(16))
+    f = jnp.float32
+    u1 = (h >> u(8)).astype(jnp.int32).astype(f) * f(INV24)
+    u2 = (g >> u(8)).astype(jnp.int32).astype(f) * f(INV24)
+    cz = f(2.0) * u1 - f(1.0)
+    sz = jnp.sqrt(jnp.maximum(f(0.0), f(1.0) - cz * cz))
+    phi = f(2.0 * math.pi) * u2
+    return sz * jnp.cos(phi), sz * jnp.sin(phi), cz
+
+
+def noise(p: jnp.ndarray, seed: int = 0) -> jnp.ndarray:
     """Gradient noise for points p[..., 3] (reference src/perlin.rs:58-97)."""
     pf = jnp.floor(p)
     uvw = p - pf  # fractional part in [0,1)
@@ -41,12 +79,11 @@ def noise(ranvec: jnp.ndarray, perm: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray
     for di in (0, 1):
         for dj in (0, 1):
             for dk in (0, 1):
-                ix = perm[0, (ijk[..., 0] + di) & 255]
-                iy = perm[1, (ijk[..., 1] + dj) & 255]
-                iz = perm[2, (ijk[..., 2] + dk) & 255]
-                g = ranvec[ix ^ iy ^ iz]  # gradient at lattice corner
-                w = uvw - jnp.asarray([di, dj, dk], p.dtype)
-                dot = jnp.sum(g * w, axis=-1)
+                gx, gy, gz = _gradient((ijk[..., 0] + di) & 255,
+                                       (ijk[..., 1] + dj) & 255,
+                                       (ijk[..., 2] + dk) & 255, seed)
+                dot = (gx * (uvw[..., 0] - di) + gy * (uvw[..., 1] - dj)
+                       + gz * (uvw[..., 2] - dk))
                 wu = di * s[..., 0] + (1 - di) * (1.0 - s[..., 0])
                 wv = dj * s[..., 1] + (1 - dj) * (1.0 - s[..., 1])
                 ww = dk * s[..., 2] + (1 - dk) * (1.0 - s[..., 2])
@@ -54,14 +91,13 @@ def noise(ranvec: jnp.ndarray, perm: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray
     return accum
 
 
-def turb(ranvec: jnp.ndarray, perm: jnp.ndarray, p: jnp.ndarray,
-         depth: int = 7) -> jnp.ndarray:
+def turb(p: jnp.ndarray, depth: int = 7, seed: int = 0) -> jnp.ndarray:
     """Fractal turbulence |Σ 0.5^k noise(2^k p)| (reference src/perlin.rs:99-109)."""
     accum = jnp.zeros(p.shape[:-1], p.dtype)
     weight = 1.0
     q = p
     for _ in range(depth):
-        accum = accum + weight * noise(ranvec, perm, q)
+        accum = accum + weight * noise(q, seed)
         weight *= 0.5
         q = q * 2.0
     return jnp.abs(accum)

@@ -31,7 +31,7 @@ def eval_texture(scene: SceneTables, tex_id, u, v, p):
 
     if scene.has_noise_tex:
         # marble: 0.5·(1 + sin(scale·p.x + 5·turb(p,7))) (src/texture.rs:66-70)
-        turb = perlin.turb(scene.perlin_ranvec, scene.perlin_perm, p, depth=7)
+        turb = perlin.turb(p, depth=7, seed=scene.perlin_seed)
         marble = 0.5 * (1.0 + jnp.sin(scene.tex_scale[tex_id] * p[:, 0]
                                       + 5.0 * turb))
         out = jnp.where((ttype == TEX_NOISE)[:, None], marble[:, None], out)

@@ -143,12 +143,33 @@ def image_value(data, u, v):
     return data[j, i]
 
 
-def perlin_noise(ranvec, perm, p):
-    """reference src/perlin.rs:58-97 with canonical signed floor
-    (the deliberate deviation documented in ops/perlin.py)."""
+def _perlin_gradient(ci, cj, ck, seed=0):
+    """Scalar mirror of ops/perlin._gradient (hash-derived unit vector
+    replacing the reference's random tables, reference src/perlin.rs:12-26 —
+    see the ops/perlin.py module docstring for the rationale)."""
+    M = 0xFFFFFFFF
+    h = (((ci * 0x8DA6B343) & M) ^ ((cj * 0xD8163841) & M)
+         ^ ((ck * 0xCB1AB31F) & M) ^ ((seed * 0x27D4EB2F) & M))
+    h ^= h >> 13
+    h = (h * 0x9E3779B1) & M
+    h ^= h >> 16
+    g = ((h ^ 0x85EBCA6B) * 0xC2B2AE35) & M
+    g ^= g >> 16
+    u1 = np.float32(h >> 8) * np.float32(1.0 / (1 << 24))
+    u2 = np.float32(g >> 8) * np.float32(1.0 / (1 << 24))
+    cz = 2.0 * float(u1) - 1.0
+    sz = math.sqrt(max(0.0, 1.0 - cz * cz))
+    phi = 2.0 * math.pi * float(u2)
+    return np.array([sz * math.cos(phi), sz * math.sin(phi), cz])
+
+
+def perlin_noise(p, seed=0):
+    """reference src/perlin.rs:58-97 with canonical signed floor and
+    hash-derived gradients (the deliberate deviations documented in
+    ops/perlin.py)."""
     pf = np.floor(p)
     u, v, w = p - pf
-    i, j, k = pf.astype(int)
+    i, j, k = (int(x) for x in pf)
     uu = u * u * (3 - 2 * u)
     vv = v * v * (3 - 2 * v)
     ww = w * w * (3 - 2 * w)
@@ -156,9 +177,8 @@ def perlin_noise(ranvec, perm, p):
     for di in range(2):
         for dj in range(2):
             for dk in range(2):
-                g = ranvec[perm[0][(i + di) & 255]
-                           ^ perm[1][(j + dj) & 255]
-                           ^ perm[2][(k + dk) & 255]]
+                g = _perlin_gradient((i + di) & 255, (j + dj) & 255,
+                                     (k + dk) & 255, seed)
                 weight = np.array([u - di, v - dj, w - dk])
                 accum += ((di * uu + (1 - di) * (1 - uu))
                           * (dj * vv + (1 - dj) * (1 - vv))
@@ -167,11 +187,11 @@ def perlin_noise(ranvec, perm, p):
     return accum
 
 
-def perlin_turb(ranvec, perm, p, depth=7):
+def perlin_turb(p, depth=7, seed=0):
     """reference src/perlin.rs:99-109"""
     accum, q, weight = 0.0, np.asarray(p, float).copy(), 1.0
     for _ in range(depth):
-        accum += weight * perlin_noise(ranvec, perm, q)
+        accum += weight * perlin_noise(q, seed)
         weight *= 0.5
         q = q * 2.0
     return abs(accum)

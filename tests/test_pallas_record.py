@@ -25,7 +25,7 @@ def test_cornell_record():
     assert sorted(sum((list(g) for g in groups), [])) == list(range(18))
     assert len(groups) == 9
     assert n_dyn == 0 and med_kinds == ()
-    assert flags == (False, False, False)  # no checker/metal/dielectric
+    assert flags == (False, False, False, False)  # checker/metal/diel/noise
     # light rect (index 2) emits 15
     np.testing.assert_allclose(rec[2, pt.R_EMIT:pt.R_EMIT + 3], 15.0)
     # green wall flip carried
@@ -40,8 +40,8 @@ def test_random_spheres_partition():
         pt.build_scene_record(scene)
     assert n_dyn == scene.num_prims  # all spheres go dynamic
     assert kinds == ()               # no rects; dummy unrolled row
-    has_checker, has_metal, has_diel = flags
-    assert has_checker and has_metal and has_diel
+    has_checker, has_metal, has_diel, has_noise = flags
+    assert has_checker and has_metal and has_diel and not has_noise
     # moving spheres carry a nonzero center span
     moving = np.abs(dyn[:, pt.R_DC:pt.R_DC + 3]).sum(axis=1) > 0
     assert moving.any() and not moving.all()
@@ -63,11 +63,18 @@ def test_smoke_media_records():
 
 def test_unsupported_scenes_fall_back():
     with pytest.raises(pt.UnsupportedScene):
-        pt.build_scene_record(builders.two_perlin_spheres())  # noise tex
-    with pytest.raises(pt.UnsupportedScene):
         pt.build_scene_record(builders.earth())               # image tex
     with pytest.raises(pt.UnsupportedScene):
         pt.build_scene_record(builders.final_scene())         # 2400 rects
+
+
+def test_noise_scene_record():
+    scene = builders.two_perlin_spheres()
+    rec, kinds, groups, dyn, n_dyn, med, med_kinds, flags = \
+        pt.build_scene_record(scene)
+    assert flags == (False, False, False, True)
+    np.testing.assert_allclose(rec[:, pt.R_NOISE], 1.0)
+    np.testing.assert_allclose(rec[:, pt.R_NSCALE], 4.0)  # test.rs:186
 
 
 def test_transformed_prims_hoisted():

@@ -24,7 +24,7 @@ from raytracing_rust_tpu.ops import pallas_tracer as pt
 # every preset the megakernel claims to support (UnsupportedScene presets
 # are asserted separately in test_pallas_record.py)
 KERNEL_PRESETS = ["two_spheres", "cornell_box", "cornell_smoke",
-                  "random_spheres"]
+                  "random_spheres", "two_perlin_spheres", "simple_light"]
 
 
 def _trace(scene, nx, ny, grid, rr_depth=None):
@@ -66,7 +66,7 @@ def test_render_pallas_host_path_cpu_interpret():
 
     def fake_trace(rec, dyn, med, camr, params, kinds, groups, n_dyn,
                    med_kinds, flags, background, nx, ny, grid,
-                   interpret=False, rr_depth=None):
+                   interpret=False, rr_depth=None, perlin_seed=0):
         spp = int(params[1])
         return jnp.full((3, grid * pt.SUB, pt.LANES), 0.25 * spp,
                         jnp.float32)

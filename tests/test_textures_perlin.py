@@ -13,34 +13,48 @@ RT = np.random.default_rng(11)
 
 
 def test_perlin_noise_vs_oracle():
-    ranvec, perm = perlin.make_tables(0)
     # include negative coords — canonical signed-floor behavior
     pts = RT.uniform(-20, 20, (64, 3))
-    got = np.asarray(perlin.noise(jnp.asarray(ranvec), jnp.asarray(perm),
-                                  jnp.asarray(pts, jnp.float32)))
+    got = np.asarray(perlin.noise(jnp.asarray(pts, jnp.float32)))
     for i in range(64):
-        want = oracle.perlin_noise(ranvec, perm, pts[i])
+        want = oracle.perlin_noise(pts[i])
         np.testing.assert_allclose(got[i], want, rtol=1e-3, atol=2e-3)
 
 
 def test_perlin_turb_vs_oracle():
-    ranvec, perm = perlin.make_tables(0)
     pts = RT.uniform(-4, 4, (16, 3))
-    got = np.asarray(perlin.turb(jnp.asarray(ranvec), jnp.asarray(perm),
-                                 jnp.asarray(pts, jnp.float32)))
+    got = np.asarray(perlin.turb(jnp.asarray(pts, jnp.float32)))
     for i in range(16):
-        want = oracle.perlin_turb(ranvec, perm, pts[i])
+        want = oracle.perlin_turb(pts[i])
         # turbulence sums 7 octaves of f32 error at doubled frequencies
         np.testing.assert_allclose(got[i], want, rtol=2e-2, atol=2e-2)
 
 
 def test_perlin_noise_range_and_smoothness():
-    ranvec, perm = perlin.make_tables(0)
     pts = RT.uniform(-50, 50, (512, 3)).astype(np.float32)
-    vals = np.asarray(perlin.noise(jnp.asarray(ranvec), jnp.asarray(perm),
-                                   jnp.asarray(pts)))
+    vals = np.asarray(perlin.noise(jnp.asarray(pts)))
     assert np.all(np.abs(vals) <= 1.0)  # gradient noise bound
     assert vals.std() > 0.05            # not degenerate (negative coords live)
+
+
+def test_perlin_seed_changes_field():
+    pts = jnp.asarray(RT.uniform(-4, 4, (64, 3)), jnp.float32)
+    a = np.asarray(perlin.noise(pts, seed=0))
+    b = np.asarray(perlin.noise(pts, seed=1))
+    assert np.abs(a - b).max() > 0.05  # different seed → different field
+    c = np.asarray(perlin.noise(pts, seed=0))
+    np.testing.assert_array_equal(a, c)  # deterministic per seed
+
+
+def test_perlin_continuity_across_cells():
+    """Gradient noise must be C0 across lattice-cell boundaries — a hash
+    mistake (e.g. wrapping before vs after the +1 corner offset) breaks
+    exactly this."""
+    eps = 1e-4
+    for edge in ([3.0, 1.3, 2.7], [255.9999, 0.5, 0.5], [-1.0, -2.0, -3.0]):
+        lo = np.asarray([oracle.perlin_noise(np.asarray(edge) - eps)])
+        hi = np.asarray([oracle.perlin_noise(np.asarray(edge) + eps)])
+        np.testing.assert_allclose(lo, hi, atol=5e-3)
 
 
 def _eval(scene, tex_id, u, v, p):
@@ -72,9 +86,8 @@ def test_noise_texture_marble():
     scene = b.build()
     pts = RT.uniform(-2, 2, (32, 3))
     got = _eval(scene, tex, np.zeros(32), np.zeros(32), pts)
-    ranvec, perm = perlin.make_tables(0)
     for i in range(32):
-        turb = oracle.perlin_turb(ranvec, perm, pts[i])
+        turb = oracle.perlin_turb(pts[i])
         want = 0.5 * (1.0 + np.sin(4.0 * pts[i][0] + 5.0 * turb))
         np.testing.assert_allclose(got[i], np.full(3, want), atol=0.05)
     assert np.all(got >= 0.0) and np.all(got <= 1.0)
