@@ -106,6 +106,28 @@ def prim_aabbs(scene: SceneTables) -> tuple[np.ndarray, np.ndarray]:
     return lo, hi
 
 
+def _check_stack_depth(left: np.ndarray, right: np.ndarray,
+                       count: np.ndarray) -> None:
+    """Build-time guard for the fixed traversal stack (the traversal
+    clamps writes to MAX_STACK-1, so an over-deep tree would silently
+    drop nodes — fail loudly on the host instead). Each pop pushes at
+    most 2 children, so worst-case occupancy is depth + 1 entries."""
+    depth = np.zeros(len(count), np.int32)
+    todo = [0]
+    maxd = 0
+    while todo:
+        nid = todo.pop()
+        maxd = max(maxd, int(depth[nid]))
+        if count[nid] == 0:  # internal
+            for ch in (left[nid], right[nid]):
+                depth[ch] = depth[nid] + 1
+                todo.append(int(ch))
+    if maxd + 2 > MAX_STACK:
+        raise ValueError(
+            f"BVH depth {maxd} needs a {maxd + 2}-slot traversal stack "
+            f"but MAX_STACK={MAX_STACK}; raise MAX_STACK in accel/bvh.py")
+
+
 def build_bvh(scene: SceneTables, leaf_size: int = LEAF_SIZE,
               prefer_native: bool = True) -> FlatBVH:
     """Median-split build over primitive bbox minima (reference
@@ -122,6 +144,7 @@ def build_bvh(scene: SceneTables, leaf_size: int = LEAF_SIZE,
         res = native.build_bvh_arrays(lo, hi, leaf_size)
         if res is not None:
             nmin, nmax, left, right, count, order = res
+            _check_stack_depth(left, right, count)
             return FlatBVH(
                 node_min=jnp.asarray(nmin),
                 node_max=jnp.asarray(nmax),
@@ -174,6 +197,8 @@ def build_bvh(scene: SceneTables, leaf_size: int = LEAF_SIZE,
     for nid, r in rights:
         right_arr[nid] = r
 
+    _check_stack_depth(np.asarray(node_left, np.int32), right_arr,
+                       np.asarray(node_count, np.int32))
     return FlatBVH(
         node_min=jnp.asarray(np.asarray(node_min), jnp.float32),
         node_max=jnp.asarray(np.asarray(node_max), jnp.float32),

@@ -15,6 +15,7 @@ Output matches the reference exactly: image row 0 is the top scanline
 
 from __future__ import annotations
 
+import hashlib
 import math
 import os
 from functools import partial
@@ -29,6 +30,19 @@ from .ops.camera import Camera, get_rays
 from .ops.integrator import trace
 
 _CAM_FOLD = 1 << 20  # RNG purpose slot for camera jitter draws
+
+
+def _render_digest(scene: SceneTables, cam: Camera, use_bvh: bool) -> int:
+    """63-bit content digest of everything that changes a render's output
+    beyond the explicit ck_meta scalars — scene tables, camera, BVH use —
+    so a stale checkpoint from a different scene/camera is discarded
+    instead of silently merged (ADVICE.md round 1)."""
+    h = hashlib.sha256()
+    for leaf in jax.tree.leaves(scene) + jax.tree.leaves(cam):
+        h.update(np.asarray(leaf).tobytes())
+    h.update(bytes([scene.background, int(use_bvh)]))
+    h.update(int(scene.perlin_seed).to_bytes(8, "little", signed=True))
+    return int.from_bytes(h.digest()[:8], "little") >> 1
 
 
 @partial(jax.jit, static_argnames=("spp", "nx", "ny", "max_depth",
@@ -121,7 +135,8 @@ def render(scene: SceneTables, cam: Camera, nx: int, ny: int, spp: int,
     sums = np.zeros((n_pix, 3), np.float32)
     start_blk = 0
     ck_meta = np.asarray([nx, ny, spp, seed, max_depth, block_pixels,
-                          -1 if rr_depth is None else rr_depth])
+                          -1 if rr_depth is None else rr_depth,
+                          _render_digest(scene, cam, use_bvh)])
     if checkpoint and os.path.exists(checkpoint):
         ck = np.load(checkpoint)
         if np.array_equal(ck["meta"], ck_meta):

@@ -43,3 +43,26 @@ def test_checkpoint_ignored_on_config_change():
         a = render(scene, cam, 32, 32, 4, seed=6, checkpoint=ck)  # new seed
         b = render(scene, cam, 32, 32, 4, seed=6)
     np.testing.assert_array_equal(a, b)
+
+
+def test_checkpoint_ignored_on_scene_or_camera_change():
+    """A checkpoint written for one scene/camera must not seed another
+    render whose explicit meta scalars happen to match (ADVICE.md round 1:
+    stale sums were silently merged)."""
+    preset = builders.PRESETS["two_spheres"]
+    scene = preset.build()
+    cam = preset.camera()
+    other = builders.PRESETS["two_perlin_spheres"].build()
+    with tempfile.TemporaryDirectory() as td:
+        ck = os.path.join(td, "render.npz")
+        render(scene, cam, 32, 32, 4, seed=5, checkpoint=ck)
+        a = render(other, cam, 32, 32, 4, seed=5, checkpoint=ck)
+        b = render(other, cam, 32, 32, 4, seed=5)
+        np.testing.assert_array_equal(a, b)
+        # camera change alone must also invalidate
+        cam2 = builders.PRESETS["two_spheres"].camera()
+        cam2 = type(cam2)(**{**cam2.__dict__, "lens_radius": 0.0})
+        render(scene, cam, 32, 32, 4, seed=7, checkpoint=ck)
+        c = render(scene, cam2, 32, 32, 4, seed=7, checkpoint=ck)
+        d = render(scene, cam2, 32, 32, 4, seed=7)
+        np.testing.assert_array_equal(c, d)

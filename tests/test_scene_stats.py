@@ -18,9 +18,9 @@ from raytracing_rust_tpu.render import render
 EXPECTED = {
     "random_spheres": 0.5891,
     "two_spheres": 0.5503,
-    "two_perlin_spheres": 0.6158,
+    "two_perlin_spheres": 0.6185,  # hash-gradient perlin (round 2)
     "earth": 0.7526,
-    "simple_light": 0.0983,
+    "simple_light": 0.1005,  # hash-gradient perlin (round 2)
     "cornell_box": 0.0876,
     "cornell_smoke": 0.2290,
     "final_scene": 0.1823,

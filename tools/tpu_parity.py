@@ -3,10 +3,17 @@
 
 The megakernel can't run in the CPU test suite (the TPU core PRNG has no
 CPU lowering), so this script is the hardware-side complement to tests/:
-it renders every megakernel-capable scene on BOTH tiers with independent
-RNG and asserts the converged means agree within Monte-Carlo error.
 
-Run on a TPU host:  python tools/tpu_parity.py
+* every megakernel-capable scene renders on BOTH tiers with independent
+  RNG and the converged means must agree within Monte-Carlo error —
+  including a BVH-traversal config and a russian-roulette config so those
+  code paths get hardware coverage too;
+* the two XLA-only scenes (earth: image texture; final_scene: 2400 rects)
+  render on the XLA tier on TPU and their means must sit inside the same
+  statistical bands the CPU suite pins (tests/test_scene_stats.py), so
+  even the fallback path has a hardware-side check.
+
+Run on a TPU host:  python tools/tpu_parity.py [--quick]
 """
 
 import os
@@ -24,41 +31,71 @@ from raytracing_rust_tpu.ops.pallas_tracer import (  # noqa: E402
 from raytracing_rust_tpu.render import render  # noqa: E402
 
 CONFIGS = {
-    # scene: (nx, ny, spp, depth, mean rel tolerance)
-    "two_spheres": (96, 54, 64, 12, 0.02),
-    "random_spheres": (96, 54, 64, 12, 0.02),
-    "simple_light_solid": None,   # noise texture — XLA only, skipped
-    "cornell_box": (64, 64, 128, 16, 0.04),
-    "cornell_smoke": (64, 64, 128, 16, 0.04),
+    # key: (scene, nx, ny, spp, depth, mean rel tolerance, options)
+    "two_spheres": ("two_spheres", 96, 54, 64, 12, 0.02, {}),
+    "random_spheres": ("random_spheres", 96, 54, 64, 12, 0.02, {}),
+    "random_spheres_bvh": ("random_spheres", 96, 54, 64, 12, 0.02,
+                           {"use_bvh": True}),
+    "two_perlin_spheres": ("two_perlin_spheres", 96, 54, 64, 12, 0.02, {}),
+    "simple_light": ("simple_light", 96, 54, 128, 12, 0.04, {}),
+    "cornell_box": ("cornell_box", 64, 64, 128, 16, 0.04, {}),
+    "cornell_box_rr": ("cornell_box", 64, 64, 128, 16, 0.05,
+                       {"rr_depth": 6}),
+    "cornell_smoke": ("cornell_smoke", 64, 64, 128, 16, 0.04, {}),
+}
+
+# XLA-only scenes: render on TPU, check the mean against the CPU suite's
+# statistical band (tests/test_scene_stats.py, 48x27 spp 8 depth 8 seed 11)
+XLA_BANDS = {
+    "earth": 0.7526,
+    "final_scene": 0.1823,
 }
 
 
 def main() -> int:
+    quick = "--quick" in sys.argv
     failures = 0
-    for name, cfg in CONFIGS.items():
-        if cfg is None or name not in PRESETS:
-            continue
-        nx, ny, spp, depth, tol = cfg
+    for key, cfg in CONFIGS.items():
+        name, nx, ny, spp, depth, tol, opts = cfg
+        if quick:
+            spp = max(16, spp // 4)
+            tol *= 2
         preset = PRESETS[name]
         scene = preset.build()
         cam = preset.camera()
         try:
             t0 = time.time()
             a = render_pallas(scene, cam, nx, ny, spp, seed=0,
-                              max_depth=depth)
+                              max_depth=depth,
+                              rr_depth=opts.get("rr_depth"))
             tp = time.time() - t0
         except UnsupportedScene as e:
-            print(f"{name}: SKIP ({e})")
+            print(f"{key}: SKIP ({e})")
             continue
         t0 = time.time()
-        b = render(scene, cam, nx, ny, spp, seed=1, max_depth=depth)
+        b = render(scene, cam, nx, ny, spp, seed=1, max_depth=depth, **opts)
         tx = time.time() - t0
         ma, mb = float(a.mean()), float(b.mean())
         rel = abs(ma - mb) / max(mb, 1e-6)
         ok = np.isfinite(a).all() and rel < tol
-        print(f"{name}: pallas={ma:.4f} ({tp:.0f}s) xla={mb:.4f} ({tx:.0f}s)"
+        print(f"{key}: pallas={ma:.4f} ({tp:.0f}s) xla={mb:.4f} ({tx:.0f}s)"
               f" rel={rel:.3f} tol={tol} {'OK' if ok else 'FAIL'}")
         failures += 0 if ok else 1
+
+    for name, expected in XLA_BANDS.items():
+        preset = PRESETS[name]
+        scene = preset.build()
+        cam = preset.camera()
+        t0 = time.time()
+        img = render(scene, cam, 48, 27, 8, seed=11, max_depth=8)
+        tx = time.time() - t0
+        mean = float(img.mean())
+        ok = np.isfinite(img).all() and 0.8 * expected < mean < 1.2 * expected
+        print(f"{name} (xla-only): mean={mean:.4f} ({tx:.0f}s) "
+              f"band=[{0.8 * expected:.4f}, {1.2 * expected:.4f}] "
+              f"{'OK' if ok else 'FAIL'}")
+        failures += 0 if ok else 1
+
     print("PARITY PASS" if failures == 0 else f"PARITY FAIL ({failures})")
     return 1 if failures else 0
 
