@@ -108,9 +108,10 @@ class SceneTables:
     tex_scale: jax.Array      # f32[Tx]       noise scale
     tex_image: jax.Array      # int32[Tx]     image id
 
-    # image atlas: all images resized into one array (only earthmap in the
-    # reference, so I=1, H=512, W=1024 typically; (1,1,1,3) when unused)
+    # image atlas: all images zero-padded into one array (only earthmap in
+    # the reference, so I=1, H=512, W=1024 typically; (1,1,1,3) when unused)
     images: jax.Array         # f32[I, H, W, 3]
+    image_hw: jax.Array       # int32[I, 2] true (h, w) of each image
 
     # scalar scene config (static python values so jit specializes per scene
     # and scenes don't pay for features they don't use)
@@ -327,13 +328,17 @@ class SceneBuilder:
         M = len(self._mtype)
         if not self._images:
             images = np.zeros((1, 1, 1, 3), np.float32)
+            image_hw = np.ones((1, 2), np.int32)
         else:
-            # pad all to common H, W
+            # pad all to common H, W; true dims kept per image so sampling
+            # never reads a smaller image's zero padding
             h = max(im.shape[0] for im in self._images)
             w = max(im.shape[1] for im in self._images)
             images = np.zeros((len(self._images), h, w, 3), np.float32)
+            image_hw = np.zeros((len(self._images), 2), np.int32)
             for i, im in enumerate(self._images):
                 images[i, : im.shape[0], : im.shape[1]] = im
+                image_hw[i] = im.shape[:2]
 
         def f(x):
             return jnp.asarray(np.asarray(x), dtype)
@@ -366,6 +371,7 @@ class SceneBuilder:
             tex_scale=f(self._tex_scale),
             tex_image=i32(self._tex_image),
             images=jnp.asarray(images, dtype),
+            image_hw=i32(image_hw),
             background=self.background,
             perlin_seed=self.perlin_seed,
             has_media=M > 0,

@@ -38,8 +38,10 @@ def eval_texture(scene: SceneTables, tex_id, u, v, p):
 
     if scene.has_image_tex:
         # nearest-neighbor, v flipped, clamp-to-edge (src/texture.rs:86-108)
+        # — indexed with each image's TRUE dims, not the padded atlas dims
         img_id = scene.tex_image[tex_id]
-        ny, nx = scene.images.shape[1], scene.images.shape[2]
+        ny = scene.image_hw[img_id, 0]
+        nx = scene.image_hw[img_id, 1]
         i = jnp.clip((u * nx).astype(jnp.int32), 0, nx - 1)
         j = jnp.clip(((1.0 - v) * ny).astype(jnp.int32), 0, ny - 1)
         texel = scene.images[img_id, j, i]

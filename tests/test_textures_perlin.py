@@ -107,6 +107,28 @@ def test_image_texture_vs_oracle():
                                    rtol=1e-6)
 
 
+def test_two_images_of_different_sizes():
+    """Per-image true dims: the smaller image must never sample the zero
+    padding of the shared atlas (VERDICT.md round-1 weakness 6)."""
+    big = RT.random((8, 16, 3)).astype(np.float32)
+    small = RT.random((4, 6, 3)).astype(np.float32)
+    b = SceneBuilder()
+    t_big = b.image(big)
+    t_small = b.image(small)
+    b.sphere((0, 0, 0), 1.0, b.lambertian(t_big))
+    b.sphere((3, 0, 0), 1.0, b.lambertian(t_small))
+    scene = b.build()
+    u = RT.random(32)
+    v = RT.random(32)
+    got_b = _eval(scene, t_big, u, v, np.zeros((32, 3)))
+    got_s = _eval(scene, t_small, u, v, np.zeros((32, 3)))
+    for i in range(32):
+        np.testing.assert_allclose(got_b[i], oracle.image_value(big, u[i], v[i]),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(got_s[i], oracle.image_value(small, u[i], v[i]),
+                                   rtol=1e-6)
+
+
 def test_image_texture_clamps_to_edge():
     data = RT.random((8, 16, 3)).astype(np.float32)
     b = SceneBuilder()
