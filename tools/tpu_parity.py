@@ -52,6 +52,23 @@ XLA_BANDS = {
 }
 
 
+def _with_retry(fn, tries=3, backoff=90):
+    # the TPU worker behind the device tunnel occasionally crashes and
+    # needs a minute to recover; the parity sweep must survive that
+    # (same policy as benchlib.run)
+    for attempt in range(tries):
+        try:
+            return fn()
+        except UnsupportedScene:
+            raise
+        except Exception as e:
+            if attempt == tries - 1:
+                raise
+            print(f"  transient backend error ({type(e).__name__}); "
+                  f"retrying in {backoff}s", flush=True)
+            time.sleep(backoff)
+
+
 def main() -> int:
     quick = "--quick" in sys.argv
     failures = 0
@@ -65,15 +82,16 @@ def main() -> int:
         cam = preset.camera()
         try:
             t0 = time.time()
-            a = render_pallas(scene, cam, nx, ny, spp, seed=0,
-                              max_depth=depth,
-                              rr_depth=opts.get("rr_depth"))
+            a = _with_retry(lambda: render_pallas(
+                scene, cam, nx, ny, spp, seed=0, max_depth=depth,
+                rr_depth=opts.get("rr_depth")))
             tp = time.time() - t0
         except UnsupportedScene as e:
             print(f"{key}: SKIP ({e})")
             continue
         t0 = time.time()
-        b = render(scene, cam, nx, ny, spp, seed=1, max_depth=depth, **opts)
+        b = _with_retry(lambda: render(scene, cam, nx, ny, spp, seed=1,
+                                       max_depth=depth, **opts))
         tx = time.time() - t0
         ma, mb = float(a.mean()), float(b.mean())
         rel = abs(ma - mb) / max(mb, 1e-6)
@@ -87,7 +105,8 @@ def main() -> int:
         scene = preset.build()
         cam = preset.camera()
         t0 = time.time()
-        img = render(scene, cam, 48, 27, 8, seed=11, max_depth=8)
+        img = _with_retry(lambda: render(scene, cam, 48, 27, 8, seed=11,
+                                         max_depth=8))
         tx = time.time() - t0
         mean = float(img.mean())
         ok = np.isfinite(img).all() and 0.8 * expected < mean < 1.2 * expected
