@@ -94,43 +94,69 @@ def run(scene: str = "cornell_box_baseline", spp: int | None = None,
     }
 
 
-def grad_fd_err(scene, n_rays: int = 64) -> float:
-    """BASELINE.json metric 2: max abs err of autodiff pixel gradients vs
-    central finite differences, probed on the two largest-gradient texture
-    channels at fixed RNG (at fixed sample paths the depth-3 estimator is
-    piecewise low-degree in albedo, so agreement is near f32 exactness)."""
+def grad_fd_err(scene=None, n_rays: int = 64, max_depth: int = 8) -> float:
+    """BASELINE.json metric 2: worst |autodiff − FD| pixel gradient over a
+    sweep of ≥10 parameters spanning the whole differentiable surface —
+    albedo + emission channels (tex_color), geometry (prim_data: sphere
+    radius and center), metal fuzz and dielectric ref_idx (mat_param), and
+    an image texel (images) — at depth-8 fixed-RNG paths. The probe scene
+    carries every differentiable feature (the bench scene is ignored; kept
+    as an argument for CLI compatibility)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
+    from .models.scene import SceneBuilder, BG_BLACK
     from .ops.integrator import trace
 
-    key = jax.random.key(7)
     rng = np.random.default_rng(5)
-    o = jnp.asarray(np.tile([278.0, 278.0, -500.0], (n_rays, 1)), jnp.float32)
-    d = jnp.asarray(np.stack([rng.uniform(-200, 200, n_rays),
-                              rng.uniform(-200, 200, n_rays),
-                              np.full(n_rays, 600.0)], -1), jnp.float32)
+    b = SceneBuilder(background=BG_BLACK)
+    white = b.lambertian(b.solid(0.73, 0.73, 0.73))
+    red = b.lambertian(b.solid(0.65, 0.05, 0.05))
+    b.rect("zx", -2, -2, 2, 2, 0.0, white)                 # floor
+    b.rect("yz", 0, -2, 4, 2, -2.0, red)                   # left wall
+    b.rect("zx", -1, -1, 1, 1, 4.0,
+           b.diffuse_light(b.solid(5.0, 5.0, 5.0)), flip=True)
+    b.sphere((0.5, 1.0, 0.5), 0.6, b.metal(b.solid(0.8, 0.8, 0.8), 0.3))
+    b.sphere((-0.7, 0.7, -0.3), 0.5, b.dielectric(1.5))
+    texels = rng.uniform(0.1, 0.9, (8, 16, 3)).astype(np.float32)
+    b.sphere((1.2, 0.6, -1.0), 0.6, b.lambertian(b.image(texels)))
+    probe = b.build()
 
-    def loss(tex_color):
-        s2 = type(scene)(**{**scene.__dict__, "tex_color": tex_color})
-        rad = trace(s2, o, d, jnp.zeros(n_rays), key, max_depth=3,
+    key = jax.random.key(7)
+    o = jnp.asarray(np.tile([0.0, 1.5, 6.0], (n_rays, 1)), jnp.float32)
+    d = jnp.asarray(np.stack([rng.uniform(-0.6, 0.6, n_rays),
+                              rng.uniform(-0.4, 0.2, n_rays),
+                              -np.ones(n_rays)], -1), jnp.float32)
+
+    def loss_with(leaf, value):
+        s2 = type(probe)(**{**probe.__dict__, leaf: value})
+        rad = trace(s2, o, d, jnp.zeros(n_rays), key, max_depth=max_depth,
                     differentiable=True)
         return jnp.mean(rad)
 
-    grad = jax.grad(loss)(scene.tex_color)
-    g_np = np.abs(np.asarray(grad))
-    # probe the two largest-|grad| texture channels (guaranteed non-vacuous)
-    flat = np.argsort(g_np.ravel())[::-1][:2]
-    probes = [(int(i // 3), int(i % 3)) for i in flat]
     worst = 0.0
-    base = np.asarray(scene.tex_color, np.float32)
-    for ti, ci in probes:
-        eps = 1e-2
-        hi = base.copy(); hi[ti, ci] += eps
-        lo = base.copy(); lo[ti, ci] -= eps
-        fd = (float(loss(jnp.asarray(hi))) - float(loss(jnp.asarray(lo)))) \
-            / (2 * eps)
-        worst = max(worst, abs(float(grad[ti, ci]) - fd))
+    # (leaf, indices, eps): indices=None means take the top-|grad| entries
+    sweeps = [
+        ("tex_color", None, 2, 1e-2),          # top-2 albedo channels
+        ("tex_color", [(2, 0)], None, 1e-2),   # emission (light solid R)
+        ("prim_data", [(3, 3), (3, 1), (4, 3)], None, 1e-3),  # r, cy, r
+        ("mat_param", [(3,), (4,)], None, 1e-3),  # metal fuzz, ref_idx
+        ("images", None, 2, 1e-2),             # top-2 image texels
+    ]
+    for leaf, idxs, top_k, eps in sweeps:
+        base = np.asarray(getattr(probe, leaf), np.float32)
+        g = jax.grad(loss_with, argnums=1)(leaf, getattr(probe, leaf))
+        g_np = np.asarray(g)
+        if idxs is None:
+            flat = np.argsort(np.abs(g_np).ravel())[::-1][:top_k]
+            idxs = [np.unravel_index(int(i), g_np.shape) for i in flat]
+        for idx in idxs:
+            idx = tuple(idx)
+            hi = base.copy(); hi[idx] += eps
+            lo = base.copy(); lo[idx] -= eps
+            fd = (float(loss_with(leaf, jnp.asarray(hi)))
+                  - float(loss_with(leaf, jnp.asarray(lo)))) / (2 * eps)
+            worst = max(worst, abs(float(g_np[idx]) - fd))
     return float(f"{worst:.3g}")
 
 

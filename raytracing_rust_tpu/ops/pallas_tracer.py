@@ -54,7 +54,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..models.scene import (SceneTables, BG_SKY, MAT_LAMBERTIAN, MAT_METAL,
                             MAT_DIELECTRIC, MAT_DIFFUSE_LIGHT, MAT_ISOTROPIC,
-                            TEX_SOLID, TEX_CHECKER, TEX_NOISE, PRIM_RECT)
+                            TEX_SOLID, TEX_CHECKER, TEX_NOISE, TEX_IMAGE,
+                            PRIM_RECT)
 from .intersect import pack_prims
 from .perlin import _gradient
 
@@ -90,7 +91,11 @@ R_ALB_ODD = 36    # 36..38
 R_CHECKER = 39
 R_NOISE = 40      # 1.0 ⇒ marble (Perlin turbulence) albedo
 R_NSCALE = 41     # noise scale (reference src/texture.rs:66-70)
-REC = 42
+R_IMG = 42        # 1.0 ⇒ image-texture albedo (reference src/texture.rs:73-108)
+R_IMG_BASE = 43   # first row of this prim's image in the packed atlas
+R_IMG_H = 44      # true image height (pre-padding)
+R_IMG_W = 45      # true image width
+REC = 46
 
 # camera scalar record (f32[CAMREC])
 C_ORIGIN, C_LL, C_HORIZ, C_VERT, C_U, C_V = 0, 3, 6, 9, 12, 15
@@ -117,7 +122,7 @@ def build_scene_record(scene: SceneTables):
     """Flatten SceneTables into the [P, REC] scalar record (host side).
 
     Returns (record, kinds, rect_groups, dyn_rec, n_dyn, med_rec,
-    med_kinds, flags): kinds / med_kinds are static tuples controlling the
+    med_kinds, flags, img_packed): kinds / med_kinds are static tuples controlling the
     per-primitive / per-medium unrolls; rect_groups groups unrolled rect
     rows by shared world plane frame (kn, an, bn) so the kernel computes
     the six ray·frame dot products once per FRAME instead of once per
@@ -125,9 +130,11 @@ def build_scene_record(scene: SceneTables):
     UNROLL_BUDGET primitives move their spheres into dyn_rec, iterated by
     a runtime fori_loop with dynamically-indexed SMEM scalar reads (rects
     must fit the unroll); flags is a static (has_checker, has_metal,
-    has_diel, has_noise) tuple that gates whole shading blocks out of
-    scenes that don't use them. Raises UnsupportedScene for image
-    textures (and emissive noise, which no reference scene builds).
+    has_diel, has_noise, has_image) tuple that gates whole shading blocks
+    out of scenes that don't use them; img_packed is the u8-packed image
+    atlas for the in-kernel texel fetch ((8, 128) zeros when unused).
+    Raises UnsupportedScene for features with no in-kernel path (emissive
+    noise/image, flipped or rotated image prims, non-8-bit images).
     """
     pk = jax.tree.map(np.asarray, pack_prims(scene))
     ptype = np.asarray(scene.prim_type)
@@ -201,6 +208,27 @@ def build_scene_record(scene: SceneTables):
                 raise UnsupportedScene("emissive noise texture")
             rec[p, R_NOISE] = 1.0
             rec[p, R_NSCALE] = np.asarray(scene.tex_scale)[tx]
+        elif tt == TEX_IMAGE:
+            # nearest-texel image albedo, fetched in-kernel from the packed
+            # u8 atlas (reference src/texture.rs:73-108). Sphere UV comes
+            # from the post-flip world normal, so only unflipped, unrotated
+            # spheres qualify (the reference's earth is exactly that).
+            if mt == MAT_DIFFUSE_LIGHT:
+                raise UnsupportedScene("emissive image texture")
+            if k == "rect":
+                raise UnsupportedScene("image texture on a rect")
+            if float(np.asarray(scene.prim_flip)[p]) != 1.0:
+                raise UnsupportedScene("image texture on a flipped prim")
+            xf = int(np.asarray(scene.prim_xform)[p])
+            if (float(np.asarray(scene.xf_sin)[xf]) != 0.0
+                    or float(np.asarray(scene.xf_cos)[xf]) != 1.0):
+                raise UnsupportedScene("image texture on a rotated prim")
+            img_id = int(np.asarray(scene.tex_image)[tx])
+            image_hw = np.asarray(scene.image_hw)
+            rec[p, R_IMG] = 1.0
+            rec[p, R_IMG_BASE] = float(img_id * scene.images.shape[1])
+            rec[p, R_IMG_H] = float(image_hw[img_id, 0])
+            rec[p, R_IMG_W] = float(image_hw[img_id, 1])
         else:
             raise UnsupportedScene(f"texture type {tt} needs the XLA tier")
 
@@ -250,7 +278,29 @@ def build_scene_record(scene: SceneTables):
     flags = (bool(np.any(rec[:, R_CHECKER] > 0)),
              bool(np.any(rec[:, R_MAT] == MAT_METAL)),
              bool(np.any(rec[:, R_MAT] == MAT_DIELECTRIC)),
-             bool(np.any(rec[:, R_NOISE] > 0)))
+             bool(np.any(rec[:, R_NOISE] > 0)),
+             bool(np.any(rec[:, R_IMG] > 0)))
+
+    # ---- packed image atlas: one int32 (r<<16 | g<<8 | b) per texel so
+    # the in-kernel 2D gather runs once instead of three times. The
+    # builder stores u8-sourced images as f32(u8/255) (models/scene.py
+    # image()); requiring the exact u8 round-trip keeps the kernel's
+    # u8f/255 texels bit-identical to the XLA tier's atlas values. ----
+    img_packed = np.zeros((8, 128), np.int32)
+    if flags[4]:
+        atlas = np.asarray(scene.images, np.float32)       # (I, H, W, 3)
+        q = np.clip(np.rint(atlas * 255.0), 0, 255).astype(np.int32)
+        if not np.array_equal(q.astype(np.float32) / np.float32(255.0),
+                              atlas):
+            raise UnsupportedScene("image texture is not 8-bit exact")
+        I, H, W, _ = q.shape
+        rows, wpad = I * H, max(-(-W // 128) * 128, 128)
+        img_packed = np.zeros((-(-rows // 8) * 8, wpad), np.int32)
+        img_packed[:rows, :W] = (
+            (q[..., 0] << 16) | (q[..., 1] << 8) | q[..., 2]
+        ).reshape(rows, W)
+        if img_packed.nbytes > 8 * 2 ** 20:
+            raise UnsupportedScene("image atlas too large for VMEM")
 
     # partition: small scenes unroll everything; big scenes unroll rects
     # and run spheres through the dynamic loop
@@ -278,7 +328,7 @@ def build_scene_record(scene: SceneTables):
         groups.setdefault(key, []).append(i)
     rect_groups = tuple(tuple(g) for g in groups.values())
     return (rec, tuple(kinds), rect_groups, dyn_rec, n_dyn, med_rec,
-            tuple(med_kinds), flags)
+            tuple(med_kinds), flags, img_packed)
 
 
 def build_camera_record(cam) -> np.ndarray:
@@ -357,6 +407,89 @@ def _turb3(px, py, pz, seed, depth=7):
     return jnp.abs(accum)
 
 
+def _atan2(y, x):
+    """atan2 via an odd minimax polynomial on [0, 1] (max err ~2e-7 rad).
+
+    Mosaic has no arctan/arctan2/arcsin lowering, so the sphere-UV path
+    builds them from octant reduction + polynomial. A ~1e-7 rad angle
+    error moves u by ~2e-8 — far below half a texel at any realistic
+    image width, so nearest-texel selection matches the XLA tier's
+    jnp.arctan2 everywhere except samples within ~1e-5 texel of a texel
+    boundary (statistically invisible at parity tolerances).
+    """
+    f = jnp.float32
+    ax, ay = jnp.abs(x), jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    t = jnp.minimum(ax, ay) / jnp.maximum(hi, f(1e-37))
+    t2 = t * t
+    # minimax odd series for atan(t), t in [0, 1]
+    p = f(-0.0040540580)
+    for c in (0.0218612288, -0.0559098861, 0.0964200441, -0.1390853351,
+              0.1994653599, -0.3332985605, 0.9999993329):
+        p = p * t2 + f(c)
+    a = p * t
+    a = jnp.where(ay > ax, f(math.pi / 2) - a, a)
+    a = jnp.where(x < f(0.0), f(math.pi) - a, a)
+    return jnp.where(y < f(0.0), -a, a)
+
+
+def _asin(y):
+    return _atan2(y, jnp.sqrt(jnp.maximum(jnp.float32(0.0),
+                                          jnp.float32(1.0) - y * y)))
+
+
+def _image_fetch(img_ref, jrow, icol):
+    """Exact per-lane 2D gather out[r, c] = img[jrow[r, c], icol[r, c]].
+
+    Mosaic's only data-dependent moves are 8-deep sublane gathers and
+    128-wide lane gathers (take_along_axis; wider lane gathers have no
+    lowering), and two gathers do not compose — the second re-indexes
+    the bindings of the first — so a (row, col) texel fetch cannot be
+    built as rows-then-columns over the tile. Instead, iterate the 8
+    destination sublanes with that row's indices broadcast
+    sublane-uniform; then for each 8-row chunk of the image: resolve the
+    column with 128-block lane gathers (operand is source-pure, select
+    by the high index bits is destination-indexed), resolve the row with
+    one sublane gather, and fold into the accumulator by row-chunk id.
+    Cost is (rows/8)·(width/128) gather ops per destination sublane —
+    ~10x a full bounce for a 512x1024 atlas, vs ~400x for the XLA-tier
+    fallback this replaces.
+    """
+    n_rows, wpad = img_ref.shape
+    n_rk, n_kc = n_rows // 8, wpad // 128
+    S, L = jrow.shape
+    n_oc = L // 128
+    jlo, jhi = jrow & 7, jrow >> 3
+    ilo, ihi = icol & 127, icol >> 7
+    out = jnp.zeros((S, L), jnp.int32)
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (S, L), 0)
+    for r in range(S):
+        def bc(a, r=r):
+            return jnp.broadcast_to(a[r:r + 1, :], (S, L))
+
+        jlo_b, jhi_b = bc(jlo), bc(jhi)
+        ilo_b, ihi_b = bc(ilo), bc(ihi)
+
+        def chunk_body(k, acc, jlo_b=jlo_b, jhi_b=jhi_b, ilo_b=ilo_b,
+                       ihi_b=ihi_b):
+            chunk = img_ref[pl.ds(k * 8, 8), :]
+            colres = jnp.zeros((S, L), jnp.int32)
+            for kc in range(n_kc):
+                blk = chunk[:, 128 * kc:128 * (kc + 1)]
+                g = jnp.concatenate(
+                    [jnp.take_along_axis(
+                        blk, ilo_b[:, 128 * oc:128 * (oc + 1)], axis=1)
+                     for oc in range(n_oc)], axis=1)
+                colres = jnp.where(ihi_b == kc, g, colres)
+            rowres = jnp.take_along_axis(colres, jlo_b, axis=0)
+            return jnp.where(jhi_b == k, rowres, acc)
+
+        acc = jax.lax.fori_loop(0, n_rk, chunk_body,
+                                jnp.zeros((S, L), jnp.int32))
+        out = jnp.where(sub_iota == r, acc, out)
+    return out
+
+
 def _make_kernel(kinds, rect_groups, n_dyn, med_kinds, flags, background,
                  nx, ny, rr_depth=None, perlin_seed=0):
     """Build the megakernel body for a static scene structure.
@@ -364,7 +497,7 @@ def _make_kernel(kinds, rect_groups, n_dyn, med_kinds, flags, background,
     spp / max_depth arrive as runtime scalars (params_ref = [seed, spp,
     max_depth]) so one compile serves every sample count.
     """
-    has_checker, has_metal, has_diel, has_noise = flags
+    has_checker, has_metal, has_diel, has_noise, has_image = flags
     f = jnp.float32
 
     # optional per-prim record fields threaded through the hit-selection
@@ -374,8 +507,11 @@ def _make_kernel(kinds, rect_groups, n_dyn, med_kinds, flags, background,
         extra_fields += [R_ALB_ODD, R_ALB_ODD + 1, R_ALB_ODD + 2, R_CHECKER]
     if has_noise:
         extra_fields += [R_NOISE, R_NSCALE]
+    if has_image:
+        extra_fields += [R_IMG, R_IMG_BASE, R_IMG_H, R_IMG_W]
 
-    def kernel(rec_ref, dyn_ref, med_ref, cam_ref, params_ref, out_ref):
+    def kernel(rec_ref, dyn_ref, med_ref, cam_ref, params_ref, img_ref,
+               out_ref):
         pid = pl.program_id(0)
         pltpu.prng_seed(params_ref[0], pid)
         spp_v = params_ref[1].astype(jnp.float32)
@@ -609,6 +745,10 @@ def _make_kernel(kinds, rect_groups, n_dyn, med_kinds, flags, background,
                 pos_x += 4
             if has_noise:
                 noiz, nsc = st[pos_x:pos_x + 2]
+                pos_x += 2
+            if has_image:
+                imgf, ibase, ihh, iww = st[pos_x:pos_x + 4]
+                pos_x += 4
 
             if has_checker:
                 # checker sign at the winning surface hit point
@@ -638,6 +778,37 @@ def _make_kernel(kinds, rect_groups, n_dyn, med_kinds, flags, background,
                 alr = jnp.where(use_noise, marble, alr)
                 alg = jnp.where(use_noise, marble, alg)
                 alb_ = jnp.where(use_noise, marble, alb_)
+
+            if has_image:
+                # nearest-texel image albedo from the winning sphere's
+                # unit normal (reference src/texture.rs:86-108 +
+                # src/sphere.rs:7-15). Build gates image prims to
+                # unflipped, unrotated spheres, so the post-flip world
+                # normal IS the object normal the XLA tier maps
+                # (ops/intersect.py hit_attributes).
+                phi = _atan2(nz_b, nx_b)
+                theta = _asin(jnp.clip(ny_b, f(-1.0), f(1.0)))
+                uu = f(1.0) - (phi + f(math.pi)) * f(0.5 / math.pi)
+                vv = (theta + f(math.pi / 2)) * f(1.0 / math.pi)
+                iww_i = iww.astype(jnp.int32)
+                ihh_i = ihh.astype(jnp.int32)
+                ii = jnp.clip((uu * iww).astype(jnp.int32), 0, iww_i - 1)
+                jj = jnp.clip(((f(1.0) - vv) * ihh).astype(jnp.int32),
+                              0, ihh_i - 1)
+                n_img_rows, img_wpad = img_ref.shape
+                jrow = jnp.clip(ibase.astype(jnp.int32) + jj, 0,
+                                n_img_rows - 1)
+                ii = jnp.clip(ii, 0, img_wpad - 1)
+                packed = _image_fetch(img_ref, jrow, ii)
+                # u8f / 255 is the same correctly-rounded value the
+                # builder stores in the XLA tier's f32 atlas
+                tr = ((packed >> 16) & 255).astype(f) / f(255.0)
+                tg = ((packed >> 8) & 255).astype(f) / f(255.0)
+                tb = (packed & 255).astype(f) / f(255.0)
+                use_img = imgf > f(0.0)
+                alr = jnp.where(use_img, tr, alr)
+                alg = jnp.where(use_img, tg, alg)
+                alb_ = jnp.where(use_img, tb, alb_)
 
             if med_kinds:
                 # ---- ConstantMedium events (reference src/medium.rs:
@@ -902,9 +1073,9 @@ def _make_kernel(kinds, rect_groups, n_dyn, med_kinds, flags, background,
          static_argnames=("kinds", "rect_groups", "n_dyn", "med_kinds",
                           "flags", "background", "nx", "ny", "grid",
                           "interpret", "rr_depth", "perlin_seed"))
-def _trace_call(rec, dyn_rec, med_rec, cam_rec, params, kinds, rect_groups,
-                n_dyn, med_kinds, flags, background, nx, ny, grid,
-                interpret=False, rr_depth=None, perlin_seed=0):
+def _trace_call(rec, dyn_rec, med_rec, cam_rec, params, img, kinds,
+                rect_groups, n_dyn, med_kinds, flags, background, nx, ny,
+                grid, interpret=False, rr_depth=None, perlin_seed=0):
     kernel = _make_kernel(kinds, rect_groups, n_dyn, med_kinds, flags,
                           background, nx, ny, rr_depth=rr_depth,
                           perlin_seed=perlin_seed)
@@ -918,11 +1089,12 @@ def _trace_call(rec, dyn_rec, med_rec, cam_rec, params, kinds, rect_groups,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((3, SUB, LANES), lambda g: (0, g, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, grid * SUB, LANES), jnp.float32),
-    )(rec, dyn_rec, med_rec, cam_rec, params)
+    )(rec, dyn_rec, med_rec, cam_rec, params, img)
 
 
 def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
@@ -941,11 +1113,12 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
     count). Raises UnsupportedScene when the scene needs the XLA tier.
     """
     (rec_np, kinds, rect_groups, dyn_np, n_dyn, med_np, med_kinds,
-     flags) = build_scene_record(scene)
+     flags, img_np) = build_scene_record(scene)
     rec = jnp.asarray(rec_np)
     dyn_rec = jnp.asarray(dyn_np)
     med_rec = jnp.asarray(med_np)
     cam_rec = jnp.asarray(build_camera_record(cam))
+    img_atlas = jnp.asarray(img_np)
     n_pix = nx * ny
     grid = -(-n_pix // TILE)
 
@@ -958,7 +1131,7 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
     bounds = [min(i * per, grid) for i in range(n_dev + 1)]
     bounds[-1] = grid
     dev_args = [tuple(jax.device_put(x, d)
-                      for x in (rec, dyn_rec, med_rec, cam_rec))
+                      for x in (rec, dyn_rec, med_rec, cam_rec, img_atlas))
                 for d in devices]
 
     if spp_chunk is None:
@@ -978,9 +1151,9 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
                              cur, max_depth, g0], jnp.int32), dev)
             outs.append(_trace_call(
                 dev_args[di][0], dev_args[di][1], dev_args[di][2],
-                dev_args[di][3], params, kinds, rect_groups, n_dyn,
-                med_kinds, flags, scene.background, nx, ny, g1 - g0,
-                interpret, rr_depth, scene.perlin_seed))
+                dev_args[di][3], params, dev_args[di][4], kinds,
+                rect_groups, n_dyn, med_kinds, flags, scene.background,
+                nx, ny, g1 - g0, interpret, rr_depth, scene.perlin_seed))
         # all device dispatches are in flight; gather in order
         lanes = np.concatenate(
             [np.asarray(o).transpose(1, 2, 0).reshape(-1, 3) for o in outs])

@@ -18,14 +18,14 @@ REC_FIELDS = dict(mat=pt.R_MAT, emit=pt.R_EMIT, alb=pt.R_ALB_EVEN)
 
 def test_cornell_record():
     scene = builders.cornell_box()
-    rec, kinds, groups, dyn, n_dyn, med, med_kinds, flags = \
+    rec, kinds, groups, dyn, n_dyn, med, med_kinds, flags, img = \
         pt.build_scene_record(scene)
     assert kinds == ("rect",) * 18
     # 18 rects share 9 world frames (axis walls + two rotated boxes)
     assert sorted(sum((list(g) for g in groups), [])) == list(range(18))
     assert len(groups) == 9
     assert n_dyn == 0 and med_kinds == ()
-    assert flags == (False, False, False, False)  # checker/metal/diel/noise
+    assert flags == (False, False, False, False, False)  # checker/metal/diel/noise/image
     # light rect (index 2) emits 15
     np.testing.assert_allclose(rec[2, pt.R_EMIT:pt.R_EMIT + 3], 15.0)
     # green wall flip carried
@@ -36,11 +36,11 @@ def test_cornell_record():
 
 def test_random_spheres_partition():
     scene = builders.random_spheres()
-    rec, kinds, groups, dyn, n_dyn, med, med_kinds, flags = \
+    rec, kinds, groups, dyn, n_dyn, med, med_kinds, flags, img = \
         pt.build_scene_record(scene)
     assert n_dyn == scene.num_prims  # all spheres go dynamic
     assert kinds == ()               # no rects; dummy unrolled row
-    has_checker, has_metal, has_diel, has_noise = flags
+    has_checker, has_metal, has_diel, has_noise, has_image = flags
     assert has_checker and has_metal and has_diel and not has_noise
     # moving spheres carry a nonzero center span
     moving = np.abs(dyn[:, pt.R_DC:pt.R_DC + 3]).sum(axis=1) > 0
@@ -49,7 +49,7 @@ def test_random_spheres_partition():
 
 def test_smoke_media_records():
     scene = builders.cornell_smoke()
-    rec, kinds, groups, dyn, n_dyn, med, med_kinds, flags = \
+    rec, kinds, groups, dyn, n_dyn, med, med_kinds, flags, img = \
         pt.build_scene_record(scene)
     assert med_kinds == ("mbox", "mbox")
     np.testing.assert_allclose(med[:, pt.M_INV_RHO], 100.0)  # 1/0.01
@@ -63,16 +63,36 @@ def test_smoke_media_records():
 
 def test_unsupported_scenes_fall_back():
     with pytest.raises(pt.UnsupportedScene):
-        pt.build_scene_record(builders.earth())               # image tex
-    with pytest.raises(pt.UnsupportedScene):
         pt.build_scene_record(builders.final_scene())         # 2400 rects
+
+
+def test_earth_record_and_atlas():
+    """earth (image texture) runs in-kernel: record fields + packed atlas
+    round-trip exactly to the XLA tier's f32 texels."""
+    scene = builders.earth()
+    rec, kinds, groups, dyn, n_dyn, med, med_kinds, flags, img = \
+        pt.build_scene_record(scene)
+    assert flags[4]  # has_image
+    assert rec[0, pt.R_IMG] == 1.0
+    h, w = np.asarray(scene.image_hw)[0]
+    assert rec[0, pt.R_IMG_H] == float(h)
+    assert rec[0, pt.R_IMG_W] == float(w)
+    assert rec[0, pt.R_IMG_BASE] == 0.0
+    # packed int32 atlas decodes back to the builder's f32 texels exactly
+    atlas = np.asarray(scene.images)[0]            # (H, W, 3)
+    sub = img[:h, :w]
+    dec = np.stack([(sub >> 16) & 255, (sub >> 8) & 255, sub & 255],
+                   axis=-1).astype(np.float32) / np.float32(255.0)
+    np.testing.assert_array_equal(dec, atlas[:h, :w])
+    # padded area (if any) is zero
+    assert img.shape[0] % 8 == 0 and img.shape[1] % 128 == 0
 
 
 def test_noise_scene_record():
     scene = builders.two_perlin_spheres()
-    rec, kinds, groups, dyn, n_dyn, med, med_kinds, flags = \
+    rec, kinds, groups, dyn, n_dyn, med, med_kinds, flags, img = \
         pt.build_scene_record(scene)
-    assert flags == (False, False, False, True)
+    assert flags == (False, False, False, True, False)
     np.testing.assert_allclose(rec[:, pt.R_NOISE], 1.0)
     np.testing.assert_allclose(rec[:, pt.R_NSCALE], 4.0)  # test.rs:186
 

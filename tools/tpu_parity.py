@@ -8,9 +8,9 @@ CPU lowering), so this script is the hardware-side complement to tests/:
   RNG and the converged means must agree within Monte-Carlo error —
   including a BVH-traversal config and a russian-roulette config so those
   code paths get hardware coverage too;
-* the two XLA-only scenes (earth: image texture; final_scene: 2400 rects)
-  render on the XLA tier on TPU and their means must sit inside the same
-  statistical bands the CPU suite pins (tests/test_scene_stats.py), so
+* the XLA-only scene (final_scene: 2400 rects beyond the unroll budget)
+  renders on the XLA tier on TPU and its mean must sit inside the same
+  statistical band the CPU suite pins (tests/test_scene_stats.py), so
   even the fallback path has a hardware-side check.
 
 Run on a TPU host:  python tools/tpu_parity.py [--quick]
@@ -42,12 +42,12 @@ CONFIGS = {
     "cornell_box_rr": ("cornell_box", 64, 64, 128, 16, 0.05,
                        {"rr_depth": 6}),
     "cornell_smoke": ("cornell_smoke", 64, 64, 128, 16, 0.04, {}),
+    "earth": ("earth", 96, 54, 64, 12, 0.02, {}),
 }
 
 # XLA-only scenes: render on TPU, check the mean against the CPU suite's
 # statistical band (tests/test_scene_stats.py, 48x27 spp 8 depth 8 seed 11)
 XLA_BANDS = {
-    "earth": 0.7526,
     "final_scene": 0.1823,
 }
 
