@@ -105,34 +105,55 @@ def grad_fd_err(scene=None, n_rays: int = 64, max_depth: int = 8) -> float:
     import jax
     import jax.numpy as jnp
     import numpy as np
-    from .models.scene import SceneBuilder, BG_BLACK
+    from .models.scene import SceneBuilder, BG_SKY
     from .ops.integrator import trace
 
     rng = np.random.default_rng(5)
-    b = SceneBuilder(background=BG_BLACK)
+    # sky background so every escaping path carries the attenuation
+    # product (with a black bg, fixed-RNG paths that never reach the
+    # light have a genuinely zero gradient — vacuous probes)
+    b = SceneBuilder(background=BG_SKY)
     white = b.lambertian(b.solid(0.73, 0.73, 0.73))
     red = b.lambertian(b.solid(0.65, 0.05, 0.05))
     b.rect("zx", -2, -2, 2, 2, 0.0, white)                 # floor
     b.rect("yz", 0, -2, 4, 2, -2.0, red)                   # left wall
     b.rect("zx", -1, -1, 1, 1, 4.0,
            b.diffuse_light(b.solid(5.0, 5.0, 5.0)), flip=True)
-    b.sphere((0.5, 1.0, 0.5), 0.6, b.metal(b.solid(0.8, 0.8, 0.8), 0.3))
-    b.sphere((-0.7, 0.7, -0.3), 0.5, b.dielectric(1.5))
+    centers = [(0.5, 1.0, 0.5), (-0.7, 0.7, -0.3), (1.2, 0.6, -1.0)]
+    b.sphere(centers[0], 0.6, b.metal(b.solid(0.8, 0.8, 0.8), 0.3))
+    b.sphere(centers[1], 0.5, b.dielectric(1.5))
     texels = rng.uniform(0.1, 0.9, (8, 16, 3)).astype(np.float32)
-    b.sphere((1.2, 0.6, -1.0), 0.6, b.lambertian(b.image(texels)))
+    b.sphere(centers[2], 0.6, b.lambertian(b.image(texels)))
     probe = b.build()
 
     key = jax.random.key(7)
-    o = jnp.asarray(np.tile([0.0, 1.5, 6.0], (n_rays, 1)), jnp.float32)
-    d = jnp.asarray(np.stack([rng.uniform(-0.6, 0.6, n_rays),
-                              rng.uniform(-0.4, 0.2, n_rays),
-                              -np.ones(n_rays)], -1), jnp.float32)
+    origin = np.array([0.0, 1.5, 6.0], np.float32)
+    o = jnp.asarray(np.tile(origin, (n_rays, 1)), jnp.float32)
+    # aim rays well inside each sphere's silhouette (jitter ≤ 0.4·r) so
+    # an FD step never flips the hit set, plus a wide spread for the
+    # walls/light; this keeps every probe non-vacuous and FD smooth
+    per = n_rays // 4
+    dirs = []
+    for c in centers:
+        to_c = np.asarray(c, np.float32) - origin
+        jit = rng.uniform(-0.4 * 0.5, 0.4 * 0.5, (per, 3)).astype(np.float32)
+        dirs.append(to_c / np.abs(to_c[2]) + jit / np.abs(to_c[2]))
+    nw = n_rays - 3 * per
+    dirs.append(np.stack([rng.uniform(-0.6, 0.6, nw),
+                          rng.uniform(-0.4, 0.2, nw),
+                          -np.ones(nw)], -1).astype(np.float32))
+    d = jnp.asarray(np.concatenate(dirs))
 
-    def loss_with(leaf, value):
-        s2 = type(probe)(**{**probe.__dict__, leaf: value})
-        rad = trace(s2, o, d, jnp.zeros(n_rays), key, max_depth=max_depth,
+    # one jitted loss over the whole scene pytree: every FD probe reuses
+    # the same executable (same shapes/structure), so the sweep costs two
+    # compiles total instead of one per leaf
+    @jax.jit
+    def loss(s):
+        rad = trace(s, o, d, jnp.zeros(n_rays), key, max_depth=max_depth,
                     differentiable=True)
         return jnp.mean(rad)
+
+    grads = jax.jit(jax.grad(loss, allow_int=True))(probe)
 
     worst = 0.0
     # (leaf, indices, eps): indices=None means take the top-|grad| entries
@@ -145,8 +166,7 @@ def grad_fd_err(scene=None, n_rays: int = 64, max_depth: int = 8) -> float:
     ]
     for leaf, idxs, top_k, eps in sweeps:
         base = np.asarray(getattr(probe, leaf), np.float32)
-        g = jax.grad(loss_with, argnums=1)(leaf, getattr(probe, leaf))
-        g_np = np.asarray(g)
+        g_np = np.asarray(getattr(grads, leaf))
         if idxs is None:
             flat = np.argsort(np.abs(g_np).ravel())[::-1][:top_k]
             idxs = [np.unravel_index(int(i), g_np.shape) for i in flat]
@@ -154,8 +174,9 @@ def grad_fd_err(scene=None, n_rays: int = 64, max_depth: int = 8) -> float:
             idx = tuple(idx)
             hi = base.copy(); hi[idx] += eps
             lo = base.copy(); lo[idx] -= eps
-            fd = (float(loss_with(leaf, jnp.asarray(hi)))
-                  - float(loss_with(leaf, jnp.asarray(lo)))) / (2 * eps)
+            s_hi = type(probe)(**{**probe.__dict__, leaf: jnp.asarray(hi)})
+            s_lo = type(probe)(**{**probe.__dict__, leaf: jnp.asarray(lo)})
+            fd = (float(loss(s_hi)) - float(loss(s_lo))) / (2 * eps)
             worst = max(worst, abs(float(g_np[idx]) - fd))
     return float(f"{worst:.3g}")
 
