@@ -112,29 +112,147 @@ MEDREC = 22
 
 
 UNROLL_BUDGET = 96  # prims unrolled at trace time; spheres beyond go dynamic
+SPH_LEAF = 16       # dynamic-sphere cluster leaf size
+BOX_LEAF = 8        # box cluster leaf size
 
 
 class UnsupportedScene(ValueError):
     """Scene uses features outside the megakernel's coverage."""
 
 
+def _merge_boxes(rec, kinds):
+    """Collapse runs of 6 axis-aligned rects that tile a box (the
+    reference's Cube, src/cube.rs:20-74) into single box rows.
+
+    A box row reuses the REC layout: lo in R_C0..+3, hi in R_DC..+3,
+    material fields verbatim from the member rects. The kernel's box
+    intersector reproduces the 6-rect semantics exactly (entry/exit face
+    via the slab test, face normal = +axis like the reference's rects).
+    Returns (box_rows [B, REC], member_mask [P] bool).
+    """
+    P = len(kinds)
+    member = np.zeros(P, bool)
+    boxes = []
+    tol = 1e-4
+
+    def unit_axis(v):
+        a = int(np.argmax(np.abs(v)))
+        if abs(abs(v[a]) - 1.0) > 1e-6 or np.sum(np.abs(v)) > 1.0 + 1e-6:
+            return None, 0.0
+        return a, float(np.sign(v[a]))
+
+    p = 0
+    while p + 6 <= P:
+        run = list(range(p, p + 6))
+        if any(kinds[q] != "rect" for q in run):
+            p += 1
+            continue
+        # identical material/shading fields across the run
+        if not np.allclose(rec[run, R_FLIP:REC], rec[p, R_FLIP:REC],
+                           atol=0.0):
+            p += 1
+            continue
+        faces = {}   # k-axis -> [plane offsets]; plus world bounds check
+        ok = True
+        lo = np.full(3, np.inf)
+        hi = np.full(3, -np.inf)
+        planes = []
+        for q in run:
+            ka, ks = unit_axis(rec[q, R_KN:R_KN + 3])
+            aa, _ = unit_axis(rec[q, R_AN:R_AN + 3])
+            ba, _ = unit_axis(rec[q, R_BN:R_BN + 3])
+            if ka is None or aa is None or ba is None or ks < 0:
+                ok = False
+                break
+            koff = rec[q, R_KOFF] * ks
+            a0 = rec[q, R_A0] + rec[q, R_AOFF]
+            a1 = rec[q, R_A1] + rec[q, R_AOFF]
+            b0 = rec[q, R_B0] + rec[q, R_BOFF]
+            b1 = rec[q, R_B1] + rec[q, R_BOFF]
+            faces.setdefault(ka, []).append(koff)
+            planes.append((ka, aa, ba, a0, a1, b0, b1))
+            lo[ka] = min(lo[ka], koff)
+            hi[ka] = max(hi[ka], koff)
+            lo[aa], hi[aa] = min(lo[aa], a0), max(hi[aa], a1)
+            lo[ba], hi[ba] = min(lo[ba], b0), max(hi[ba], b1)
+        if ok:
+            ok = sorted(faces) == [0, 1, 2] and \
+                all(len(v) == 2 for v in faces.values())
+        if ok:
+            for ka, aa, ba, a0, a1, b0, b1 in planes:
+                if (abs(a0 - lo[aa]) > tol or abs(a1 - hi[aa]) > tol
+                        or abs(b0 - lo[ba]) > tol or abs(b1 - hi[ba]) > tol):
+                    ok = False
+                    break
+        if not ok:
+            p += 1
+            continue
+        row = rec[p].copy()
+        row[:R_FLIP] = 0.0
+        row[R_C0:R_C0 + 3] = lo
+        row[R_DC:R_DC + 3] = hi
+        boxes.append(row)
+        member[run] = True
+        p += 6
+    box_rows = (np.stack(boxes).astype(np.float32) if boxes
+                else np.zeros((0, REC), np.float32))
+    return box_rows, member
+
+
+def _cluster_rows(rows, lo, hi, leaf):
+    """Recursive median split on AABB centroids → flat leaf clusters.
+
+    Returns (rows reordered cluster-contiguously, clusters f32[C, 8] =
+    (lo3, hi3, start, count)). The kernel slab-tests each cluster AABB
+    against the whole lane tile and skips the member loop when no live
+    lane can hit it (lane-coherent cull; CLAUDE.md round-1 plan).
+    """
+    clusters = []
+    order = []
+
+    def split(idx):
+        if len(idx) <= leaf:
+            start = len(order)
+            order.extend(idx.tolist())
+            clo, chi = lo[idx].min(0), hi[idx].max(0)
+            clusters.append([*clo, *chi, float(start), float(len(idx))])
+            return
+        cen = (lo[idx] + hi[idx]) * 0.5
+        ax = int(np.argmax(cen.max(0) - cen.min(0)))
+        ordax = np.argsort(cen[:, ax], kind="stable")
+        half = len(idx) // 2
+        split(idx[ordax[:half]])
+        split(idx[ordax[half:]])
+
+    if len(rows):
+        split(np.arange(len(rows)))
+    return (rows[np.asarray(order, int)] if order else rows,
+            np.asarray(clusters, np.float32) if clusters
+            else np.zeros((1, 8), np.float32))
+
+
 def build_scene_record(scene: SceneTables):
     """Flatten SceneTables into the [P, REC] scalar record (host side).
 
-    Returns (record, kinds, rect_groups, dyn_rec, n_dyn, med_rec,
-    med_kinds, flags, img_packed): kinds / med_kinds are static tuples controlling the
-    per-primitive / per-medium unrolls; rect_groups groups unrolled rect
-    rows by shared world plane frame (kn, an, bn) so the kernel computes
-    the six ray·frame dot products once per FRAME instead of once per
-    rect (cornell's 18 rects share 9 frames); scenes with more than
-    UNROLL_BUDGET primitives move their spheres into dyn_rec, iterated by
-    a runtime fori_loop with dynamically-indexed SMEM scalar reads (rects
-    must fit the unroll); flags is a static (has_checker, has_metal,
-    has_diel, has_noise, has_image) tuple that gates whole shading blocks
-    out of scenes that don't use them; img_packed is the u8-packed image
-    atlas for the in-kernel texel fetch ((8, 128) zeros when unused).
-    Raises UnsupportedScene for features with no in-kernel path (emissive
-    noise/image, flipped or rotated image prims, non-8-bit images).
+    Returns (record, kinds, rect_groups, dyn_rec, n_dyn, box_rec, n_box,
+    sclus, bclus, med_rec, med_kinds, flags, img_packed): kinds /
+    med_kinds are static tuples controlling the per-primitive /
+    per-medium unrolls; rect_groups groups unrolled rect rows by shared
+    world plane frame (kn, an, bn) so the kernel computes the six
+    ray·frame dot products once per FRAME instead of once per rect
+    (cornell's 18 rects share 9 frames). Scenes with more than
+    UNROLL_BUDGET primitives move their spheres into dyn_rec and their
+    axis-aligned cubes (runs of 6 rects tiling a box — the reference's
+    Cube, src/cube.rs:20-74) into box_rec, both cluster-sorted with
+    cluster AABB tables (sclus/bclus, f32[C, 8] = lo3+hi3+start+count)
+    the kernel slab-tests to skip whole leaves per bounce; leftover
+    rects must fit the unroll. flags is a static (has_checker,
+    has_metal, has_diel, has_noise, has_image) tuple that gates whole
+    shading blocks out of scenes that don't use them; img_packed is the
+    u8-packed image atlas for the in-kernel texel fetch ((8, 128) zeros
+    when unused). Raises UnsupportedScene for features with no
+    in-kernel path (emissive noise/image, flipped or rotated image
+    prims, non-8-bit images, non-box rects beyond the unroll budget).
     """
     pk = jax.tree.map(np.asarray, pack_prims(scene))
     ptype = np.asarray(scene.prim_type)
@@ -302,20 +420,40 @@ def build_scene_record(scene: SceneTables):
         if img_packed.nbytes > 8 * 2 ** 20:
             raise UnsupportedScene("image atlas too large for VMEM")
 
-    # partition: small scenes unroll everything; big scenes unroll rects
-    # and run spheres through the dynamic loop
+    # partition: small scenes unroll everything; big scenes unroll the
+    # leftover rects, collapse axis-aligned cubes into box rows, and run
+    # spheres + boxes through cluster-culled dynamic SMEM loops
     dyn_rec = np.zeros((1, REC), np.float32)
     n_dyn = 0
+    box_rec = np.zeros((1, REC), np.float32)
+    n_box = 0
+    sclus = np.zeros((1, 8), np.float32)
+    bclus = np.zeros((1, 8), np.float32)
     if P > UNROLL_BUDGET:
         is_rect = np.array([k == "rect" for k in kinds])
-        if int(is_rect.sum()) > UNROLL_BUDGET:
+        box_rows, in_box = _merge_boxes(rec, kinds)
+        rect_left = is_rect & ~in_box
+        if int(rect_left.sum()) > UNROLL_BUDGET:
             raise UnsupportedScene(
-                f"{int(is_rect.sum())} rects exceed the unrolled-loop "
-                "budget; the XLA tier handles this scene")
-        dyn_rec = np.ascontiguousarray(rec[~is_rect])
-        n_dyn = int((~is_rect).sum())
-        rec = np.ascontiguousarray(rec[is_rect])
-        kinds = [k for k in kinds if k == "rect"]
+                f"{int(rect_left.sum())} non-box rects exceed the "
+                "unrolled-loop budget; the XLA tier handles this scene")
+        # dynamic spheres, cluster-sorted; AABB = swept center ± r
+        sph = rec[~is_rect]
+        n_dyn = len(sph)
+        if n_dyn:
+            c0 = sph[:, R_C0:R_C0 + 3]
+            c1 = c0 + sph[:, R_DC:R_DC + 3]
+            r_ = sph[:, R_RADIUS:R_RADIUS + 1]
+            dyn_rec, sclus = _cluster_rows(
+                np.ascontiguousarray(sph), np.minimum(c0, c1) - r_,
+                np.maximum(c0, c1) + r_, SPH_LEAF)
+        n_box = len(box_rows)
+        if n_box:
+            box_rec, bclus = _cluster_rows(
+                box_rows, box_rows[:, R_C0:R_C0 + 3],
+                box_rows[:, R_DC:R_DC + 3], BOX_LEAF)
+        rec = np.ascontiguousarray(rec[rect_left])
+        kinds = [k for i, k in enumerate(kinds) if rect_left[i]]
         if not kinds:  # SMEM inputs need at least one row
             rec = np.zeros((1, REC), np.float32)
 
@@ -327,8 +465,8 @@ def build_scene_record(scene: SceneTables):
         key = tuple(np.round(rec[i, R_KN:R_BN + 3], 5).tolist())
         groups.setdefault(key, []).append(i)
     rect_groups = tuple(tuple(g) for g in groups.values())
-    return (rec, tuple(kinds), rect_groups, dyn_rec, n_dyn, med_rec,
-            tuple(med_kinds), flags, img_packed)
+    return (rec, tuple(kinds), rect_groups, dyn_rec, n_dyn, box_rec, n_box,
+            sclus, bclus, med_rec, tuple(med_kinds), flags, img_packed)
 
 
 def build_camera_record(cam) -> np.ndarray:
@@ -454,6 +592,11 @@ def _image_fetch(img_ref, jrow, icol):
     Cost is (rows/8)·(width/128) gather ops per destination sublane —
     ~10x a full bounce for a 512x1024 atlas, vs ~400x for the XLA-tier
     fallback this replaces.
+
+    The chunk loop is runtime-gated: a lane tile is ~10 adjacent image
+    rows, whose sphere hits span a narrow latitude band, so typically
+    <10% of the atlas row-chunks are touched — the cond skips the other
+    90%+ of the gather work (the dominant term).
     """
     n_rows, wpad = img_ref.shape
     n_rk, n_kc = n_rows // 8, wpad // 128
@@ -461,37 +604,38 @@ def _image_fetch(img_ref, jrow, icol):
     n_oc = L // 128
     jlo, jhi = jrow & 7, jrow >> 3
     ilo, ihi = icol & 127, icol >> 7
-    out = jnp.zeros((S, L), jnp.int32)
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (S, L), 0)
-    for r in range(S):
-        def bc(a, r=r):
-            return jnp.broadcast_to(a[r:r + 1, :], (S, L))
 
-        jlo_b, jhi_b = bc(jlo), bc(jhi)
-        ilo_b, ihi_b = bc(ilo), bc(ihi)
-
-        def chunk_body(k, acc, jlo_b=jlo_b, jhi_b=jhi_b, ilo_b=ilo_b,
-                       ihi_b=ihi_b):
+    def chunk_body(k, out):
+        def active(out):
             chunk = img_ref[pl.ds(k * 8, 8), :]
-            colres = jnp.zeros((S, L), jnp.int32)
-            for kc in range(n_kc):
-                blk = chunk[:, 128 * kc:128 * (kc + 1)]
-                g = jnp.concatenate(
-                    [jnp.take_along_axis(
-                        blk, ilo_b[:, 128 * oc:128 * (oc + 1)], axis=1)
-                     for oc in range(n_oc)], axis=1)
-                colres = jnp.where(ihi_b == kc, g, colres)
-            rowres = jnp.take_along_axis(colres, jlo_b, axis=0)
-            return jnp.where(jhi_b == k, rowres, acc)
+            for r in range(S):
+                def bc(a, r=r):
+                    return jnp.broadcast_to(a[r:r + 1, :], (S, L))
 
-        acc = jax.lax.fori_loop(0, n_rk, chunk_body,
-                                jnp.zeros((S, L), jnp.int32))
-        out = jnp.where(sub_iota == r, acc, out)
-    return out
+                jlo_b, jhi_b = bc(jlo), bc(jhi)
+                ilo_b, ihi_b = bc(ilo), bc(ihi)
+                colres = jnp.zeros((S, L), jnp.int32)
+                for kc in range(n_kc):
+                    blk = chunk[:, 128 * kc:128 * (kc + 1)]
+                    g = jnp.concatenate(
+                        [jnp.take_along_axis(
+                            blk, ilo_b[:, 128 * oc:128 * (oc + 1)], axis=1)
+                         for oc in range(n_oc)], axis=1)
+                    colres = jnp.where(ihi_b == kc, g, colres)
+                rowres = jnp.take_along_axis(colres, jlo_b, axis=0)
+                out = jnp.where((sub_iota == r) & (jhi_b == k), rowres, out)
+            return out
+
+        return jax.lax.cond(jnp.any(jhi == k), active, lambda o: o, out)
+
+    return jax.lax.fori_loop(0, n_rk, chunk_body,
+                             jnp.zeros((S, L), jnp.int32))
 
 
-def _make_kernel(kinds, rect_groups, n_dyn, med_kinds, flags, background,
-                 nx, ny, rr_depth=None, perlin_seed=0):
+def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
+                 med_kinds, flags, background, nx, ny, rr_depth=None,
+                 perlin_seed=0):
     """Build the megakernel body for a static scene structure.
 
     spp / max_depth arrive as runtime scalars (params_ref = [seed, spp,
@@ -510,8 +654,8 @@ def _make_kernel(kinds, rect_groups, n_dyn, med_kinds, flags, background,
     if has_image:
         extra_fields += [R_IMG, R_IMG_BASE, R_IMG_H, R_IMG_W]
 
-    def kernel(rec_ref, dyn_ref, med_ref, cam_ref, params_ref, img_ref,
-               out_ref):
+    def kernel(rec_ref, dyn_ref, box_ref, sclus_ref, bclus_ref, med_ref,
+               cam_ref, params_ref, img_ref, out_ref):
         pid = pl.program_id(0)
         pltpu.prng_seed(params_ref[0], pid)
         spp_v = params_ref[1].astype(jnp.float32)
@@ -698,12 +842,58 @@ def _make_kernel(kinds, rect_groups, n_dyn, med_kinds, flags, background,
                     t_p = jnp.where(ok, t_p, f(BIG))
                     st = select(r, ok, t_p, nxx, nyy, nzz, st)
 
+            if n_dyn or n_box:
+                # safe reciprocal direction for the slab tests: exact-zero
+                # components get a huge signed inverse so parallel rays
+                # outside a slab miss and inside-slab rays pass (reference
+                # src/aabb.rs:31-44 relies on IEEE inf; Mosaic NaN
+                # comparisons make 0·inf unsafe, hence the clamp)
+                def _sinv(dc):
+                    sgn = jnp.where(dc >= f(0.0), f(1e30), f(-1e30))
+                    return jnp.where(jnp.abs(dc) < f(1e-30), sgn,
+                                     f(1.0) / dc)
+
+                inv_dx, inv_dy, inv_dz = _sinv(dx), _sinv(dy), _sinv(dz)
+
+                def _slab(lo0, lo1, lo2, hi0, hi1, hi2):
+                    t0 = (lo0 - ox) * inv_dx
+                    t1 = (hi0 - ox) * inv_dx
+                    tmn = jnp.minimum(t0, t1)
+                    tmx = jnp.maximum(t0, t1)
+                    t0 = (lo1 - oy) * inv_dy
+                    t1 = (hi1 - oy) * inv_dy
+                    tmn = jnp.maximum(tmn, jnp.minimum(t0, t1))
+                    tmx = jnp.minimum(tmx, jnp.maximum(t0, t1))
+                    t0 = (lo2 - oz) * inv_dz
+                    t1 = (hi2 - oz) * inv_dz
+                    tmn = jnp.maximum(tmn, jnp.minimum(t0, t1))
+                    tmx = jnp.minimum(tmx, jnp.maximum(t0, t1))
+                    return tmn, tmx
+
+                def _clus_guard(clus_ref, c, st, inner):
+                    # skip a whole leaf when no live lane's ray crosses
+                    # its AABB closer than that lane's current best hit
+                    lo0, lo1, lo2 = (clus_ref[c, 0], clus_ref[c, 1],
+                                     clus_ref[c, 2])
+                    hi0, hi1, hi2 = (clus_ref[c, 3], clus_ref[c, 4],
+                                     clus_ref[c, 5])
+                    start = clus_ref[c, 6].astype(jnp.int32)
+                    cnt = clus_ref[c, 7].astype(jnp.int32)
+                    tmn, tmx = _slab(lo0, lo1, lo2, hi0, hi1, hi2)
+                    cross = ((tmx > jnp.maximum(tmn, f(T_MIN)))
+                             & (tmn < st[0]) & (alive > f(0.0)))
+                    return jax.lax.cond(
+                        jnp.any(cross),
+                        lambda s: jax.lax.fori_loop(start, start + cnt,
+                                                    inner, s),
+                        lambda s: s, tuple(st))
+
             if n_dyn:
                 # ---- dynamic sphere loop: scenes beyond the unroll
-                # budget (e.g. random_spheres' 441 spheres) iterate an
-                # SMEM table with runtime-indexed scalar reads; the
-                # moving-center form covers static spheres (dc=0,
-                # inv_dt=0 ⇒ frac·dc = 0) ----
+                # budget (e.g. random_spheres' 441 spheres, final_scene's
+                # 1006) iterate an SMEM table with runtime-indexed scalar
+                # reads, cluster-culled per leaf; the moving-center form
+                # covers static spheres (dc=0, inv_dt=0 ⇒ frac·dc = 0) ----
                 def dyn_body(p, st):
                     st = list(st)
                     t_best = st[0]
@@ -735,7 +925,56 @@ def _make_kernel(kinds, rect_groups, n_dyn, med_kinds, flags, background,
                     nzz = (ocz + t_p * dz) * inv_r
                     return tuple(select(r, better, t_p, nxx, nyy, nzz, st))
 
-                st = list(jax.lax.fori_loop(0, n_dyn, dyn_body, tuple(st)))
+                def sclus_body(c, st):
+                    return _clus_guard(sclus_ref, c, st, dyn_body)
+
+                st = list(jax.lax.fori_loop(0, n_sclus, sclus_body,
+                                            tuple(st)))
+
+            if n_box:
+                # ---- dynamic box loop (merged axis-aligned cubes,
+                # reference src/cube.rs:20-74): one slab test replaces six
+                # rect tests; entry face when beyond T_MIN else exit face,
+                # face normal = +axis exactly like the reference's rects
+                # (both Rect faces of an axis share the +1 normal,
+                # src/rect.rs:62-68) ----
+                def box_body(p, st):
+                    st = list(st)
+                    t_best = st[0]
+
+                    def r(i):
+                        return box_ref[p, i]
+
+                    tmn, tmx = _slab(r(R_C0), r(R_C0 + 1), r(R_C0 + 2),
+                                     r(R_DC), r(R_DC + 1), r(R_DC + 2))
+                    use_en = tmn > f(T_MIN)
+                    t_p = jnp.where(use_en, tmn, tmx)
+                    ok = (tmx > tmn) & (t_p > f(T_MIN)) & (t_p < t_best)
+                    # winning face axis: recompute the chosen side's
+                    # per-axis candidates and match t_p (ties broken
+                    # x → y → z; measure-zero)
+                    t0x = (r(R_C0) - ox) * inv_dx
+                    t1x = (r(R_DC) - ox) * inv_dx
+                    t0y = (r(R_C0 + 1) - oy) * inv_dy
+                    t1y = (r(R_DC + 1) - oy) * inv_dy
+                    tx_c = jnp.where(use_en, jnp.minimum(t0x, t1x),
+                                     jnp.maximum(t0x, t1x))
+                    ty_c = jnp.where(use_en, jnp.minimum(t0y, t1y),
+                                     jnp.maximum(t0y, t1y))
+                    is_x = t_p == tx_c
+                    is_y = (t_p == ty_c) & (t_p != tx_c)
+                    one, zero = f(1.0), f(0.0)
+                    nxx = jnp.where(is_x, one, zero)
+                    nyy = jnp.where(is_y, one, zero)
+                    nzz = jnp.where(is_x, zero, jnp.where(is_y, zero, one))
+                    t_p = jnp.where(ok, t_p, f(BIG))
+                    return tuple(select(r, ok, t_p, nxx, nyy, nzz, st))
+
+                def bclus_body(c, st):
+                    return _clus_guard(bclus_ref, c, st, box_body)
+
+                st = list(jax.lax.fori_loop(0, n_bclus, bclus_body,
+                                            tuple(st)))
 
             (t_best, nx_b, ny_b, nz_b, mat_b, par_b,
              emr, emg, emb, alr, alg, alb_) = st[:12]
@@ -799,13 +1038,24 @@ def _make_kernel(kinds, rect_groups, n_dyn, med_kinds, flags, background,
                 jrow = jnp.clip(ibase.astype(jnp.int32) + jj, 0,
                                 n_img_rows - 1)
                 ii = jnp.clip(ii, 0, img_wpad - 1)
-                packed = _image_fetch(img_ref, jrow, ii)
+                use_img = imgf > f(0.0)
+                # lanes that didn't hit an image prim carry junk rows;
+                # collapse them onto an active lane's row so the fetch's
+                # per-chunk gating sees only genuinely needed chunks, and
+                # skip the whole fetch when no lane needs it
+                jrow = jnp.where(
+                    use_img, jrow,
+                    jnp.min(jnp.where(use_img, jrow, n_img_rows - 1)))
+                packed = jax.lax.cond(
+                    jnp.any(use_img),
+                    lambda a: _image_fetch(img_ref, a[0], a[1]),
+                    lambda a: jnp.zeros((SUB, LANES), jnp.int32),
+                    (jrow, ii))
                 # u8f / 255 is the same correctly-rounded value the
                 # builder stores in the XLA tier's f32 atlas
                 tr = ((packed >> 16) & 255).astype(f) / f(255.0)
                 tg = ((packed >> 8) & 255).astype(f) / f(255.0)
                 tb = (packed & 255).astype(f) / f(255.0)
-                use_img = imgf > f(0.0)
                 alr = jnp.where(use_img, tr, alr)
                 alg = jnp.where(use_img, tg, alg)
                 alb_ = jnp.where(use_img, tb, alb_)
@@ -1070,15 +1320,17 @@ def _make_kernel(kinds, rect_groups, n_dyn, med_kinds, flags, background,
 
 
 @partial(jax.jit,
-         static_argnames=("kinds", "rect_groups", "n_dyn", "med_kinds",
-                          "flags", "background", "nx", "ny", "grid",
-                          "interpret", "rr_depth", "perlin_seed"))
-def _trace_call(rec, dyn_rec, med_rec, cam_rec, params, img, kinds,
-                rect_groups, n_dyn, med_kinds, flags, background, nx, ny,
-                grid, interpret=False, rr_depth=None, perlin_seed=0):
-    kernel = _make_kernel(kinds, rect_groups, n_dyn, med_kinds, flags,
-                          background, nx, ny, rr_depth=rr_depth,
-                          perlin_seed=perlin_seed)
+         static_argnames=("kinds", "rect_groups", "n_dyn", "n_box",
+                          "n_sclus", "n_bclus", "med_kinds", "flags",
+                          "background", "nx", "ny", "grid", "interpret",
+                          "rr_depth", "perlin_seed"))
+def _trace_call(rec, dyn_rec, box_rec, sclus, bclus, med_rec, cam_rec,
+                params, img, kinds, rect_groups, n_dyn, n_box, n_sclus,
+                n_bclus, med_kinds, flags, background, nx, ny, grid,
+                interpret=False, rr_depth=None, perlin_seed=0):
+    kernel = _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus,
+                          n_bclus, med_kinds, flags, background, nx, ny,
+                          rr_depth=rr_depth, perlin_seed=perlin_seed)
     return pl.pallas_call(
         kernel,
         interpret=interpret,
@@ -1089,12 +1341,15 @@ def _trace_call(rec, dyn_rec, med_rec, cam_rec, params, img, kinds,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((3, SUB, LANES), lambda g: (0, g, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, grid * SUB, LANES), jnp.float32),
-    )(rec, dyn_rec, med_rec, cam_rec, params, img)
+    )(rec, dyn_rec, box_rec, sclus, bclus, med_rec, cam_rec, params, img)
 
 
 def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
@@ -1112,10 +1367,15 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
     seeded, so any split is deterministic for a given seed and device
     count). Raises UnsupportedScene when the scene needs the XLA tier.
     """
-    (rec_np, kinds, rect_groups, dyn_np, n_dyn, med_np, med_kinds,
-     flags, img_np) = build_scene_record(scene)
+    (rec_np, kinds, rect_groups, dyn_np, n_dyn, box_np, n_box, sclus_np,
+     bclus_np, med_np, med_kinds, flags, img_np) = build_scene_record(scene)
     rec = jnp.asarray(rec_np)
     dyn_rec = jnp.asarray(dyn_np)
+    box_rec = jnp.asarray(box_np)
+    sclus = jnp.asarray(sclus_np)
+    bclus = jnp.asarray(bclus_np)
+    n_sclus, n_bclus = len(sclus_np) if n_dyn else 0, \
+        len(bclus_np) if n_box else 0
     med_rec = jnp.asarray(med_np)
     cam_rec = jnp.asarray(build_camera_record(cam))
     img_atlas = jnp.asarray(img_np)
@@ -1131,7 +1391,8 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
     bounds = [min(i * per, grid) for i in range(n_dev + 1)]
     bounds[-1] = grid
     dev_args = [tuple(jax.device_put(x, d)
-                      for x in (rec, dyn_rec, med_rec, cam_rec, img_atlas))
+                      for x in (rec, dyn_rec, box_rec, sclus, bclus,
+                                med_rec, cam_rec, img_atlas))
                 for d in devices]
 
     if spp_chunk is None:
@@ -1151,9 +1412,11 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
                              cur, max_depth, g0], jnp.int32), dev)
             outs.append(_trace_call(
                 dev_args[di][0], dev_args[di][1], dev_args[di][2],
-                dev_args[di][3], params, dev_args[di][4], kinds,
-                rect_groups, n_dyn, med_kinds, flags, scene.background,
-                nx, ny, g1 - g0, interpret, rr_depth, scene.perlin_seed))
+                dev_args[di][3], dev_args[di][4], dev_args[di][5],
+                dev_args[di][6], params, dev_args[di][7], kinds,
+                rect_groups, n_dyn, n_box, n_sclus, n_bclus, med_kinds,
+                flags, scene.background, nx, ny, g1 - g0, interpret,
+                rr_depth, scene.perlin_seed))
         # all device dispatches are in flight; gather in order
         lanes = np.concatenate(
             [np.asarray(o).transpose(1, 2, 0).reshape(-1, 3) for o in outs])

@@ -18,8 +18,8 @@ REC_FIELDS = dict(mat=pt.R_MAT, emit=pt.R_EMIT, alb=pt.R_ALB_EVEN)
 
 def test_cornell_record():
     scene = builders.cornell_box()
-    rec, kinds, groups, dyn, n_dyn, med, med_kinds, flags, img = \
-        pt.build_scene_record(scene)
+    (rec, kinds, groups, dyn, n_dyn, box, n_box, sclus, bclus, med,
+     med_kinds, flags, img) = pt.build_scene_record(scene)
     assert kinds == ("rect",) * 18
     # 18 rects share 9 world frames (axis walls + two rotated boxes)
     assert sorted(sum((list(g) for g in groups), [])) == list(range(18))
@@ -36,8 +36,8 @@ def test_cornell_record():
 
 def test_random_spheres_partition():
     scene = builders.random_spheres()
-    rec, kinds, groups, dyn, n_dyn, med, med_kinds, flags, img = \
-        pt.build_scene_record(scene)
+    (rec, kinds, groups, dyn, n_dyn, box, n_box, sclus, bclus, med,
+     med_kinds, flags, img) = pt.build_scene_record(scene)
     assert n_dyn == scene.num_prims  # all spheres go dynamic
     assert kinds == ()               # no rects; dummy unrolled row
     has_checker, has_metal, has_diel, has_noise, has_image = flags
@@ -49,8 +49,8 @@ def test_random_spheres_partition():
 
 def test_smoke_media_records():
     scene = builders.cornell_smoke()
-    rec, kinds, groups, dyn, n_dyn, med, med_kinds, flags, img = \
-        pt.build_scene_record(scene)
+    (rec, kinds, groups, dyn, n_dyn, box, n_box, sclus, bclus, med,
+     med_kinds, flags, img) = pt.build_scene_record(scene)
     assert med_kinds == ("mbox", "mbox")
     np.testing.assert_allclose(med[:, pt.M_INV_RHO], 100.0)  # 1/0.01
     # rotation block is orthonormal
@@ -62,16 +62,62 @@ def test_smoke_media_records():
 
 
 def test_unsupported_scenes_fall_back():
+    # >96 non-box rects with no box structure still needs the XLA tier
+    b = SceneBuilder(background=BG_BLACK)
+    m = b.lambertian(b.solid(0.5, 0.5, 0.5))
+    for i in range(120):
+        b.rect("xy", 0, 0, 1, 1, float(i), m)
     with pytest.raises(pt.UnsupportedScene):
-        pt.build_scene_record(builders.final_scene())         # 2400 rects
+        pt.build_scene_record(b.build())
+
+
+def test_final_scene_partition():
+    """final_scene (reference tests/test.rs:419-523): 400 ground cubes
+    merge into box rows, 1006 spheres go clustered-dynamic, and only the
+    light rect stays unrolled."""
+    scene = builders.final_scene()
+    (rec, kinds, groups, dyn, n_dyn, box, n_box, sclus, bclus, med,
+     med_kinds, flags, img) = pt.build_scene_record(scene)
+    assert kinds == ("rect",)          # the ceiling light
+    assert n_box == 400
+    assert n_dyn == 1006               # 6 heroes + 1000 white
+    assert med_kinds == ("msphere", "msphere")
+    assert flags == (False, True, True, True, True)
+    # box rows: lo < hi, ground albedo carried
+    lo, hi = box[:, pt.R_C0:pt.R_C0 + 3], box[:, pt.R_DC:pt.R_DC + 3]
+    assert (lo < hi).all()
+    np.testing.assert_allclose(box[:, pt.R_ALB_EVEN:pt.R_ALB_EVEN + 3],
+                               np.tile([0.48, 0.83, 0.53], (400, 1)),
+                               rtol=1e-6)
+    # clusters tile their tables exactly and bound their members
+    for clus, rows, lo_of, hi_of in (
+            (sclus, dyn, None, None), (bclus, box, lo, hi)):
+        spans = sorted((int(c[6]), int(c[7])) for c in clus)
+        covered = []
+        for start, cnt in spans:
+            covered.extend(range(start, start + cnt))
+        assert covered == list(range(len(rows)))
+    eps = 1e-2
+    for c in bclus:
+        s, n = int(c[6]), int(c[7])
+        assert (c[None, :3] <= box[s:s + n, pt.R_C0:pt.R_C0 + 3] + eps).all()
+        assert (box[s:s + n, pt.R_DC:pt.R_DC + 3] <= c[None, 3:6] + eps).all()
+    # sphere cluster AABBs contain the swept sphere extents
+    for c in sclus:
+        s, n = int(c[6]), int(c[7])
+        c0 = dyn[s:s + n, pt.R_C0:pt.R_C0 + 3]
+        c1 = c0 + dyn[s:s + n, pt.R_DC:pt.R_DC + 3]
+        r = dyn[s:s + n, pt.R_RADIUS:pt.R_RADIUS + 1]
+        assert (c[None, :3] <= np.minimum(c0, c1) - r + eps).all()
+        assert (np.maximum(c0, c1) + r <= c[None, 3:6] + eps).all()
 
 
 def test_earth_record_and_atlas():
     """earth (image texture) runs in-kernel: record fields + packed atlas
     round-trip exactly to the XLA tier's f32 texels."""
     scene = builders.earth()
-    rec, kinds, groups, dyn, n_dyn, med, med_kinds, flags, img = \
-        pt.build_scene_record(scene)
+    (rec, kinds, groups, dyn, n_dyn, box, n_box, sclus, bclus, med,
+     med_kinds, flags, img) = pt.build_scene_record(scene)
     assert flags[4]  # has_image
     assert rec[0, pt.R_IMG] == 1.0
     h, w = np.asarray(scene.image_hw)[0]
@@ -90,8 +136,8 @@ def test_earth_record_and_atlas():
 
 def test_noise_scene_record():
     scene = builders.two_perlin_spheres()
-    rec, kinds, groups, dyn, n_dyn, med, med_kinds, flags, img = \
-        pt.build_scene_record(scene)
+    (rec, kinds, groups, dyn, n_dyn, box, n_box, sclus, bclus, med,
+     med_kinds, flags, img) = pt.build_scene_record(scene)
     assert flags == (False, False, False, True, False)
     np.testing.assert_allclose(rec[:, pt.R_NOISE], 1.0)
     np.testing.assert_allclose(rec[:, pt.R_NSCALE], 4.0)  # test.rs:186
