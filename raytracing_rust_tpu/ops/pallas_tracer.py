@@ -105,10 +105,36 @@ CAMREC = 21
 # per-medium scalar record (f32[M, MEDREC]); reference src/medium.rs
 M_DATA = 0        # sphere: cx,cy,cz,r2 | box: pmin3, pmax3
 M_INV_RHO = 6     # 1/density
-M_ROT = 7         # 7..15 world→object rotation R₋ row-major
+M_ROT = 7        # 7..15 world→object rotation R₋ row-major
 M_OFF = 16        # 16..18 translate offset
 M_ALB = 19        # 19..21 isotropic phase-function albedo
 MEDREC = 22
+
+# transposed attribute table for the thin hit path: fields along
+# SUBLANES, primitives along LANES (f32[32, P_pad]), so one 128-block
+# take_along_axis fetches 8 fields of each lane's winning primitive at
+# once (_attr_gather). Bands of 8: 0-1 always, 2 always (albedo),
+# 3 only when noise/image textures exist.
+A_TYPE = 0        # 0 sphere/moving, 1 rect, 2 box
+A_G0 = 1          # 1..3: sphere c0 | rect kn | box lo
+A_G3 = 4          # 4..6: sphere dc |   0     | box hi
+A_T0 = 7
+A_INVDT = 8
+A_INVR = 9        # 1/radius (sphere), 0 otherwise
+A_FLIP = 10
+A_MAT = 11
+A_PARAM = 12
+A_EMIT = 13       # 13..15
+A_ALB_E = 16      # 16..18
+A_ALB_O = 19      # 19..21
+A_CHECKER = 22
+A_NOISE = 23
+A_NSCALE = 24     # band 3 from here
+A_IMG = 25
+A_IMG_BASE = 26
+A_IMG_H = 27
+A_IMG_W = 28
+ATTR_ROWS = 32
 
 
 UNROLL_BUDGET = 96  # prims unrolled at trace time; spheres beyond go dynamic
@@ -197,6 +223,60 @@ def _merge_boxes(rec, kinds):
     box_rows = (np.stack(boxes).astype(np.float32) if boxes
                 else np.zeros((0, REC), np.float32))
     return box_rows, member
+
+
+def _build_attr_table(dyn_rec, box_rec, n_dyn, n_box):
+    """Transposed attribute table for the thin hit path (host side).
+
+    Columns are winner indices in thin-path order: dynamic spheres,
+    then boxes. Stored as int32 bit patterns so the kernel's lane
+    gathers take the exact code path proven by the image fetch; the
+    kernel bitcasts fields back to f32.
+    """
+    cols = []
+
+    def add(row, kind):
+        a = np.zeros(ATTR_ROWS, np.float32)
+        if kind == "rect":
+            a[A_TYPE] = 1.0
+            a[A_G0:A_G0 + 3] = row[R_KN:R_KN + 3]
+        elif kind == "box":
+            a[A_TYPE] = 2.0
+            a[A_G0:A_G0 + 3] = row[R_C0:R_C0 + 3]
+            a[A_G3:A_G3 + 3] = row[R_DC:R_DC + 3]
+        else:
+            a[A_TYPE] = 0.0
+            a[A_G0:A_G0 + 3] = row[R_C0:R_C0 + 3]
+            a[A_G3:A_G3 + 3] = row[R_DC:R_DC + 3]
+            a[A_T0] = row[R_T0]
+            a[A_INVDT] = row[R_INV_DT]
+            a[A_INVR] = 1.0 / row[R_RADIUS] if row[R_RADIUS] else 0.0
+        a[A_FLIP] = row[R_FLIP]
+        a[A_MAT] = row[R_MAT]
+        a[A_PARAM] = row[R_PARAM]
+        a[A_EMIT:A_EMIT + 3] = row[R_EMIT:R_EMIT + 3]
+        a[A_ALB_E:A_ALB_E + 3] = row[R_ALB_EVEN:R_ALB_EVEN + 3]
+        a[A_ALB_O:A_ALB_O + 3] = row[R_ALB_ODD:R_ALB_ODD + 3]
+        a[A_CHECKER] = row[R_CHECKER]
+        a[A_NOISE] = row[R_NOISE]
+        a[A_NSCALE] = row[R_NSCALE]
+        a[A_IMG] = row[R_IMG]
+        a[A_IMG_BASE] = row[R_IMG_BASE]
+        a[A_IMG_H] = row[R_IMG_H]
+        a[A_IMG_W] = row[R_IMG_W]
+        cols.append(a)
+
+    for i in range(n_dyn):
+        add(dyn_rec[i], "sphere")
+    for i in range(n_box):
+        add(box_rec[i], "box")
+    if not cols:
+        cols.append(np.zeros(ATTR_ROWS, np.float32))
+    tab = np.stack(cols, axis=1)                        # (32, P_total)
+    pad = -(-tab.shape[1] // 128) * 128
+    out = np.zeros((ATTR_ROWS, pad), np.float32)
+    out[:, :tab.shape[1]] = tab
+    return out.view(np.int32)
 
 
 def _cluster_rows(rows, lo, hi, leaf):
@@ -465,8 +545,15 @@ def build_scene_record(scene: SceneTables):
         key = tuple(np.round(rec[i, R_KN:R_BN + 3], 5).tolist())
         groups.setdefault(key, []).append(i)
     rect_groups = tuple(tuple(g) for g in groups.values())
+    if n_dyn or n_box:
+        # columns cover the thin-path winner index space: dynamic
+        # spheres then boxes (unrolled prims keep the fat select)
+        attr = _build_attr_table(dyn_rec, box_rec, n_dyn, n_box)
+    else:
+        attr = np.zeros((ATTR_ROWS, 128), np.int32)
     return (rec, tuple(kinds), rect_groups, dyn_rec, n_dyn, box_rec, n_box,
-            sclus, bclus, med_rec, tuple(med_kinds), flags, img_packed)
+            sclus, bclus, med_rec, tuple(med_kinds), flags, img_packed,
+            attr)
 
 
 def build_camera_record(cam) -> np.ndarray:
@@ -607,7 +694,7 @@ def _image_fetch(img_ref, jrow, icol):
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (S, L), 0)
 
     def chunk_body(k, out):
-        def active(out):
+        def active(_, out):
             chunk = img_ref[pl.ds(k * 8, 8), :]
             for r in range(S):
                 def bc(a, r=r):
@@ -627,10 +714,53 @@ def _image_fetch(img_ref, jrow, icol):
                 out = jnp.where((sub_iota == r) & (jhi_b == k), rowres, out)
             return out
 
-        return jax.lax.cond(jnp.any(jhi == k), active, lambda o: o, out)
+        # zero-or-one-trip loop instead of lax.cond (see _clus_guard)
+        return jax.lax.fori_loop(
+            0, jnp.any(jhi == k).astype(jnp.int32), active, out)
 
     return jax.lax.fori_loop(0, n_rk, chunk_body,
                              jnp.zeros((S, L), jnp.int32))
+
+
+def _attr_gather(attr_ref, col, n_bands):
+    """fields[f][s, l] = attr_ref[f, col[s, l]] — the thin hit path's
+    attribute resolution.
+
+    The table is transposed (fields on sublanes, primitives on lanes):
+    for each destination sublane s, broadcasting that row's column
+    indices sublane-uniform makes one 128-block take_along_axis fetch
+    8 fields of every lane's winning primitive at once; a second pass
+    redistributes field f to its own (8, LANES) array. Cost is
+    n_bands·8·n_blocks gathers + n_bands·64 selects — a few µs for 3.4k
+    primitives, INDEPENDENT of how many distinct winners the tile has
+    (the property per-primitive select() carries lack: their cost is
+    O(P) per bounce in vector ops and loop-carry traffic).
+    """
+    S, L = col.shape
+    n_blocks = attr_ref.shape[1] // 128
+    n_oc = L // 128
+    clo, chi = col & 127, col >> 7
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (S, L), 0)
+    fields = [jnp.zeros((S, L), jnp.int32) for _ in range(8 * n_bands)]
+    for band in range(n_bands):
+        for s in range(S):
+            clo_b = jnp.broadcast_to(clo[s:s + 1, :], (S, L))
+            chi_b = jnp.broadcast_to(chi[s:s + 1, :], (S, L))
+            g = jnp.zeros((S, L), jnp.int32)
+            for kc in range(n_blocks):
+                blk = attr_ref[band * 8:(band + 1) * 8,
+                               128 * kc:128 * (kc + 1)]
+                gk = jnp.concatenate(
+                    [jnp.take_along_axis(
+                        blk, clo_b[:, 128 * oc:128 * (oc + 1)], axis=1)
+                     for oc in range(n_oc)], axis=1)
+                g = jnp.where(chi_b == kc, gk, g)
+            for fz in range(8):
+                fields[band * 8 + fz] = jnp.where(
+                    sub_iota == s,
+                    jnp.broadcast_to(g[fz:fz + 1, :], (S, L)),
+                    fields[band * 8 + fz])
+    return [jax.lax.bitcast_convert_type(x, jnp.float32) for x in fields]
 
 
 def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
@@ -655,7 +785,7 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
         extra_fields += [R_IMG, R_IMG_BASE, R_IMG_H, R_IMG_W]
 
     def kernel(rec_ref, dyn_ref, box_ref, sclus_ref, bclus_ref, med_ref,
-               cam_ref, params_ref, img_ref, out_ref):
+               cam_ref, params_ref, img_ref, attr_ref, out_ref):
         pid = pl.program_id(0)
         pltpu.prng_seed(params_ref[0], pid)
         spp_v = params_ref[1].astype(jnp.float32)
@@ -872,7 +1002,13 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
 
                 def _clus_guard(clus_ref, c, st, inner):
                     # skip a whole leaf when no live lane's ray crosses
-                    # its AABB closer than that lane's current best hit
+                    # its AABB closer than that lane's current best hit.
+                    # The skip is a zero-trip-count fori_loop, not a
+                    # lax.cond: cond would thread the full ~20-array lane
+                    # state through both branches, which Mosaic
+                    # materializes as VMEM copies that cost more than the
+                    # member loop it skips; an empty dynamic loop is one
+                    # scalar compare
                     lo0, lo1, lo2 = (clus_ref[c, 0], clus_ref[c, 1],
                                      clus_ref[c, 2])
                     hi0, hi1, hi2 = (clus_ref[c, 3], clus_ref[c, 4],
@@ -882,21 +1018,28 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                     tmn, tmx = _slab(lo0, lo1, lo2, hi0, hi1, hi2)
                     cross = ((tmx > jnp.maximum(tmn, f(T_MIN)))
                              & (tmn < st[0]) & (alive > f(0.0)))
-                    return jax.lax.cond(
-                        jnp.any(cross),
-                        lambda s: jax.lax.fori_loop(start, start + cnt,
-                                                    inner, s),
-                        lambda s: s, tuple(st))
+                    n_iter = jnp.where(jnp.any(cross), cnt, 0)
+                    return jax.lax.fori_loop(start, start + n_iter,
+                                             inner, tuple(st))
+
+            if n_dyn or n_box:
+                # ---- THIN dynamic hit pass. The member loops carry only
+                # (t, winner-index): measured on v5e, a fat loop carrying
+                # the full ~20-array select state costs ~250 ns/iteration
+                # (loop-boundary register traffic) vs ~15 ns thin, and at
+                # final_scene's 1406 dynamic prims that difference IS the
+                # frame time. Winner attributes resolve afterwards in one
+                # transposed VMEM gather (_attr_gather) whose cost does
+                # not depend on prim count or winner spread. ----
+                t_thin = st[0]
+                widx = jnp.full((SUB, LANES), f(-1.0))
 
             if n_dyn:
-                # ---- dynamic sphere loop: scenes beyond the unroll
-                # budget (e.g. random_spheres' 441 spheres, final_scene's
-                # 1006) iterate an SMEM table with runtime-indexed scalar
-                # reads, cluster-culled per leaf; the moving-center form
-                # covers static spheres (dc=0, inv_dt=0 ⇒ frac·dc = 0) ----
-                def dyn_body(p, st):
-                    st = list(st)
-                    t_best = st[0]
+                # dynamic spheres (random_spheres' 441, final_scene's
+                # 1006), cluster-culled; the moving-center form covers
+                # static spheres (dc=0, inv_dt=0 ⇒ frac·dc = 0)
+                def dyn_thin(p, st2):
+                    t_b, wi = st2
 
                     def r(i):
                         return dyn_ref[p, i]
@@ -913,34 +1056,27 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                     sq = jnp.sqrt(jnp.where(pos, disc, f(1.0)))
                     t_near = (-bq - sq) * inv_a
                     t_far = (-bq + sq) * inv_a
-                    near_ok = (pos & (t_near > f(T_MIN))
-                               & (t_near < t_best))
-                    far_ok = pos & (t_far > f(T_MIN)) & (t_far < t_best)
+                    near_ok = pos & (t_near > f(T_MIN)) & (t_near < t_b)
+                    far_ok = pos & (t_far > f(T_MIN)) & (t_far < t_b)
                     t_p = jnp.where(near_ok, t_near,
                                     jnp.where(far_ok, t_far, f(BIG)))
-                    better = t_p < t_best
-                    inv_r = f(1.0) / r(R_RADIUS)
-                    nxx = (ocx + t_p * dx) * inv_r
-                    nyy = (ocy + t_p * dy) * inv_r
-                    nzz = (ocz + t_p * dz) * inv_r
-                    return tuple(select(r, better, t_p, nxx, nyy, nzz, st))
+                    better = t_p < t_b
+                    return (jnp.where(better, t_p, t_b),
+                            jnp.where(better, p.astype(f), wi))
 
-                def sclus_body(c, st):
-                    return _clus_guard(sclus_ref, c, st, dyn_body)
+                def sclus_body(c, st2):
+                    return _clus_guard(sclus_ref, c, st2, dyn_thin)
 
-                st = list(jax.lax.fori_loop(0, n_sclus, sclus_body,
-                                            tuple(st)))
+                t_thin, widx = jax.lax.fori_loop(
+                    0, n_sclus, sclus_body, (t_thin, widx))
 
             if n_box:
-                # ---- dynamic box loop (merged axis-aligned cubes,
-                # reference src/cube.rs:20-74): one slab test replaces six
-                # rect tests; entry face when beyond T_MIN else exit face,
-                # face normal = +axis exactly like the reference's rects
-                # (both Rect faces of an axis share the +1 normal,
-                # src/rect.rs:62-68) ----
-                def box_body(p, st):
-                    st = list(st)
-                    t_best = st[0]
+                # merged axis-aligned cubes (reference src/cube.rs:20-74):
+                # one slab test replaces six rect tests; entry face when
+                # beyond T_MIN else exit face (face normal reconstructed
+                # in the attribute pass)
+                def box_thin(p, st2):
+                    t_b, wi = st2
 
                     def r(i):
                         return box_ref[p, i]
@@ -949,32 +1085,83 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                                      r(R_DC), r(R_DC + 1), r(R_DC + 2))
                     use_en = tmn > f(T_MIN)
                     t_p = jnp.where(use_en, tmn, tmx)
-                    ok = (tmx > tmn) & (t_p > f(T_MIN)) & (t_p < t_best)
-                    # winning face axis: recompute the chosen side's
-                    # per-axis candidates and match t_p (ties broken
-                    # x → y → z; measure-zero)
-                    t0x = (r(R_C0) - ox) * inv_dx
-                    t1x = (r(R_DC) - ox) * inv_dx
-                    t0y = (r(R_C0 + 1) - oy) * inv_dy
-                    t1y = (r(R_DC + 1) - oy) * inv_dy
+                    ok = (tmx > tmn) & (t_p > f(T_MIN)) & (t_p < t_b)
+                    t_p = jnp.where(ok, t_p, f(BIG))
+                    better = t_p < t_b
+                    return (jnp.where(better, t_p, t_b),
+                            jnp.where(better, f(n_dyn) + p.astype(f), wi))
+
+                def bclus_body(c, st2):
+                    return _clus_guard(bclus_ref, c, st2, box_thin)
+
+                t_thin, widx = jax.lax.fori_loop(
+                    0, n_bclus, bclus_body, (t_thin, widx))
+
+            if n_dyn or n_box:
+                # ---- attribute resolution: one transposed gather ----
+                wd = widx >= f(0.0)
+                col = jnp.maximum(widx, f(0.0)).astype(jnp.int32)
+                n_bands = 4 if (has_noise or has_image) else 3
+                fl = _attr_gather(attr_ref, col, n_bands)
+                # sphere winner normal: (p − c(time)) / r (reference
+                # src/sphere.rs:55-57); invr=0 zeroes it for boxes
+                fracw = (time - fl[A_T0]) * fl[A_INVDT]
+                cxw = fl[A_G0] + fracw * fl[A_G3]
+                cyw = fl[A_G0 + 1] + fracw * fl[A_G3 + 1]
+                czw = fl[A_G0 + 2] + fracw * fl[A_G3 + 2]
+                wnx = (ox + t_thin * dx - cxw) * fl[A_INVR]
+                wny = (oy + t_thin * dy - cyw) * fl[A_INVR]
+                wnz = (oz + t_thin * dz - czw) * fl[A_INVR]
+                if n_box:
+                    # box winner face: recompute the chosen side's
+                    # per-axis slab candidates and match t (ties broken
+                    # x → y → z; measure-zero). Face normal = +axis like
+                    # the reference's rects (src/rect.rs:62-68)
+                    t0x = (fl[A_G0] - ox) * inv_dx
+                    t1x = (fl[A_G3] - ox) * inv_dx
+                    t0y = (fl[A_G0 + 1] - oy) * inv_dy
+                    t1y = (fl[A_G3 + 1] - oy) * inv_dy
+                    t0z = (fl[A_G0 + 2] - oz) * inv_dz
+                    t1z = (fl[A_G3 + 2] - oz) * inv_dz
+                    tmn = jnp.maximum(jnp.maximum(
+                        jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                        jnp.minimum(t0z, t1z))
+                    use_en = tmn > f(T_MIN)
                     tx_c = jnp.where(use_en, jnp.minimum(t0x, t1x),
                                      jnp.maximum(t0x, t1x))
                     ty_c = jnp.where(use_en, jnp.minimum(t0y, t1y),
                                      jnp.maximum(t0y, t1y))
-                    is_x = t_p == tx_c
-                    is_y = (t_p == ty_c) & (t_p != tx_c)
+                    is_x = t_thin == tx_c
+                    is_y = (t_thin == ty_c) & (t_thin != tx_c)
                     one, zero = f(1.0), f(0.0)
-                    nxx = jnp.where(is_x, one, zero)
-                    nyy = jnp.where(is_y, one, zero)
-                    nzz = jnp.where(is_x, zero, jnp.where(is_y, zero, one))
-                    t_p = jnp.where(ok, t_p, f(BIG))
-                    return tuple(select(r, ok, t_p, nxx, nyy, nzz, st))
+                    is_box = fl[A_TYPE] == f(2.0)
+                    wnx = jnp.where(is_box, jnp.where(is_x, one, zero),
+                                    wnx)
+                    wny = jnp.where(is_box, jnp.where(is_y, one, zero),
+                                    wny)
+                    wnz = jnp.where(
+                        is_box,
+                        jnp.where(is_x, zero,
+                                  jnp.where(is_y, zero, one)), wnz)
+                flipw = fl[A_FLIP]
 
-                def bclus_body(c, st):
-                    return _clus_guard(bclus_ref, c, st, box_body)
+                def mg(new, old):
+                    return jnp.where(wd, new, old)
 
-                st = list(jax.lax.fori_loop(0, n_bclus, bclus_body,
-                                            tuple(st)))
+                st[0] = t_thin
+                st[1] = mg(wnx * flipw, st[1])
+                st[2] = mg(wny * flipw, st[2])
+                st[3] = mg(wnz * flipw, st[3])
+                st[4] = mg(fl[A_MAT], st[4])
+                if has_metal or has_diel:
+                    st[5] = mg(fl[A_PARAM], st[5])
+                for k in range(3):
+                    st[6 + k] = mg(fl[A_EMIT + k], st[6 + k])
+                    st[9 + k] = mg(fl[A_ALB_E + k], st[9 + k])
+                # extra fields mirror the attr layout at offset −17
+                # (R_ALB_ODD..R_IMG_W ↔ A_ALB_O..A_IMG_W)
+                for i, fid in enumerate(extra_fields):
+                    st[12 + i] = mg(fl[fid - 17], st[12 + i])
 
             (t_best, nx_b, ny_b, nz_b, mat_b, par_b,
              emr, emg, emb, alr, alg, alb_) = st[:12]
@@ -1046,11 +1233,10 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                 jrow = jnp.where(
                     use_img, jrow,
                     jnp.min(jnp.where(use_img, jrow, n_img_rows - 1)))
-                packed = jax.lax.cond(
-                    jnp.any(use_img),
-                    lambda a: _image_fetch(img_ref, a[0], a[1]),
-                    lambda a: jnp.zeros((SUB, LANES), jnp.int32),
-                    (jrow, ii))
+                packed = jax.lax.fori_loop(
+                    0, jnp.any(use_img).astype(jnp.int32),
+                    lambda _, p: _image_fetch(img_ref, jrow, ii),
+                    jnp.zeros((SUB, LANES), jnp.int32))
                 # u8f / 255 is the same correctly-rounded value the
                 # builder stores in the XLA tier's f32 atlas
                 tr = ((packed >> 16) & 255).astype(f) / f(255.0)
@@ -1325,9 +1511,9 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                           "background", "nx", "ny", "grid", "interpret",
                           "rr_depth", "perlin_seed"))
 def _trace_call(rec, dyn_rec, box_rec, sclus, bclus, med_rec, cam_rec,
-                params, img, kinds, rect_groups, n_dyn, n_box, n_sclus,
-                n_bclus, med_kinds, flags, background, nx, ny, grid,
-                interpret=False, rr_depth=None, perlin_seed=0):
+                params, img, attr, kinds, rect_groups, n_dyn, n_box,
+                n_sclus, n_bclus, med_kinds, flags, background, nx, ny,
+                grid, interpret=False, rr_depth=None, perlin_seed=0):
     kernel = _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus,
                           n_bclus, med_kinds, flags, background, nx, ny,
                           rr_depth=rr_depth, perlin_seed=perlin_seed)
@@ -1345,11 +1531,13 @@ def _trace_call(rec, dyn_rec, box_rec, sclus, bclus, med_rec, cam_rec,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((3, SUB, LANES), lambda g: (0, g, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, grid * SUB, LANES), jnp.float32),
-    )(rec, dyn_rec, box_rec, sclus, bclus, med_rec, cam_rec, params, img)
+    )(rec, dyn_rec, box_rec, sclus, bclus, med_rec, cam_rec, params, img,
+      attr)
 
 
 def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
@@ -1368,12 +1556,14 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
     count). Raises UnsupportedScene when the scene needs the XLA tier.
     """
     (rec_np, kinds, rect_groups, dyn_np, n_dyn, box_np, n_box, sclus_np,
-     bclus_np, med_np, med_kinds, flags, img_np) = build_scene_record(scene)
+     bclus_np, med_np, med_kinds, flags, img_np,
+     attr_np) = build_scene_record(scene)
     rec = jnp.asarray(rec_np)
     dyn_rec = jnp.asarray(dyn_np)
     box_rec = jnp.asarray(box_np)
     sclus = jnp.asarray(sclus_np)
     bclus = jnp.asarray(bclus_np)
+    attr = jnp.asarray(attr_np)
     n_sclus, n_bclus = len(sclus_np) if n_dyn else 0, \
         len(bclus_np) if n_box else 0
     med_rec = jnp.asarray(med_np)
@@ -1392,7 +1582,7 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
     bounds[-1] = grid
     dev_args = [tuple(jax.device_put(x, d)
                       for x in (rec, dyn_rec, box_rec, sclus, bclus,
-                                med_rec, cam_rec, img_atlas))
+                                med_rec, cam_rec, img_atlas, attr))
                 for d in devices]
 
     if spp_chunk is None:
@@ -1413,10 +1603,10 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
             outs.append(_trace_call(
                 dev_args[di][0], dev_args[di][1], dev_args[di][2],
                 dev_args[di][3], dev_args[di][4], dev_args[di][5],
-                dev_args[di][6], params, dev_args[di][7], kinds,
-                rect_groups, n_dyn, n_box, n_sclus, n_bclus, med_kinds,
-                flags, scene.background, nx, ny, g1 - g0, interpret,
-                rr_depth, scene.perlin_seed))
+                dev_args[di][6], params, dev_args[di][7], dev_args[di][8],
+                kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
+                med_kinds, flags, scene.background, nx, ny, g1 - g0,
+                interpret, rr_depth, scene.perlin_seed))
         # all device dispatches are in flight; gather in order
         lanes = np.concatenate(
             [np.asarray(o).transpose(1, 2, 0).reshape(-1, 3) for o in outs])

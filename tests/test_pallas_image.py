@@ -81,3 +81,29 @@ def test_sphere_uv_texel_matches_xla_tier():
     jj_np = np.clip(((1.0 - v_np) * h).astype(np.int32), 0, h - 1)
     assert (ii == ii_np).mean() > 0.999
     assert (jj == jj_np).mean() > 0.999
+
+
+def test_attr_gather_exact():
+    """Thin-path attribute resolution: fields[f][s, l] must equal
+    attr[f, col[s, l]] exactly (bit patterns preserved via the int32
+    round-trip)."""
+    rng = np.random.default_rng(9)
+    n_bands, P_pad = 4, 384
+    attr_f32 = rng.normal(size=(pt.ATTR_ROWS, P_pad)).astype(np.float32)
+    attr = attr_f32.view(np.int32)
+    S, L = 8, 256
+    col = rng.integers(0, P_pad, (S, L)).astype(np.int32)
+
+    def kern(attr_ref, col_ref, out_ref):
+        fl = pt._attr_gather(attr_ref, col_ref[...], n_bands)
+        for k in range(8 * n_bands):
+            out_ref[k] = fl[k]
+
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((8 * n_bands, S, L), jnp.float32),
+        interpret=True,
+    )(jnp.asarray(attr), jnp.asarray(col))
+    out = np.asarray(out)
+    for f in range(8 * n_bands):
+        np.testing.assert_array_equal(out[f], attr_f32[f][col])

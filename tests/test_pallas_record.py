@@ -19,7 +19,7 @@ REC_FIELDS = dict(mat=pt.R_MAT, emit=pt.R_EMIT, alb=pt.R_ALB_EVEN)
 def test_cornell_record():
     scene = builders.cornell_box()
     (rec, kinds, groups, dyn, n_dyn, box, n_box, sclus, bclus, med,
-     med_kinds, flags, img) = pt.build_scene_record(scene)
+     med_kinds, flags, img, attr) = pt.build_scene_record(scene)
     assert kinds == ("rect",) * 18
     # 18 rects share 9 world frames (axis walls + two rotated boxes)
     assert sorted(sum((list(g) for g in groups), [])) == list(range(18))
@@ -37,7 +37,7 @@ def test_cornell_record():
 def test_random_spheres_partition():
     scene = builders.random_spheres()
     (rec, kinds, groups, dyn, n_dyn, box, n_box, sclus, bclus, med,
-     med_kinds, flags, img) = pt.build_scene_record(scene)
+     med_kinds, flags, img, attr) = pt.build_scene_record(scene)
     assert n_dyn == scene.num_prims  # all spheres go dynamic
     assert kinds == ()               # no rects; dummy unrolled row
     has_checker, has_metal, has_diel, has_noise, has_image = flags
@@ -50,7 +50,7 @@ def test_random_spheres_partition():
 def test_smoke_media_records():
     scene = builders.cornell_smoke()
     (rec, kinds, groups, dyn, n_dyn, box, n_box, sclus, bclus, med,
-     med_kinds, flags, img) = pt.build_scene_record(scene)
+     med_kinds, flags, img, attr) = pt.build_scene_record(scene)
     assert med_kinds == ("mbox", "mbox")
     np.testing.assert_allclose(med[:, pt.M_INV_RHO], 100.0)  # 1/0.01
     # rotation block is orthonormal
@@ -77,7 +77,7 @@ def test_final_scene_partition():
     light rect stays unrolled."""
     scene = builders.final_scene()
     (rec, kinds, groups, dyn, n_dyn, box, n_box, sclus, bclus, med,
-     med_kinds, flags, img) = pt.build_scene_record(scene)
+     med_kinds, flags, img, attr) = pt.build_scene_record(scene)
     assert kinds == ("rect",)          # the ceiling light
     assert n_box == 400
     assert n_dyn == 1006               # 6 heroes + 1000 white
@@ -117,7 +117,7 @@ def test_earth_record_and_atlas():
     round-trip exactly to the XLA tier's f32 texels."""
     scene = builders.earth()
     (rec, kinds, groups, dyn, n_dyn, box, n_box, sclus, bclus, med,
-     med_kinds, flags, img) = pt.build_scene_record(scene)
+     med_kinds, flags, img, attr) = pt.build_scene_record(scene)
     assert flags[4]  # has_image
     assert rec[0, pt.R_IMG] == 1.0
     h, w = np.asarray(scene.image_hw)[0]
@@ -137,7 +137,7 @@ def test_earth_record_and_atlas():
 def test_noise_scene_record():
     scene = builders.two_perlin_spheres()
     (rec, kinds, groups, dyn, n_dyn, box, n_box, sclus, bclus, med,
-     med_kinds, flags, img) = pt.build_scene_record(scene)
+     med_kinds, flags, img, attr) = pt.build_scene_record(scene)
     assert flags == (False, False, False, True, False)
     np.testing.assert_allclose(rec[:, pt.R_NOISE], 1.0)
     np.testing.assert_allclose(rec[:, pt.R_NSCALE], 4.0)  # test.rs:186

@@ -30,18 +30,18 @@ KERNEL_PRESETS = ["two_spheres", "cornell_box", "cornell_smoke",
 
 def _trace(scene, nx, ny, grid, rr_depth=None):
     (rec, kinds, groups, dyn, n_dyn, box, n_box, sclus, bclus, med,
-     med_kinds, flags, img) = pt.build_scene_record(scene)
+     med_kinds, flags, img, attr) = pt.build_scene_record(scene)
     cam = np.zeros(pt.CAMREC, np.float32)
     params = jnp.zeros(4, jnp.int32)
     out = jax.eval_shape(
-        lambda r, d, b, sc, bc, m, c, p, im: pt._trace_call(
-            r, d, b, sc, bc, m, c, p, im, kinds, groups, n_dyn, n_box,
+        lambda r, d, b, sc, bc, m, c, p, im, at: pt._trace_call(
+            r, d, b, sc, bc, m, c, p, im, at, kinds, groups, n_dyn, n_box,
             len(sclus) if n_dyn else 0, len(bclus) if n_box else 0,
             med_kinds, flags, scene.background, nx, ny, grid, False,
             rr_depth),
         jnp.asarray(rec), jnp.asarray(dyn), jnp.asarray(box),
         jnp.asarray(sclus), jnp.asarray(bclus), jnp.asarray(med),
-        jnp.asarray(cam), params, jnp.asarray(img))
+        jnp.asarray(cam), params, jnp.asarray(img), jnp.asarray(attr))
     assert out.shape == (3, grid * pt.SUB, pt.LANES)
     assert out.dtype == jnp.float32
 
@@ -69,7 +69,7 @@ def test_render_pallas_host_path_cpu_interpret():
     real = pt._trace_call
 
     def fake_trace(rec, dyn, box, sclus, bclus, med, camr, params, img,
-                   kinds, groups, n_dyn, n_box, n_sclus, n_bclus,
+                   attr, kinds, groups, n_dyn, n_box, n_sclus, n_bclus,
                    med_kinds, flags, background, nx, ny, grid,
                    interpret=False, rr_depth=None, perlin_seed=0):
         spp = int(params[1])
