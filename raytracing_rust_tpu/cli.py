@@ -47,6 +47,10 @@ def main(argv=None) -> int:
                         "unbiased; the reference always runs to the cap)")
     r.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax.profiler trace of the render to DIR")
+    r.add_argument("--timers", action="store_true",
+                   help="print per-phase wall times (scene build, "
+                        "compile-carrying first dispatch, steady "
+                        "dispatches, encode)")
     r.add_argument("--log", default="log/log.log")
     r.add_argument("--no-progress", action="store_true")
 
@@ -90,8 +94,11 @@ def main(argv=None) -> int:
     spp = args.spp or preset.spp
     preset = type(preset)(**{**preset.__dict__, "nx": nx, "ny": ny})
 
-    scene = preset.build()
-    cam = preset.camera()
+    from .utils.timers import Timers
+    timers = Timers()
+    with timers.phase("scene_build"):
+        scene = preset.build()
+        cam = preset.camera()
 
     progress = None if args.no_progress else ProgressBar(args.scene)
     profiler = None
@@ -117,7 +124,7 @@ def main(argv=None) -> int:
             try:
                 img = render_pallas(scene, cam, nx, ny, spp, seed=args.seed,
                                     max_depth=args.max_depth,
-                                    rr_depth=args.rr_depth)
+                                    rr_depth=args.rr_depth, timers=timers)
             except UnsupportedScene as e:
                 if args.engine == "pallas":
                     print(f"pallas engine: {e}", file=sys.stderr)
@@ -128,7 +135,7 @@ def main(argv=None) -> int:
             img = render(scene, cam, nx, ny, spp, seed=args.seed,
                          max_depth=args.max_depth, progress=progress,
                          use_bvh=args.bvh, checkpoint=args.checkpoint,
-                         rr_depth=args.rr_depth)
+                         rr_depth=args.rr_depth, timers=timers)
     dt = time.time() - t0
     if profiler:
         import jax
@@ -137,14 +144,18 @@ def main(argv=None) -> int:
 
     out = args.out or os.path.join("output", f"{args.scene}.ppm")
     os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
-    if out.endswith(".png"):
-        image_io.write_png(out, img)
-    else:
-        image_io.write_ppm(out, img)
+    with timers.phase("encode"):
+        if out.endswith(".png"):
+            image_io.write_png(out, img)
+        else:
+            image_io.write_ppm(out, img)
 
     rays = nx * ny * spp
     print(f"{args.scene}: {nx}x{ny} spp={spp} in {dt:.1f}s "
           f"({rays / dt / 1e6:.2f}M primary rays/s) -> {out}")
+    if args.timers:
+        print(timers.report())
+        log.write(f"timers: {timers.summary()}")
     log.write(f"rendered {args.scene} in {dt:.1f}s -> {out}")
     return 0
 

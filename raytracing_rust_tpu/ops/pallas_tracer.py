@@ -1360,10 +1360,12 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
             cos_t = f(2.0) * su0 - f(1.0)
             sin_t = jnp.sqrt(jnp.maximum(f(0.0), f(1.0) - cos_t * cos_t))
             sphi = f(2.0 * math.pi) * su1
-            # cbrt has no Mosaic lowering; exp(log/3) (su2 > 0 by
-            # construction: the uniform is in [2^-24, 1) after the +1 ulp)
-            srad = jnp.exp(jnp.log(jnp.maximum(su2, f(1e-12)))
-                           * f(1.0 / 3.0))
+            # ball radius ~ cbrt(U): P(max of 3 uniforms <= r) = r^3
+            # exactly, and two extra PRNG draws + two maxes are far
+            # cheaper on the VPU than the exp(log/3) polynomial pair
+            # (cbrt itself has no Mosaic lowering)
+            srad = jnp.maximum(jnp.maximum(su2, _uniform((SUB, LANES))),
+                               _uniform((SUB, LANES)))
             spx = srad * sin_t * jnp.cos(sphi)
             spy = srad * sin_t * jnp.sin(sphi)
             spz = srad * cos_t
@@ -1545,7 +1547,7 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
                   spp_chunk: int | None = None,
                   interpret: bool = False,
                   rr_depth: int | None = None,
-                  devices=None) -> np.ndarray:
+                  devices=None, timers=None) -> np.ndarray:
     """Full-image render on the megakernel → float32 [ny, nx, 3] with the
     reference's gamma (sqrt + clamp, tests/test.rs:72-75).
 
@@ -1555,9 +1557,14 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
     seeded, so any split is deterministic for a given seed and device
     count). Raises UnsupportedScene when the scene needs the XLA tier.
     """
-    (rec_np, kinds, rect_groups, dyn_np, n_dyn, box_np, n_box, sclus_np,
-     bclus_np, med_np, med_kinds, flags, img_np,
-     attr_np) = build_scene_record(scene)
+    if timers is None:
+        from ..utils.timers import Timers
+        timers = Timers()  # unobserved sink
+
+    with timers.phase("record_build"):
+        (rec_np, kinds, rect_groups, dyn_np, n_dyn, box_np, n_box, sclus_np,
+         bclus_np, med_np, med_kinds, flags, img_np,
+         attr_np) = build_scene_record(scene)
     rec = jnp.asarray(rec_np)
     dyn_rec = jnp.asarray(dyn_np)
     box_rec = jnp.asarray(box_np)
@@ -1592,24 +1599,31 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
     chunk_id = 0
     while done < spp:
         cur = min(spp_chunk, spp - done)
-        outs = []
-        for di, dev in enumerate(devices):
-            g0, g1 = bounds[di], bounds[di + 1]
-            if g1 == g0:
-                continue
-            params = jax.device_put(
-                jnp.asarray([np.int32(seed + 0x9E37 * chunk_id + 7919 * di),
-                             cur, max_depth, g0], jnp.int32), dev)
-            outs.append(_trace_call(
-                dev_args[di][0], dev_args[di][1], dev_args[di][2],
-                dev_args[di][3], dev_args[di][4], dev_args[di][5],
-                dev_args[di][6], params, dev_args[di][7], dev_args[di][8],
-                kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
-                med_kinds, flags, scene.background, nx, ny, g1 - g0,
-                interpret, rr_depth, scene.perlin_seed))
-        # all device dispatches are in flight; gather in order
-        lanes = np.concatenate(
-            [np.asarray(o).transpose(1, 2, 0).reshape(-1, 3) for o in outs])
+        # the first chunk's dispatch carries the Mosaic compile;
+        # np.asarray in the gather is the true device sync (tunnel
+        # semantics — utils/timers.py)
+        with timers.phase("compile+chunk0" if chunk_id == 0 else "dispatch"):
+            outs = []
+            for di, dev in enumerate(devices):
+                g0, g1 = bounds[di], bounds[di + 1]
+                if g1 == g0:
+                    continue
+                params = jax.device_put(
+                    jnp.asarray([np.int32(seed + 0x9E37 * chunk_id
+                                          + 7919 * di),
+                                 cur, max_depth, g0], jnp.int32), dev)
+                outs.append(_trace_call(
+                    dev_args[di][0], dev_args[di][1], dev_args[di][2],
+                    dev_args[di][3], dev_args[di][4], dev_args[di][5],
+                    dev_args[di][6], params, dev_args[di][7],
+                    dev_args[di][8], kinds, rect_groups, n_dyn, n_box,
+                    n_sclus, n_bclus, med_kinds, flags, scene.background,
+                    nx, ny, g1 - g0, interpret, rr_depth,
+                    scene.perlin_seed))
+            # all device dispatches are in flight; gather in order
+            lanes = np.concatenate(
+                [np.asarray(o).transpose(1, 2, 0).reshape(-1, 3)
+                 for o in outs])
         sums += lanes[:n_pix]
         done += cur
         chunk_id += 1

@@ -102,7 +102,7 @@ def render(scene: SceneTables, cam: Camera, nx: int, ny: int, spp: int,
            seed: int = 0, max_depth: int = 50, block_pixels: int = 1 << 16,
            spp_chunk: int | None = None, progress=None,
            use_bvh: bool = False, checkpoint: str | None = None,
-           rr_depth: int | None = None) -> np.ndarray:
+           rr_depth: int | None = None, timers=None) -> np.ndarray:
     """Full image render → float32 [ny, nx, 3], gamma-corrected like the
     reference (sqrt + clamp, tests/test.rs:72-75). Row 0 = top.
 
@@ -126,10 +126,15 @@ def render(scene: SceneTables, cam: Camera, nx: int, ny: int, spp: int,
     n_blocks = math.ceil(n_pix / block_pixels)
     n_chunks = spp // spp_chunk
 
+    if timers is None:
+        from .utils.timers import Timers
+        timers = Timers()  # unobserved sink; keeps the loop branch-free
+
     bvh = None
     if use_bvh:
         from .accel.bvh import build_bvh
-        bvh = build_bvh(scene)
+        with timers.phase("bvh_build"):
+            bvh = build_bvh(scene)
 
     base = jax.random.key(seed)
     sums = np.zeros((n_pix, 3), np.float32)
@@ -151,17 +156,24 @@ def render(scene: SceneTables, cam: Camera, nx: int, ny: int, spp: int,
         ids[hi - lo:] = n_pix - 1  # pad: re-render last pixel, discarded
         pix = jnp.asarray(ids)
         blk_key = jax.random.fold_in(base, blk)
-        acc = render_block_multi(scene, cam, pix, blk_key, spp_chunk, nx, ny,
-                                 max_depth, n_chunks, bvh=bvh,
-                                 rr_depth=rr_depth)
+        # the first block's dispatch carries the jit compile; np.asarray
+        # is the true device sync on this backend (block_until_ready
+        # returns early through the remote tunnel — utils/timers.py)
+        pname = "compile+block0" if blk == start_blk else "dispatch"
+        with timers.phase(pname):
+            acc = render_block_multi(scene, cam, pix, blk_key, spp_chunk,
+                                     nx, ny, max_depth, n_chunks, bvh=bvh,
+                                     rr_depth=rr_depth)
+            acc = np.asarray(acc)
         done += n_chunks
         if progress is not None:
             progress(done, n_blocks * n_chunks)
-        sums[lo:hi] += np.asarray(acc)[: hi - lo]
+        sums[lo:hi] += acc[: hi - lo]
         if checkpoint:
-            tmp = checkpoint + ".tmp.npz"
-            np.savez(tmp, meta=ck_meta, sums=sums, next_block=blk + 1)
-            os.replace(tmp, checkpoint)
+            with timers.phase("checkpoint_io"):
+                tmp = checkpoint + ".tmp.npz"
+                np.savez(tmp, meta=ck_meta, sums=sums, next_block=blk + 1)
+                os.replace(tmp, checkpoint)
 
     img = np.sqrt(np.clip(sums / spp, 0.0, None))
     return np.clip(img, 0.0, 1.0).reshape(ny, nx, 3).astype(np.float32)

@@ -38,3 +38,17 @@ def test_render_png_and_unknown_scene(tmp_path):
                "--log", str(tmp_path / "l.log")])
     assert rc == 0 and os.path.getsize(out) > 100
     assert main(["render", "--scene", "nope", "--no-progress"]) == 2
+
+
+def test_render_timers_report(tmp_path, capsys):
+    """--timers prints per-phase wall times covering build, the
+    compile-carrying first dispatch, and encode (SURVEY.md §5 profiling:
+    the reference has none)."""
+    out = str(tmp_path / "t.ppm")
+    rc = main(["render", "--scene", "two_spheres", "--nx", "16", "--ny",
+               "9", "--spp", "2", "--out", out, "--no-progress",
+               "--timers", "--log", str(tmp_path / "l.log")])
+    assert rc == 0
+    text = capsys.readouterr().out
+    for phase in ("scene_build", "compile+block0", "encode"):
+        assert phase in text
