@@ -334,7 +334,15 @@ def build_scene_record(scene: SceneTables):
     in-kernel path (emissive noise/image, flipped or rotated image
     prims, non-8-bit images, non-box rects beyond the unroll budget).
     """
-    pk = jax.tree.map(np.asarray, pack_prims(scene))
+    # One batched host pull + CPU-backend packing. The scene tables live
+    # on the (possibly remote) accelerator; the dozens of per-field and
+    # per-prim reads below would each cost a full device roundtrip
+    # (~0.5 s through the axon tunnel — record_build measured 19 s on a
+    # TWO-prim scene before this).
+    scene = jax.device_get(scene)
+    cpu0 = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu0):
+        pk = jax.tree.map(np.asarray, pack_prims(scene))
     ptype = np.asarray(scene.prim_type)
     mat_type = np.asarray(scene.mat_type)
     mat_param = np.asarray(scene.mat_param)
@@ -557,6 +565,7 @@ def build_scene_record(scene: SceneTables):
 
 
 def build_camera_record(cam) -> np.ndarray:
+    cam = jax.device_get(cam)  # one batched pull (tunnel roundtrips)
     rec = np.zeros(CAMREC, np.float32)
     rec[C_ORIGIN:C_ORIGIN + 3] = np.asarray(cam.origin)
     rec[C_LL:C_LL + 3] = np.asarray(cam.lower_left)
@@ -1542,6 +1551,17 @@ def _trace_call(rec, dyn_rec, box_rec, sclus, bclus, med_rec, cam_rec,
       attr)
 
 
+def tile_bounds(grid: int, n_dev: int) -> list[int]:
+    """Contiguous tile-grid split across devices: monotone bounds with
+    bounds[0] = 0, bounds[-1] = grid, per-device spans within one tile of
+    each other. Every grid position is rendered exactly once regardless
+    of device count (tests/test_pallas_record.py pins this)."""
+    per = -(-grid // n_dev)
+    bounds = [min(i * per, grid) for i in range(n_dev + 1)]
+    bounds[-1] = grid
+    return bounds
+
+
 def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
                   seed: int = 0, max_depth: int = 50,
                   spp_chunk: int | None = None,
@@ -1565,17 +1585,9 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
         (rec_np, kinds, rect_groups, dyn_np, n_dyn, box_np, n_box, sclus_np,
          bclus_np, med_np, med_kinds, flags, img_np,
          attr_np) = build_scene_record(scene)
-    rec = jnp.asarray(rec_np)
-    dyn_rec = jnp.asarray(dyn_np)
-    box_rec = jnp.asarray(box_np)
-    sclus = jnp.asarray(sclus_np)
-    bclus = jnp.asarray(bclus_np)
-    attr = jnp.asarray(attr_np)
     n_sclus, n_bclus = len(sclus_np) if n_dyn else 0, \
         len(bclus_np) if n_box else 0
-    med_rec = jnp.asarray(med_np)
-    cam_rec = jnp.asarray(build_camera_record(cam))
-    img_atlas = jnp.asarray(img_np)
+    cam_np = build_camera_record(cam)
     n_pix = nx * ny
     grid = -(-n_pix // TILE)
 
@@ -1584,13 +1596,14 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
             or jax.devices()[:1]
     n_dev = min(len(devices), grid)
     devices = devices[:n_dev]
-    per = -(-grid // n_dev)
-    bounds = [min(i * per, grid) for i in range(n_dev + 1)]
-    bounds[-1] = grid
-    dev_args = [tuple(jax.device_put(x, d)
-                      for x in (rec, dyn_rec, box_rec, sclus, bclus,
-                                med_rec, cam_rec, img_atlas, attr))
-                for d in devices]
+    bounds = tile_bounds(grid, n_dev)
+    # one batched device_put per device (per-array puts would each pay a
+    # tunnel roundtrip)
+    with timers.phase("upload"):
+        dev_args = [jax.device_put((rec_np, dyn_np, box_np, sclus_np,
+                                    bclus_np, med_np, cam_np, img_np,
+                                    attr_np), d)
+                    for d in devices]
 
     if spp_chunk is None:
         spp_chunk = spp

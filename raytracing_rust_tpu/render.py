@@ -112,6 +112,13 @@ def render(scene: SceneTables, cam: Camera, nx: int, ny: int, spp: int,
     block's RNG key depends only on (seed, block id)). The reference has
     no resume at all (SURVEY.md §5: whole image in one String).
     """
+    if use_bvh:
+        # BVH traversal is gather-bound (~100x slower per lane-chain than
+        # the dense scan on TPU); one block renders block_pixels*spp
+        # chains in a single dispatch, and a dispatch that runs minutes
+        # gets killed by the TPU runtime's watchdog. Cap the per-dispatch
+        # chain count so BVH blocks stay ~30s.
+        block_pixels = min(block_pixels, max(256, (1 << 16) // spp))
     block_pixels = min(block_pixels, nx * ny)
     if spp_chunk is None:
         # lane budget per dispatch: big enough to amortize the ~0.5s

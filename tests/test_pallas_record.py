@@ -163,3 +163,16 @@ def test_camera_record():
                                [278, 278, -800])
     assert rec[pt.C_LENS_R] == np.float32(0.05)
     assert rec[pt.C_DTIME] == 1.0
+
+
+def test_tile_bounds_partition():
+    """Every tile is rendered exactly once for any (grid, device) split —
+    the host-side contract of render_pallas's multi-chip dispatch."""
+    for grid in (1, 2, 7, 8, 100, 101):
+        for n_dev in (1, 2, 3, 8):
+            b = pt.tile_bounds(grid, min(n_dev, grid))
+            assert b[0] == 0 and b[-1] == grid
+            assert all(x <= y for x, y in zip(b, b[1:]))
+            spans = [y - x for x, y in zip(b, b[1:])]
+            assert sum(spans) == grid
+            assert max(spans) <= -(-grid // min(n_dev, grid))

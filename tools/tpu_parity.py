@@ -34,7 +34,10 @@ CONFIGS = {
     # key: (scene, nx, ny, spp, depth, mean rel tolerance, options)
     "two_spheres": ("two_spheres", 96, 54, 64, 12, 0.02, {}),
     "random_spheres": ("random_spheres", 96, 54, 64, 12, 0.02, {}),
-    "random_spheres_bvh": ("random_spheres", 96, 54, 64, 12, 0.02,
+    # smaller than the rest: the XLA+BVH side is gather-bound on TPU
+    # (~2k lane-chains/s; render() caps its per-dispatch work to stay
+    # under the TPU runtime watchdog) so a full-size config runs ~5 min
+    "random_spheres_bvh": ("random_spheres", 48, 27, 48, 10, 0.03,
                            {"use_bvh": True}),
     "two_perlin_spheres": ("two_perlin_spheres", 96, 54, 64, 12, 0.02, {}),
     "simple_light": ("simple_light", 96, 54, 128, 12, 0.04, {}),
@@ -116,6 +119,29 @@ def main() -> int:
               f"band=[{0.8 * expected:.4f}, {1.2 * expected:.4f}] "
               f"{'OK' if ok else 'FAIL'}")
         failures += 0 if ok else 1
+
+    # multi-device dispatch path on one chip: passing the same device
+    # twice exercises the tile split, per-device seeding, the in-flight
+    # multi-dispatch loop, and the ordered gather (the real multi-chip
+    # code path, minus the second chip). Means must agree within MC
+    # error with the single-device render (per-device seeds differ).
+    import jax
+    dev = jax.devices()[0]
+    preset = PRESETS["cornell_box"]
+    scene = preset.build()
+    cam = preset.camera()
+    one = _with_retry(lambda: render_pallas(scene, cam, 64, 64, 128,
+                                            seed=3, max_depth=16,
+                                            devices=[dev]))
+    two = _with_retry(lambda: render_pallas(scene, cam, 64, 64, 128,
+                                            seed=3, max_depth=16,
+                                            devices=[dev, dev]))
+    m1, m2 = float(one.mean()), float(two.mean())
+    rel = abs(m1 - m2) / max(m1, 1e-6)
+    ok = np.isfinite(two).all() and rel < 0.04
+    print(f"split2 (same chip): 1dev={m1:.4f} 2dev={m2:.4f} rel={rel:.3f} "
+          f"{'OK' if ok else 'FAIL'}")
+    failures += 0 if ok else 1
 
     print("PARITY PASS" if failures == 0 else f"PARITY FAIL ({failures})")
     return 1 if failures else 0
