@@ -1562,6 +1562,30 @@ def tile_bounds(grid: int, n_dev: int) -> list[int]:
     return bounds
 
 
+_SCENE_CACHE: dict = {}
+
+
+def _cached_scene_record(scene):
+    """(record tuple, per-device upload cache) for a SceneTables object.
+
+    Keyed by object identity with a weakref guard (id reuse after GC) —
+    JAX arrays are immutable, so a table set never changes under a live
+    scene. Saves the batched host pull + host packing (~0.5-1.5 s through
+    the device tunnel) and the per-device uploads on every re-render of
+    the same scene (benchmarks, spp sweeps, interactive use).
+    """
+    import weakref
+
+    key = id(scene)
+    hit = _SCENE_CACHE.get(key)
+    if hit is not None and hit[0]() is scene:
+        return hit[1], hit[2]
+    record = build_scene_record(scene)
+    ref = weakref.ref(scene, lambda _: _SCENE_CACHE.pop(key, None))
+    _SCENE_CACHE[key] = (ref, record, {})
+    return record, _SCENE_CACHE[key][2]
+
+
 def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
                   seed: int = 0, max_depth: int = 50,
                   spp_chunk: int | None = None,
@@ -1584,7 +1608,7 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
     with timers.phase("record_build"):
         (rec_np, kinds, rect_groups, dyn_np, n_dyn, box_np, n_box, sclus_np,
          bclus_np, med_np, med_kinds, flags, img_np,
-         attr_np) = build_scene_record(scene)
+         attr_np), dev_cache = _cached_scene_record(scene)
     n_sclus, n_bclus = len(sclus_np) if n_dyn else 0, \
         len(bclus_np) if n_box else 0
     cam_np = build_camera_record(cam)
@@ -1598,12 +1622,18 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
     devices = devices[:n_dev]
     bounds = tile_bounds(grid, n_dev)
     # one batched device_put per device (per-array puts would each pay a
-    # tunnel roundtrip)
+    # tunnel roundtrip); repeated renders of the same scene reuse the
+    # resident tables (JAX arrays are immutable, so the cache is sound)
     with timers.phase("upload"):
-        dev_args = [jax.device_put((rec_np, dyn_np, box_np, sclus_np,
-                                    bclus_np, med_np, cam_np, img_np,
-                                    attr_np), d)
-                    for d in devices]
+        dev_args = []
+        for d in devices:
+            tables = dev_cache.get(d)
+            if tables is None:
+                tables = jax.device_put((rec_np, dyn_np, box_np, sclus_np,
+                                         bclus_np, med_np, img_np,
+                                         attr_np), d)
+                dev_cache[d] = tables
+            dev_args.append(tables)
 
     if spp_chunk is None:
         spp_chunk = spp
@@ -1621,15 +1651,17 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
                 g0, g1 = bounds[di], bounds[di + 1]
                 if g1 == g0:
                     continue
-                params = jax.device_put(
-                    jnp.asarray([np.int32(seed + 0x9E37 * chunk_id
-                                          + 7919 * di),
-                                 cur, max_depth, g0], jnp.int32), dev)
+                # one batched put for the per-chunk scalars + camera
+                params, cam_dev = jax.device_put(
+                    (np.asarray([(seed + 0x9E37 * chunk_id + 7919 * di)
+                                 & 0x7FFFFFFF,
+                                 cur, max_depth, g0], np.int32),
+                     cam_np), dev)
                 outs.append(_trace_call(
                     dev_args[di][0], dev_args[di][1], dev_args[di][2],
                     dev_args[di][3], dev_args[di][4], dev_args[di][5],
-                    dev_args[di][6], params, dev_args[di][7],
-                    dev_args[di][8], kinds, rect_groups, n_dyn, n_box,
+                    cam_dev, params, dev_args[di][6],
+                    dev_args[di][7], kinds, rect_groups, n_dyn, n_box,
                     n_sclus, n_bclus, med_kinds, flags, scene.background,
                     nx, ny, g1 - g0, interpret, rr_depth,
                     scene.perlin_seed))
