@@ -340,13 +340,17 @@ class SceneBuilder:
                 images[i, : im.shape[0], : im.shape[1]] = im
                 image_hw[i] = im.shape[:2]
 
+        # build every table host-side and ship the whole pytree in ONE
+        # batched device_put at the end: per-array jnp.asarray would pay
+        # ~25 separate dispatches (~0.5 s each through a remote device
+        # tunnel — 14 s measured for cornell_box)
         def f(x):
-            return jnp.asarray(np.asarray(x), dtype)
+            return np.asarray(x, _np_dtype(dtype))
 
         def i32(x):
-            return jnp.asarray(np.asarray(x), jnp.int32)
+            return np.asarray(x, np.int32)
 
-        return SceneTables(
+        tables = SceneTables(
             prim_type=i32(self._ptype),
             prim_data=f(np.stack(self._pdata)),
             prim_axis=i32(self._paxis),
@@ -370,7 +374,7 @@ class SceneBuilder:
             tex_child=i32(np.stack(self._tex_child)),
             tex_scale=f(self._tex_scale),
             tex_image=i32(self._tex_image),
-            images=jnp.asarray(images, dtype),
+            images=f(images),
             image_hw=i32(image_hw),
             background=self.background,
             perlin_seed=self.perlin_seed,
@@ -380,3 +384,8 @@ class SceneBuilder:
             has_moving=PRIM_MOVING_SPHERE in self._ptype,
             has_xforms=len(self._xf) > 1,
         )
+        return jax.device_put(tables)
+
+
+def _np_dtype(dtype):
+    return np.dtype(getattr(dtype, "dtype", dtype))

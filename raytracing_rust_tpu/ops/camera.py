@@ -36,32 +36,43 @@ class Camera:
 def make_camera(look_from, look_at, view_up, vertical_fov: float, aspect: float,
                 aperture: float, focus_dist: float, time0: float = 0.0,
                 time1: float = 0.0, dtype=jnp.float32) -> Camera:
-    """Exactly the construction math at reference src/camera.rs:21-51."""
-    look_from = jnp.asarray(look_from, dtype)
-    look_at = jnp.asarray(look_at, dtype)
-    view_up = jnp.asarray(view_up, dtype)
+    """Exactly the construction math at reference src/camera.rs:21-51.
+
+    Computed host-side in numpy and shipped in ONE batched device_put —
+    each eager jnp op here would otherwise be its own device dispatch
+    (~0.5 s each through a remote device tunnel).
+    """
+    import numpy as np
+
+    npdt = np.dtype(getattr(dtype, "dtype", dtype))
+    look_from = np.asarray(look_from, npdt)
+    look_at = np.asarray(look_at, npdt)
+    view_up = np.asarray(view_up, npdt)
 
     theta = vertical_fov * math.pi / 180.0
     half_height = focus_dist * math.tan(theta / 2.0)
     half_width = aspect * half_height
 
     w = look_from - look_at
-    w = w / jnp.linalg.norm(w)
-    u = jnp.cross(view_up, w)
-    u = u / jnp.linalg.norm(u)
-    v = jnp.cross(w, u)
+    w = w / np.linalg.norm(w)
+    u = np.cross(view_up, w)
+    u = u / np.linalg.norm(u)
+    v = np.cross(w, u)
 
-    return Camera(
+    cam = Camera(
         origin=look_from,
-        lower_left=look_from - half_width * u - half_height * v - focus_dist * w,
-        horizontal=2.0 * half_width * u,
-        vertical=2.0 * half_height * v,
-        u=u,
-        v=v,
-        time0=jnp.asarray(time0, dtype),
-        time1=jnp.asarray(time1, dtype),
-        lens_radius=jnp.asarray(aperture / 2.0, dtype),
+        lower_left=np.asarray(
+            look_from - half_width * u - half_height * v - focus_dist * w,
+            npdt),
+        horizontal=np.asarray(2.0 * half_width * u, npdt),
+        vertical=np.asarray(2.0 * half_height * v, npdt),
+        u=np.asarray(u, npdt),
+        v=np.asarray(v, npdt),
+        time0=np.asarray(time0, npdt),
+        time1=np.asarray(time1, npdt),
+        lens_radius=np.asarray(aperture / 2.0, npdt),
     )
+    return jax.device_put(cam)
 
 
 def get_rays(cam: Camera, s: jnp.ndarray, t: jnp.ndarray, u: jnp.ndarray):

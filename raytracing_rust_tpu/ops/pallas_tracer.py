@@ -136,6 +136,18 @@ A_IMG_H = 27
 A_IMG_W = 28
 ATTR_ROWS = 32
 
+# the kernel's extra-field resolution uses fl[fid - 17] (attribute-pass
+# select), which is only correct while the R_ALB_ODD..R_IMG_W run
+# mirrors A_ALB_O..A_IMG_W at a constant offset — pin it at import time
+# so inserting a field in either layout fails loudly instead of
+# silently shading with the wrong attribute
+for _rf, _af in ((R_ALB_ODD, A_ALB_O), (R_CHECKER, A_CHECKER),
+                 (R_NOISE, A_NOISE), (R_NSCALE, A_NSCALE),
+                 (R_IMG, A_IMG), (R_IMG_BASE, A_IMG_BASE),
+                 (R_IMG_H, A_IMG_H), (R_IMG_W, A_IMG_W)):
+    assert _rf - _af == 17, (
+        f"record/attr layout drift: R{_rf} - A{_af} != 17")
+
 
 UNROLL_BUDGET = 96  # prims unrolled at trace time; spheres beyond go dynamic
 SPH_LEAF = 16       # dynamic-sphere cluster leaf size
@@ -236,11 +248,10 @@ def _build_attr_table(dyn_rec, box_rec, n_dyn, n_box):
     cols = []
 
     def add(row, kind):
+        # rects never reach the thin path (they are always unrolled);
+        # A_TYPE=1 is reserved if that ever changes
         a = np.zeros(ATTR_ROWS, np.float32)
-        if kind == "rect":
-            a[A_TYPE] = 1.0
-            a[A_G0:A_G0 + 3] = row[R_KN:R_KN + 3]
-        elif kind == "box":
+        if kind == "box":
             a[A_TYPE] = 2.0
             a[A_G0:A_G0 + 3] = row[R_C0:R_C0 + 3]
             a[A_G3:A_G3 + 3] = row[R_DC:R_DC + 3]
@@ -315,7 +326,9 @@ def build_scene_record(scene: SceneTables):
     """Flatten SceneTables into the [P, REC] scalar record (host side).
 
     Returns (record, kinds, rect_groups, dyn_rec, n_dyn, box_rec, n_box,
-    sclus, bclus, med_rec, med_kinds, flags, img_packed): kinds /
+    sclus, bclus, med_rec, med_kinds, flags, img_packed, attr), where
+    attr is the transposed thin-hit-path attribute table
+    (_build_attr_table, int32[32, P_pad]): kinds /
     med_kinds are static tuples controlling the per-primitive /
     per-medium unrolls; rect_groups groups unrolled rect rows by shared
     world plane frame (kn, an, bn) so the kernel computes the six
@@ -1563,27 +1576,39 @@ def tile_bounds(grid: int, n_dev: int) -> list[int]:
 
 
 _SCENE_CACHE: dict = {}
+_CAM_CACHE: dict = {}
+
+
+def _identity_cached(cache, obj, build):
+    """Cache `build(obj)` under the pytree's identity.
+
+    Guarded by a weakref (id reuse after GC) AND the ids of every leaf:
+    JAX arrays are immutable, but the dataclass FIELDS are reassignable
+    (`scene.tex_color = ...`), so a leaf-id mismatch must invalidate.
+    Returns (value, aux_dict) where aux_dict is an empty per-entry dict
+    the caller may use for derived state (e.g. device uploads).
+    """
+    import weakref
+
+    key = id(obj)
+    leaves = tuple(id(x) for x in jax.tree.leaves(obj))
+    hit = cache.get(key)
+    if hit is not None and hit[0]() is obj and hit[1] == leaves:
+        return hit[2], hit[3]
+    value = build(obj)
+    ref = weakref.ref(obj, lambda _: cache.pop(key, None))
+    cache[key] = (ref, leaves, value, {})
+    return value, cache[key][3]
 
 
 def _cached_scene_record(scene):
     """(record tuple, per-device upload cache) for a SceneTables object.
 
-    Keyed by object identity with a weakref guard (id reuse after GC) —
-    JAX arrays are immutable, so a table set never changes under a live
-    scene. Saves the batched host pull + host packing (~0.5-1.5 s through
-    the device tunnel) and the per-device uploads on every re-render of
-    the same scene (benchmarks, spp sweeps, interactive use).
+    Saves the batched host pull + host packing (~0.5-1.5 s through the
+    device tunnel) and the per-device uploads on every re-render of the
+    same scene (benchmarks, spp sweeps, interactive use).
     """
-    import weakref
-
-    key = id(scene)
-    hit = _SCENE_CACHE.get(key)
-    if hit is not None and hit[0]() is scene:
-        return hit[1], hit[2]
-    record = build_scene_record(scene)
-    ref = weakref.ref(scene, lambda _: _SCENE_CACHE.pop(key, None))
-    _SCENE_CACHE[key] = (ref, record, {})
-    return record, _SCENE_CACHE[key][2]
+    return _identity_cached(_SCENE_CACHE, scene, build_scene_record)
 
 
 def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
@@ -1611,7 +1636,7 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
          attr_np), dev_cache = _cached_scene_record(scene)
     n_sclus, n_bclus = len(sclus_np) if n_dyn else 0, \
         len(bclus_np) if n_box else 0
-    cam_np = build_camera_record(cam)
+    cam_np, _ = _identity_cached(_CAM_CACHE, cam, build_camera_record)
     n_pix = nx * ny
     grid = -(-n_pix // TILE)
 
@@ -1638,6 +1663,27 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
     if spp_chunk is None:
         spp_chunk = spp
     sums = np.zeros((n_pix, 3), np.float64)
+    try:
+        _dispatch_chunks(sums, spp, spp_chunk, devices, bounds, dev_args,
+                         cam_np, seed, max_depth, kinds, rect_groups,
+                         n_dyn, n_box, n_sclus, n_bclus, med_kinds, flags,
+                         scene, nx, ny, n_pix, interpret, rr_depth, timers)
+    except Exception:
+        # a TPU worker crash/restart invalidates resident buffers; drop
+        # every cached device table so the caller's retry re-uploads to
+        # the fresh worker instead of re-raising on dead handles
+        for entry in _SCENE_CACHE.values():
+            entry[3].clear()
+        raise
+
+    img = np.sqrt(np.clip(sums / spp, 0.0, None))
+    return np.clip(img, 0.0, 1.0).reshape(ny, nx, 3).astype(np.float32)
+
+
+def _dispatch_chunks(sums, spp, spp_chunk, devices, bounds, dev_args,
+                     cam_np, seed, max_depth, kinds, rect_groups, n_dyn,
+                     n_box, n_sclus, n_bclus, med_kinds, flags, scene,
+                     nx, ny, n_pix, interpret, rr_depth, timers):
     done = 0
     chunk_id = 0
     while done < spp:
@@ -1672,6 +1718,3 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
         sums += lanes[:n_pix]
         done += cur
         chunk_id += 1
-
-    img = np.sqrt(np.clip(sums / spp, 0.0, None))
-    return np.clip(img, 0.0, 1.0).reshape(ny, nx, 3).astype(np.float32)

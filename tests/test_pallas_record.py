@@ -176,3 +176,19 @@ def test_tile_bounds_partition():
             spans = [y - x for x, y in zip(b, b[1:])]
             assert sum(spans) == grid
             assert max(spans) <= -(-grid // min(n_dev, grid))
+
+
+def test_scene_record_cache_invalidation():
+    """The identity cache must miss on field reassignment (dataclass
+    fields are mutable even though JAX arrays are not) and on a new
+    object, and hit on the unchanged object."""
+    scene = builders.two_spheres()
+    rec1, aux1 = pt._cached_scene_record(scene)
+    rec2, aux2 = pt._cached_scene_record(scene)
+    assert rec1 is rec2 and aux1 is aux2          # hit
+    scene.tex_color = scene.tex_color + 0.0       # reassign a leaf
+    rec3, _ = pt._cached_scene_record(scene)
+    assert rec3 is not rec1                       # leaf-id guard missed
+    other = builders.two_spheres()
+    rec4, _ = pt._cached_scene_record(other)
+    assert rec4 is not rec3                       # distinct object
