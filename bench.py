@@ -8,6 +8,10 @@ per-sample-constant, so rays/s is invariant to spp beyond warmup)."""
 import os
 import sys
 
+# reuse cached XLA/Mosaic compiles across processes (first compile of the
+# megakernel through the remote helper costs 1-5 min otherwise)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_rt")
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from raytracing_rust_tpu import benchlib  # noqa: E402

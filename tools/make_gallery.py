@@ -15,6 +15,8 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".."))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_rt")
+
 
 from raytracing_rust_tpu.models.builders import PRESETS  # noqa: E402
 from raytracing_rust_tpu.ops.pallas_tracer import render_pallas  # noqa: E402
