@@ -339,9 +339,11 @@ def build_scene_record(scene: SceneTables):
     Cube, src/cube.rs:20-74) into box_rec, both cluster-sorted with
     cluster AABB tables (sclus/bclus, f32[C, 8] = lo3+hi3+start+count)
     the kernel slab-tests to skip whole leaves per bounce; leftover
-    rects must fit the unroll. flags is a static (has_checker,
-    has_metal, has_diel, has_noise, has_image) tuple that gates whole
-    shading blocks out of scenes that don't use them; img_packed is the
+    rects must fit the unroll; moving spheres prefer the unroll (when
+    they fit) so the dynamic loop serves static spheres without the
+    center lerp. flags is a static (has_checker, has_metal, has_diel,
+    has_noise, has_image, dyn_moving) tuple that gates whole shading /
+    intersection blocks out of scenes that don't use them; img_packed is the
     u8-packed image atlas for the in-kernel texel fetch ((8, 128) zeros
     when unused). Raises UnsupportedScene for features with no
     in-kernel path (emissive noise/image, flipped or rotated image
@@ -538,8 +540,17 @@ def build_scene_record(scene: SceneTables):
             raise UnsupportedScene(
                 f"{int(rect_left.sum())} non-box rects exceed the "
                 "unrolled-loop budget; the XLA tier handles this scene")
+        # moving spheres prefer the unrolled loop when they fit: the
+        # thin dynamic loop then drops the center lerp for every static
+        # member (final_scene's ONE moving sphere would otherwise tax
+        # its 1005 static spheres with the moving-center math every
+        # bounce). All-or-nothing so dyn_moving stays a static property.
+        is_moving = np.array([k == "moving" for k in kinds])
+        keep = rect_left
+        if int(rect_left.sum() + is_moving.sum()) <= UNROLL_BUDGET:
+            keep = rect_left | is_moving
         # dynamic spheres, cluster-sorted; AABB = swept center ± r
-        sph = rec[~is_rect]
+        sph = rec[~is_rect & ~keep]
         n_dyn = len(sph)
         if n_dyn:
             c0 = sph[:, R_C0:R_C0 + 3]
@@ -553,10 +564,15 @@ def build_scene_record(scene: SceneTables):
             box_rec, bclus = _cluster_rows(
                 box_rows, box_rows[:, R_C0:R_C0 + 3],
                 box_rows[:, R_DC:R_DC + 3], BOX_LEAF)
-        rec = np.ascontiguousarray(rec[rect_left])
-        kinds = [k for i, k in enumerate(kinds) if rect_left[i]]
+        rec = np.ascontiguousarray(rec[keep])
+        kinds = [k for i, k in enumerate(kinds) if keep[i]]
         if not kinds:  # SMEM inputs need at least one row
             rec = np.zeros((1, REC), np.float32)
+
+    # static kernel property: does the dynamic sphere loop need the
+    # moving-center lerp at all?
+    flags = flags + (bool(n_dyn
+                          and np.any(dyn_rec[:n_dyn, R_INV_DT] != 0.0)),)
 
     # group unrolled rects by world frame
     groups = {}
@@ -793,7 +809,8 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
     spp / max_depth arrive as runtime scalars (params_ref = [seed, spp,
     max_depth]) so one compile serves every sample count.
     """
-    has_checker, has_metal, has_diel, has_noise, has_image = flags
+    (has_checker, has_metal, has_diel, has_noise, has_image,
+     dyn_moving) = flags
     f = jnp.float32
 
     # optional per-prim record fields threaded through the hit-selection
@@ -1066,10 +1083,15 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                     def r(i):
                         return dyn_ref[p, i]
 
-                    frac = (time - r(R_T0)) * r(R_INV_DT)
-                    cx = r(R_C0) + frac * r(R_DC)
-                    cy = r(R_C0 + 1) + frac * r(R_DC + 1)
-                    cz = r(R_C0 + 2) + frac * r(R_DC + 2)
+                    if dyn_moving:
+                        frac = (time - r(R_T0)) * r(R_INV_DT)
+                        cx = r(R_C0) + frac * r(R_DC)
+                        cy = r(R_C0 + 1) + frac * r(R_DC + 1)
+                        cz = r(R_C0 + 2) + frac * r(R_DC + 2)
+                    else:
+                        # every dyn sphere is static (movers, if any,
+                        # were unrolled) — no lerp per member
+                        cx, cy, cz = r(R_C0), r(R_C0 + 1), r(R_C0 + 2)
                     ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
                     bq = _dot3(ocx, ocy, ocz, dx, dy, dz)
                     cq = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) - r(R_R2)

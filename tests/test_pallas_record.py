@@ -25,7 +25,7 @@ def test_cornell_record():
     assert sorted(sum((list(g) for g in groups), [])) == list(range(18))
     assert len(groups) == 9
     assert n_dyn == 0 and med_kinds == ()
-    assert flags == (False, False, False, False, False)  # checker/metal/diel/noise/image
+    assert flags == (False, False, False, False, False, False)  # checker/metal/diel/noise/image/dyn_moving
     # light rect (index 2) emits 15
     np.testing.assert_allclose(rec[2, pt.R_EMIT:pt.R_EMIT + 3], 15.0)
     # green wall flip carried
@@ -40,8 +40,12 @@ def test_random_spheres_partition():
      med_kinds, flags, img, attr) = pt.build_scene_record(scene)
     assert n_dyn == scene.num_prims  # all spheres go dynamic
     assert kinds == ()               # no rects; dummy unrolled row
-    has_checker, has_metal, has_diel, has_noise, has_image = flags
+    (has_checker, has_metal, has_diel, has_noise, has_image,
+     dyn_moving) = flags
     assert has_checker and has_metal and has_diel and not has_noise
+    # random_spheres' ~330 movers exceed the unroll budget, so the thin
+    # dynamic loop keeps the moving-center lerp for this scene
+    assert dyn_moving
     # moving spheres carry a nonzero center span
     moving = np.abs(dyn[:, pt.R_DC:pt.R_DC + 3]).sum(axis=1) > 0
     assert moving.any() and not moving.all()
@@ -78,11 +82,13 @@ def test_final_scene_partition():
     scene = builders.final_scene()
     (rec, kinds, groups, dyn, n_dyn, box, n_box, sclus, bclus, med,
      med_kinds, flags, img, attr) = pt.build_scene_record(scene)
-    assert kinds == ("rect",)          # the ceiling light
+    # the ceiling light + the one moving sphere (movers prefer the
+    # unrolled loop so the thin dynamic loop can drop the center lerp)
+    assert sorted(kinds) == ["moving", "rect"]
     assert n_box == 400
-    assert n_dyn == 1006               # 6 heroes + 1000 white
+    assert n_dyn == 1005               # 5 static heroes + 1000 white
     assert med_kinds == ("msphere", "msphere")
-    assert flags == (False, True, True, True, True)
+    assert flags == (False, True, True, True, True, False)
     # box rows: lo < hi, ground albedo carried
     lo, hi = box[:, pt.R_C0:pt.R_C0 + 3], box[:, pt.R_DC:pt.R_DC + 3]
     assert (lo < hi).all()
@@ -138,7 +144,7 @@ def test_noise_scene_record():
     scene = builders.two_perlin_spheres()
     (rec, kinds, groups, dyn, n_dyn, box, n_box, sclus, bclus, med,
      med_kinds, flags, img, attr) = pt.build_scene_record(scene)
-    assert flags == (False, False, False, True, False)
+    assert flags == (False, False, False, True, False, False)
     np.testing.assert_allclose(rec[:, pt.R_NOISE], 1.0)
     np.testing.assert_allclose(rec[:, pt.R_NSCALE], 4.0)  # test.rs:186
 
