@@ -119,6 +119,16 @@ def main(argv=None) -> int:
             # the megakernel needs the TPU core PRNG — no CPU lowering
             import jax
             use_pallas = any(d.platform == "tpu" for d in jax.devices())
+        if args.checkpoint and use_pallas:
+            # block-resumable rendering is an XLA-tier feature (the
+            # megakernel accumulates whole spp chunks on device); honor
+            # the request rather than silently dropping it
+            if args.engine == "pallas":
+                print("--checkpoint requires the xla engine",
+                      file=sys.stderr)
+                return 2
+            log.write("checkpoint requested; using the xla tier")
+            use_pallas = False
         if use_pallas:
             from .ops.pallas_tracer import UnsupportedScene, render_pallas
             try:

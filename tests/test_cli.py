@@ -52,3 +52,14 @@ def test_render_timers_report(tmp_path, capsys):
     text = capsys.readouterr().out
     for phase in ("scene_build", "compile+block0", "encode"):
         assert phase in text
+
+
+def test_checkpoint_requires_xla_engine(tmp_path):
+    """--checkpoint is an XLA-tier feature; forcing the pallas engine
+    with it must fail loudly (auto falls back to xla instead)."""
+    rc = main(["render", "--scene", "two_spheres", "--nx", "16", "--ny",
+               "9", "--spp", "2", "--engine", "pallas",
+               "--checkpoint", str(tmp_path / "c.npz"),
+               "--out", str(tmp_path / "t.ppm"), "--no-progress",
+               "--log", str(tmp_path / "l.log")])
+    assert rc == 2
