@@ -89,9 +89,19 @@ def main(argv=None) -> int:
     log.write(f"render scene={args.scene}")
 
     preset = PRESETS[args.scene]
-    nx = args.nx or preset.nx
-    ny = args.ny or preset.ny
-    spp = args.spp or preset.spp
+    nx = preset.nx if args.nx is None else args.nx
+    ny = preset.ny if args.ny is None else args.ny
+    spp = preset.spp if args.spp is None else args.spp
+    if min(nx, ny, spp) <= 0:
+        print(f"nx/ny/spp must be positive (got {nx}x{ny} spp={spp})",
+              file=sys.stderr)
+        return 2
+    if args.sharded and (args.checkpoint or args.bvh
+                         or args.engine == "pallas"):
+        print("--sharded supports neither --checkpoint, --bvh, nor "
+              "--engine pallas (it is the GSPMD XLA path)",
+              file=sys.stderr)
+        return 2
     preset = type(preset)(**{**preset.__dict__, "nx": nx, "ny": ny})
 
     from .utils.timers import Timers
@@ -107,50 +117,59 @@ def main(argv=None) -> int:
         jax.profiler.start_trace(args.profile)
         profiler = args.profile
     t0 = time.time()
-    if args.sharded:
-        from .parallel.sharding import make_mesh, render_sharded
-        img = render_sharded(scene, cam, nx, ny, spp, make_mesh(),
-                             seed=args.seed, max_depth=args.max_depth,
-                             rr_depth=args.rr_depth)
-    else:
-        img = None
-        use_pallas = args.engine == "pallas"
-        if args.engine == "auto":
-            # the megakernel needs the TPU core PRNG — no CPU lowering
-            import jax
-            use_pallas = any(d.platform == "tpu" for d in jax.devices())
-        if args.checkpoint and use_pallas:
-            # block-resumable rendering is an XLA-tier feature (the
-            # megakernel accumulates whole spp chunks on device); honor
-            # the request rather than silently dropping it
-            if args.engine == "pallas":
-                print("--checkpoint requires the xla engine",
-                      file=sys.stderr)
-                return 2
-            log.write("checkpoint requested; using the xla tier")
-            use_pallas = False
-        if use_pallas:
-            from .ops.pallas_tracer import UnsupportedScene, render_pallas
-            try:
-                img = render_pallas(scene, cam, nx, ny, spp, seed=args.seed,
-                                    max_depth=args.max_depth,
-                                    rr_depth=args.rr_depth, timers=timers)
-            except UnsupportedScene as e:
+    try:
+        if args.sharded:
+            from .parallel.sharding import make_mesh, render_sharded
+            img = render_sharded(scene, cam, nx, ny, spp, make_mesh(),
+                                 seed=args.seed, max_depth=args.max_depth,
+                                 rr_depth=args.rr_depth)
+        else:
+            img = None
+            use_pallas = args.engine == "pallas"
+            if args.engine == "auto":
+                # the megakernel needs the TPU core PRNG — no CPU lowering
+                import jax
+                use_pallas = any(d.platform == "tpu"
+                                 for d in jax.devices())
+            if (args.checkpoint or args.bvh) and use_pallas:
+                # checkpoint/resume and the flat BVH are XLA-tier
+                # features (the megakernel accumulates whole spp chunks
+                # on device and scans primitives without a BVH); honor
+                # the request rather than silently dropping it
+                which = "--checkpoint" if args.checkpoint else "--bvh"
                 if args.engine == "pallas":
-                    print(f"pallas engine: {e}", file=sys.stderr)
+                    print(f"{which} requires the xla engine",
+                          file=sys.stderr)
                     return 2
-                log.write(f"pallas unsupported ({e}); falling back to xla")
-        if img is None:
-            from .render import render
-            img = render(scene, cam, nx, ny, spp, seed=args.seed,
-                         max_depth=args.max_depth, progress=progress,
-                         use_bvh=args.bvh, checkpoint=args.checkpoint,
-                         rr_depth=args.rr_depth, timers=timers)
-    dt = time.time() - t0
-    if profiler:
-        import jax
-        jax.profiler.stop_trace()
-        log.write(f"profiler trace -> {profiler}")
+                log.write(f"{which} requested; using the xla tier")
+                use_pallas = False
+            if use_pallas:
+                from .ops.pallas_tracer import (UnsupportedScene,
+                                                render_pallas)
+                try:
+                    img = render_pallas(scene, cam, nx, ny, spp,
+                                        seed=args.seed,
+                                        max_depth=args.max_depth,
+                                        rr_depth=args.rr_depth,
+                                        timers=timers, progress=progress)
+                except UnsupportedScene as e:
+                    if args.engine == "pallas":
+                        print(f"pallas engine: {e}", file=sys.stderr)
+                        return 2
+                    log.write(f"pallas unsupported ({e}); "
+                              "falling back to xla")
+            if img is None:
+                from .render import render
+                img = render(scene, cam, nx, ny, spp, seed=args.seed,
+                             max_depth=args.max_depth, progress=progress,
+                             use_bvh=args.bvh, checkpoint=args.checkpoint,
+                             rr_depth=args.rr_depth, timers=timers)
+    finally:
+        dt = time.time() - t0
+        if profiler:
+            import jax
+            jax.profiler.stop_trace()
+            log.write(f"profiler trace -> {profiler}")
 
     out = args.out or os.path.join("output", f"{args.scene}.ppm")
     os.makedirs(os.path.dirname(out) or ".", exist_ok=True)

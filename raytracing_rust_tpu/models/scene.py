@@ -319,7 +319,6 @@ class SceneBuilder:
 
     # -- finalize -------------------------------------------------------------
     def build(self, dtype=jnp.float32) -> SceneTables:
-        P = max(len(self._ptype), 1)
         if not self._ptype:  # keep shapes non-empty for jit friendliness
             # radius 0 ⇒ disc = b²−a·|oc|² ≤ 0 (Cauchy–Schwarz): never hits
             self._add_prim(PRIM_SPHERE, [0.0, 0.0, 0.0, 0.0], material=0)
@@ -388,4 +387,7 @@ class SceneBuilder:
 
 
 def _np_dtype(dtype):
-    return np.dtype(getattr(dtype, "dtype", dtype))
+    # canonicalize handles jnp scalar types, np scalar types, np.dtype,
+    # and strings alike (and applies the x64-disabled downcast exactly
+    # like the jnp.asarray this replaced)
+    return np.dtype(jax.dtypes.canonicalize_dtype(dtype))

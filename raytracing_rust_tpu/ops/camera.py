@@ -44,7 +44,7 @@ def make_camera(look_from, look_at, view_up, vertical_fov: float, aspect: float,
     """
     import numpy as np
 
-    npdt = np.dtype(getattr(dtype, "dtype", dtype))
+    npdt = np.dtype(jax.dtypes.canonicalize_dtype(dtype))
     look_from = np.asarray(look_from, npdt)
     look_at = np.asarray(look_at, npdt)
     view_up = np.asarray(view_up, npdt)

@@ -38,7 +38,8 @@ def _render_digest(scene: SceneTables, cam: Camera, use_bvh: bool) -> int:
     so a stale checkpoint from a different scene/camera is discarded
     instead of silently merged (ADVICE.md round 1)."""
     h = hashlib.sha256()
-    for leaf in jax.tree.leaves(scene) + jax.tree.leaves(cam):
+    scene_np, cam_np = jax.device_get((scene, cam))  # one batched pull
+    for leaf in jax.tree.leaves(scene_np) + jax.tree.leaves(cam_np):
         h.update(np.asarray(leaf).tobytes())
     h.update(bytes([scene.background, int(use_bvh)]))
     h.update(int(scene.perlin_seed).to_bytes(8, "little", signed=True))
@@ -146,9 +147,14 @@ def render(scene: SceneTables, cam: Camera, nx: int, ny: int, spp: int,
     base = jax.random.key(seed)
     sums = np.zeros((n_pix, 3), np.float32)
     start_blk = 0
-    ck_meta = np.asarray([nx, ny, spp, seed, max_depth, block_pixels,
-                          -1 if rr_depth is None else rr_depth,
-                          _render_digest(scene, cam, use_bvh)])
+    ck_meta = None
+    if checkpoint:
+        # digest only when checkpointing: it materializes every scene
+        # leaf on the host, which is ~35 device pulls on a remote TPU
+        ck_meta = np.asarray([nx, ny, spp, seed, max_depth, block_pixels,
+                              spp_chunk,
+                              -1 if rr_depth is None else rr_depth,
+                              _render_digest(scene, cam, use_bvh)])
     if checkpoint and os.path.exists(checkpoint):
         ck = np.load(checkpoint)
         if np.array_equal(ck["meta"], ck_meta):
