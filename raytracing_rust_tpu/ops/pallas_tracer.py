@@ -1638,7 +1638,7 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
                   spp_chunk: int | None = None,
                   interpret: bool = False,
                   rr_depth: int | None = None,
-                  devices=None, timers=None) -> np.ndarray:
+                  devices=None, timers=None, progress=None) -> np.ndarray:
     """Full-image render on the megakernel → float32 [ny, nx, 3] with the
     reference's gamma (sqrt + clamp, tests/test.rs:72-75).
 
@@ -1689,7 +1689,8 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
         _dispatch_chunks(sums, spp, spp_chunk, devices, bounds, dev_args,
                          cam_np, seed, max_depth, kinds, rect_groups,
                          n_dyn, n_box, n_sclus, n_bclus, med_kinds, flags,
-                         scene, nx, ny, n_pix, interpret, rr_depth, timers)
+                         scene, nx, ny, n_pix, interpret, rr_depth, timers,
+                         progress)
     except Exception:
         # a TPU worker crash/restart invalidates resident buffers; drop
         # every cached device table so the caller's retry re-uploads to
@@ -1705,7 +1706,8 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
 def _dispatch_chunks(sums, spp, spp_chunk, devices, bounds, dev_args,
                      cam_np, seed, max_depth, kinds, rect_groups, n_dyn,
                      n_box, n_sclus, n_bclus, med_kinds, flags, scene,
-                     nx, ny, n_pix, interpret, rr_depth, timers):
+                     nx, ny, n_pix, interpret, rr_depth, timers,
+                     progress=None):
     done = 0
     chunk_id = 0
     while done < spp:
@@ -1740,3 +1742,5 @@ def _dispatch_chunks(sums, spp, spp_chunk, devices, bounds, dev_args,
         sums += lanes[:n_pix]
         done += cur
         chunk_id += 1
+        if progress is not None:
+            progress(done, spp)
