@@ -44,6 +44,7 @@ reference is unseeded, so per-draw parity was never possible).
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 
 import numpy as np
@@ -152,6 +153,17 @@ for _rf, _af in ((R_ALB_ODD, A_ALB_O), (R_CHECKER, A_CHECKER),
 UNROLL_BUDGET = 96  # prims unrolled at trace time; spheres beyond go dynamic
 SPH_LEAF = 16       # dynamic-sphere cluster leaf size
 BOX_LEAF = 8        # box cluster leaf size
+
+# Cull strategy for the dynamic member loops (measurable on hardware with
+# RT_CULL=two|sup|leaf|flat): every guard's any-reduce collapses an
+# (8, LANES) mask to one scalar, which on v5e costs roughly as much as a
+# dozen member tests — so MORE guards is not automatically faster.
+#   two  — supercluster guards over leaf guards (finest skipping)
+#   sup  — supercluster guards only; a crossed super runs its whole
+#          contiguous member range unguarded (fewest reduces)
+#   leaf — leaf guards only (no super level)
+#   flat — no guards at all (pure member scan)
+CULL = os.environ.get("RT_CULL", "two")
 
 
 class UnsupportedScene(ValueError):
@@ -290,15 +302,26 @@ def _build_attr_table(dyn_rec, box_rec, n_dyn, n_box):
     return out.view(np.int32)
 
 
-def _cluster_rows(rows, lo, hi, leaf):
-    """Recursive median split on AABB centroids → flat leaf clusters.
+SUP_FANOUT = 8      # leaf clusters per supercluster (two-level cull)
 
-    Returns (rows reordered cluster-contiguously, clusters f32[C, 8] =
-    (lo3, hi3, start, count)). The kernel slab-tests each cluster AABB
-    against the whole lane tile and skips the member loop when no live
-    lane can hit it (lane-coherent cull; CLAUDE.md round-1 plan).
+
+def _cluster_rows(rows, lo, hi, leaf):
+    """Recursive median split on AABB centroids → two-level flat clusters.
+
+    Returns (rows reordered cluster-contiguously, table f32[L+S, 8],
+    n_leaf, n_sup). Rows [0, n_leaf) are leaf clusters (lo3, hi3,
+    member_start, member_count); rows [n_leaf, n_leaf+n_sup) are
+    superclusters (lo3, hi3, leaf_start, leaf_count) whose ranges index
+    the leaf rows. The kernel slab-tests a supercluster AABB against the
+    whole lane tile and skips ALL of its leaf guards when no live lane
+    can hit it, then guards each surviving leaf the same way before its
+    member loop (lane-coherent two-level cull). Superclusters follow
+    subtree boundaries of the same median split, so they are as tight
+    as the leaves they cover. n_sup == 0 when one level is enough
+    (≤ SUP_FANOUT leaves) — the kernel then loops the leaves directly.
     """
     clusters = []
+    supers = []
     order = []
 
     def split(idx):
@@ -315,18 +338,39 @@ def _cluster_rows(rows, lo, hi, leaf):
         split(idx[ordax[:half]])
         split(idx[ordax[half:]])
 
+    def split_top(idx):
+        if len(idx) <= leaf * SUP_FANOUT:
+            first = len(clusters)
+            split(idx)
+            clo, chi = lo[idx].min(0), hi[idx].max(0)
+            supers.append([*clo, *chi, float(first),
+                           float(len(clusters) - first)])
+            return
+        cen = (lo[idx] + hi[idx]) * 0.5
+        ax = int(np.argmax(cen.max(0) - cen.min(0)))
+        ordax = np.argsort(cen[:, ax], kind="stable")
+        half = len(idx) // 2
+        split_top(idx[ordax[:half]])
+        split_top(idx[ordax[half:]])
+
     if len(rows):
-        split(np.arange(len(rows)))
+        split_top(np.arange(len(rows)))
+    if len(clusters) <= SUP_FANOUT:
+        supers = []  # one level is enough; skip the outer guards
+    table = clusters + supers
     return (rows[np.asarray(order, int)] if order else rows,
-            np.asarray(clusters, np.float32) if clusters
-            else np.zeros((1, 8), np.float32))
+            np.asarray(table, np.float32) if table
+            else np.zeros((1, 8), np.float32),
+            len(clusters), len(supers))
 
 
 def build_scene_record(scene: SceneTables):
     """Flatten SceneTables into the [P, REC] scalar record (host side).
 
     Returns (record, kinds, rect_groups, dyn_rec, n_dyn, box_rec, n_box,
-    sclus, bclus, med_rec, med_kinds, flags, img_packed, attr), where
+    sclus, n_sclus, bclus, n_bclus, med_rec, med_kinds, flags,
+    img_packed, attr), where n_sclus/n_bclus are static (n_leaf, n_sup)
+    pairs describing the two-level cluster tables (_cluster_rows) and
     attr is the transposed thin-hit-path attribute table
     (_build_attr_table, int32[32, P_pad]): kinds /
     med_kinds are static tuples controlling the per-primitive /
@@ -532,6 +576,8 @@ def build_scene_record(scene: SceneTables):
     n_box = 0
     sclus = np.zeros((1, 8), np.float32)
     bclus = np.zeros((1, 8), np.float32)
+    n_sclus = (0, 0)
+    n_bclus = (0, 0)
     if P > UNROLL_BUDGET:
         is_rect = np.array([k == "rect" for k in kinds])
         box_rows, in_box = _merge_boxes(rec, kinds)
@@ -549,6 +595,25 @@ def build_scene_record(scene: SceneTables):
         keep = rect_left
         if int(rect_left.sum() + is_moving.sum()) <= UNROLL_BUDGET:
             keep = rect_left | is_moving
+        # "hero" spheres — much larger than the population median — also
+        # prefer the unroll: they are hit often, and testing them BEFORE
+        # the cluster loops seeds each lane's running-best t so the
+        # cluster guards' (tmn < t_b) cull has teeth (measured on
+        # final_scene: without this, t_b is still BIG when the guards
+        # run and ~40% of all members pass; with it, guard pass rates
+        # collapse for lanes on/inside the heroes)
+        sph_left = ~is_rect & ~keep
+        if sph_left.any():
+            radii = rec[:, R_RADIUS]
+            med_r = float(np.median(radii[sph_left]))
+            hero = sph_left & (radii >= 4.0 * max(med_r, 1e-20))
+            room = UNROLL_BUDGET - int(keep.sum())
+            if int(hero.sum()) > room:   # keep only the largest fits
+                order = np.argsort(-radii * hero)
+                hero = np.zeros_like(hero)
+                hero[order[:room]] = radii[order[:room]] > 0
+                hero &= sph_left
+            keep = keep | hero
         # dynamic spheres, cluster-sorted; AABB = swept center ± r
         sph = rec[~is_rect & ~keep]
         n_dyn = len(sph)
@@ -556,14 +621,16 @@ def build_scene_record(scene: SceneTables):
             c0 = sph[:, R_C0:R_C0 + 3]
             c1 = c0 + sph[:, R_DC:R_DC + 3]
             r_ = sph[:, R_RADIUS:R_RADIUS + 1]
-            dyn_rec, sclus = _cluster_rows(
+            dyn_rec, sclus, *n_sclus = _cluster_rows(
                 np.ascontiguousarray(sph), np.minimum(c0, c1) - r_,
                 np.maximum(c0, c1) + r_, SPH_LEAF)
+            n_sclus = tuple(n_sclus)
         n_box = len(box_rows)
         if n_box:
-            box_rec, bclus = _cluster_rows(
+            box_rec, bclus, *n_bclus = _cluster_rows(
                 box_rows, box_rows[:, R_C0:R_C0 + 3],
                 box_rows[:, R_DC:R_DC + 3], BOX_LEAF)
+            n_bclus = tuple(n_bclus)
         rec = np.ascontiguousarray(rec[keep])
         kinds = [k for i, k in enumerate(kinds) if keep[i]]
         if not kinds:  # SMEM inputs need at least one row
@@ -589,8 +656,8 @@ def build_scene_record(scene: SceneTables):
     else:
         attr = np.zeros((ATTR_ROWS, 128), np.int32)
     return (rec, tuple(kinds), rect_groups, dyn_rec, n_dyn, box_rec, n_box,
-            sclus, bclus, med_rec, tuple(med_kinds), flags, img_packed,
-            attr)
+            sclus, n_sclus, bclus, n_bclus, med_rec, tuple(med_kinds),
+            flags, img_packed, attr)
 
 
 def build_camera_record(cam) -> np.ndarray:
@@ -778,6 +845,11 @@ def _attr_gather(attr_ref, col, n_bands):
     n_blocks = attr_ref.shape[1] // 128
     n_oc = L // 128
     clo, chi = col & 127, col >> 7
+    # winners within one tile step are spatially clustered, so most
+    # 128-prim blocks have no takers on most steps: skip them with a
+    # zero-trip fori per block (one any-reduce each, computed once and
+    # shared by every band/sublane)
+    need = [jnp.any(chi == kc).astype(jnp.int32) for kc in range(n_blocks)]
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (S, L), 0)
     fields = [jnp.zeros((S, L), jnp.int32) for _ in range(8 * n_bands)]
     for band in range(n_bands):
@@ -786,13 +858,16 @@ def _attr_gather(attr_ref, col, n_bands):
             chi_b = jnp.broadcast_to(chi[s:s + 1, :], (S, L))
             g = jnp.zeros((S, L), jnp.int32)
             for kc in range(n_blocks):
-                blk = attr_ref[band * 8:(band + 1) * 8,
-                               128 * kc:128 * (kc + 1)]
-                gk = jnp.concatenate(
-                    [jnp.take_along_axis(
-                        blk, clo_b[:, 128 * oc:128 * (oc + 1)], axis=1)
-                     for oc in range(n_oc)], axis=1)
-                g = jnp.where(chi_b == kc, gk, g)
+                def fetch(_, g, kc=kc):
+                    blk = attr_ref[band * 8:(band + 1) * 8,
+                                   128 * kc:128 * (kc + 1)]
+                    gk = jnp.concatenate(
+                        [jnp.take_along_axis(
+                            blk, clo_b[:, 128 * oc:128 * (oc + 1)], axis=1)
+                         for oc in range(n_oc)], axis=1)
+                    return jnp.where(chi_b == kc, gk, g)
+
+                g = jax.lax.fori_loop(0, need[kc], fetch, g)
             for fz in range(8):
                 fields[band * 8 + fz] = jnp.where(
                     sub_iota == s,
@@ -803,11 +878,17 @@ def _attr_gather(attr_ref, col, n_bands):
 
 def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                  med_kinds, flags, background, nx, ny, rr_depth=None,
-                 perlin_seed=0):
+                 perlin_seed=0, block=None, stats=False):
     """Build the megakernel body for a static scene structure.
 
     spp / max_depth arrive as runtime scalars (params_ref = [seed, spp,
     max_depth]) so one compile serves every sample count.
+
+    stats=True adds three output rows of per-lane diagnostics counters
+    (wavefront steps, sphere member tests, box member tests) used by
+    tools/kernel_stats.py to measure cluster-cull efficiency on real
+    hardware; the counters ride the loop carries, so timings taken in
+    stats mode are NOT representative.
     """
     (has_checker, has_metal, has_diel, has_noise, has_image,
      dyn_moving) = flags
@@ -835,12 +916,32 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
         # reference tests/test.rs:62-64 row order handled via j flip)
         row = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 1)
-        pix = (grid_base + pid) * TILE + row * LANES + col
-        pix = jnp.minimum(pix, nx * ny - 1)
-        # exact int div via f32 (pix < 2^24): floor((pix+.5)/nx)
-        pixf = pix.astype(f)
-        jrow = jnp.floor((pixf + f(0.5)) * f(1.0 / nx))
-        icol = pixf - jrow * f(nx)
+        if block is not None:
+            # 2D pixel-block tiles (scenes with dynamic cluster loops):
+            # a tile covers a compact BX×BY pixel block instead of a
+            # TILE-long scanline strip, so the lane-coherent cluster
+            # guards see spatially coherent primary rays (and the
+            # locality-correlated early bounces) and actually skip.
+            # Edge lanes clamp onto the last row/column (their extra
+            # samples are cropped by the host assembly).
+            bxw, byh = block
+            gx = -(-nx // bxw)
+            tid = grid_base + pid
+            by_t = tid // gx
+            bx_t = tid - by_t * gx
+            lane = row * LANES + col
+            sh = bxw.bit_length() - 1      # BX is a power of two
+            x_i = jnp.minimum(bx_t * bxw + (lane & (bxw - 1)), nx - 1)
+            y_i = jnp.minimum(by_t * byh + (lane >> sh), ny - 1)
+            icol = x_i.astype(f)
+            jrow = y_i.astype(f)
+        else:
+            pix = (grid_base + pid) * TILE + row * LANES + col
+            pix = jnp.minimum(pix, nx * ny - 1)
+            # exact int div via f32 (pix < 2^24): floor((pix+.5)/nx)
+            pixf = pix.astype(f)
+            jrow = jnp.floor((pixf + f(0.5)) * f(1.0 / nx))
+            icol = pixf - jrow * f(nx)
         jflip = f(ny - 1) - jrow
 
         def cs(i):  # camera scalar
@@ -864,7 +965,10 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
         def step(carry):
             (ox, oy, oz, dx, dy, dz, time, thr_r, thr_g, thr_b,
              rad_r, rad_g, rad_b, alive, bcnt, scnt,
-             acc_r, acc_g, acc_b) = carry
+             acc_r, acc_g, acc_b) = carry[:19]
+            if stats:
+                s_steps, s_mem_s, s_mem_b = carry[19:]
+                s_steps = s_steps + f(1.0)
 
             # -- regenerate dead lanes that still owe samples
             # (reference src/camera.rs:53-67 + jitter tests/test.rs:
@@ -1061,6 +1165,54 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                     return jax.lax.fori_loop(start, start + n_iter,
                                              inner, tuple(st))
 
+                def _culled_loop(clus_ref, counts, member_body, thin0,
+                                 n_mem):
+                    # dispatch a dynamic member loop under the configured
+                    # cull strategy (see CULL above)
+                    n_leaf, n_sup = counts
+
+                    def leaf_body(c, st2):
+                        return _clus_guard(clus_ref, c, st2, member_body)
+
+                    if CULL == "flat" or n_leaf == 0:
+                        return jax.lax.fori_loop(0, n_mem, member_body,
+                                                 thin0)
+                    if CULL == "leaf" or n_sup == 0:
+                        return jax.lax.fori_loop(0, n_leaf, leaf_body,
+                                                 thin0)
+                    if CULL == "sup":
+                        # guard at the super AABB only; a crossed super
+                        # runs its contiguous member range unguarded
+                        # (leaves tile members in order, so the range is
+                        # first leaf's start .. last leaf's start+count)
+                        def sup_body(s_, st2):
+                            row = n_leaf + s_
+                            l0 = clus_ref[row, 6].astype(jnp.int32)
+                            lc = clus_ref[row, 7].astype(jnp.int32)
+                            m0 = clus_ref[l0, 6].astype(jnp.int32)
+                            m1 = (clus_ref[l0 + lc - 1, 6].astype(jnp.int32)
+                                  + clus_ref[l0 + lc - 1, 7]
+                                  .astype(jnp.int32))
+                            tmn, tmx = _slab(
+                                clus_ref[row, 0], clus_ref[row, 1],
+                                clus_ref[row, 2], clus_ref[row, 3],
+                                clus_ref[row, 4], clus_ref[row, 5])
+                            cross = ((tmx > jnp.maximum(tmn, f(T_MIN)))
+                                     & (tmn < st2[0]) & (alive > f(0.0)))
+                            n_iter = jnp.where(jnp.any(cross), m1 - m0, 0)
+                            return jax.lax.fori_loop(m0, m0 + n_iter,
+                                                     member_body,
+                                                     tuple(st2))
+
+                        return jax.lax.fori_loop(0, n_sup, sup_body, thin0)
+
+                    # "two": super guards over leaf guards
+                    def sup2_body(s_, st2):
+                        return _clus_guard(clus_ref, n_leaf + s_, st2,
+                                           leaf_body)
+
+                    return jax.lax.fori_loop(0, n_sup, sup2_body, thin0)
+
             if n_dyn or n_box:
                 # ---- THIN dynamic hit pass. The member loops carry only
                 # (t, winner-index): measured on v5e, a fat loop carrying
@@ -1078,7 +1230,7 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                 # 1006), cluster-culled; the moving-center form covers
                 # static spheres (dc=0, inv_dt=0 ⇒ frac·dc = 0)
                 def dyn_thin(p, st2):
-                    t_b, wi = st2
+                    t_b, wi = st2[:2]
 
                     def r(i):
                         return dyn_ref[p, i]
@@ -1100,19 +1252,21 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                     sq = jnp.sqrt(jnp.where(pos, disc, f(1.0)))
                     t_near = (-bq - sq) * inv_a
                     t_far = (-bq + sq) * inv_a
-                    near_ok = pos & (t_near > f(T_MIN)) & (t_near < t_b)
-                    far_ok = pos & (t_far > f(T_MIN)) & (t_far < t_b)
-                    t_p = jnp.where(near_ok, t_near,
-                                    jnp.where(far_ok, t_far, f(BIG)))
-                    better = t_p < t_b
-                    return (jnp.where(better, t_p, t_b),
-                            jnp.where(better, p.astype(f), wi))
+                    # near root if it clears T_MIN else far (t_near <
+                    # t_far always, so this is the reference's two-root
+                    # preference in one select)
+                    t_sel = jnp.where(t_near > f(T_MIN), t_near, t_far)
+                    ok = pos & (t_sel > f(T_MIN)) & (t_sel < t_b)
+                    return (jnp.where(ok, t_sel, t_b),
+                            jnp.where(ok, p.astype(f), wi)) \
+                        + ((st2[2] + f(1.0),) if stats else ())
 
-                def sclus_body(c, st2):
-                    return _clus_guard(sclus_ref, c, st2, dyn_thin)
-
-                t_thin, widx = jax.lax.fori_loop(
-                    0, n_sclus, sclus_body, (t_thin, widx))
+                thin0 = (t_thin, widx) + ((s_mem_s,) if stats else ())
+                out0 = _culled_loop(sclus_ref, n_sclus, dyn_thin, thin0,
+                                    n_dyn)
+                t_thin, widx = out0[:2]
+                if stats:
+                    s_mem_s = out0[2]
 
             if n_box:
                 # merged axis-aligned cubes (reference src/cube.rs:20-74):
@@ -1120,92 +1274,102 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                 # beyond T_MIN else exit face (face normal reconstructed
                 # in the attribute pass)
                 def box_thin(p, st2):
-                    t_b, wi = st2
+                    t_b, wi = st2[:2]
 
                     def r(i):
                         return box_ref[p, i]
 
                     tmn, tmx = _slab(r(R_C0), r(R_C0 + 1), r(R_C0 + 2),
                                      r(R_DC), r(R_DC + 1), r(R_DC + 2))
-                    use_en = tmn > f(T_MIN)
-                    t_p = jnp.where(use_en, tmn, tmx)
+                    t_p = jnp.where(tmn > f(T_MIN), tmn, tmx)
                     ok = (tmx > tmn) & (t_p > f(T_MIN)) & (t_p < t_b)
-                    t_p = jnp.where(ok, t_p, f(BIG))
-                    better = t_p < t_b
-                    return (jnp.where(better, t_p, t_b),
-                            jnp.where(better, f(n_dyn) + p.astype(f), wi))
+                    return (jnp.where(ok, t_p, t_b),
+                            jnp.where(ok, f(n_dyn) + p.astype(f), wi)) \
+                        + ((st2[2] + f(1.0),) if stats else ())
 
-                def bclus_body(c, st2):
-                    return _clus_guard(bclus_ref, c, st2, box_thin)
-
-                t_thin, widx = jax.lax.fori_loop(
-                    0, n_bclus, bclus_body, (t_thin, widx))
+                thin1 = (t_thin, widx) + ((s_mem_b,) if stats else ())
+                out1 = _culled_loop(bclus_ref, n_bclus, box_thin, thin1,
+                                    n_box)
+                t_thin, widx = out1[:2]
+                if stats:
+                    s_mem_b = out1[2]
 
             if n_dyn or n_box:
-                # ---- attribute resolution: one transposed gather ----
+                # ---- attribute resolution: one transposed gather,
+                # skipped outright (zero-trip fori) on steps where no
+                # lane's winner is a dynamic prim — e.g. medium random
+                # walks, sky tiles, and unrolled-hero hits, where this
+                # fixed ~600-op pass would otherwise dominate ----
                 wd = widx >= f(0.0)
-                col = jnp.maximum(widx, f(0.0)).astype(jnp.int32)
-                n_bands = 4 if (has_noise or has_image) else 3
-                fl = _attr_gather(attr_ref, col, n_bands)
-                # sphere winner normal: (p − c(time)) / r (reference
-                # src/sphere.rs:55-57); invr=0 zeroes it for boxes
-                fracw = (time - fl[A_T0]) * fl[A_INVDT]
-                cxw = fl[A_G0] + fracw * fl[A_G3]
-                cyw = fl[A_G0 + 1] + fracw * fl[A_G3 + 1]
-                czw = fl[A_G0 + 2] + fracw * fl[A_G3 + 2]
-                wnx = (ox + t_thin * dx - cxw) * fl[A_INVR]
-                wny = (oy + t_thin * dy - cyw) * fl[A_INVR]
-                wnz = (oz + t_thin * dz - czw) * fl[A_INVR]
-                if n_box:
-                    # box winner face: recompute the chosen side's
-                    # per-axis slab candidates and match t (ties broken
-                    # x → y → z; measure-zero). Face normal = +axis like
-                    # the reference's rects (src/rect.rs:62-68)
-                    t0x = (fl[A_G0] - ox) * inv_dx
-                    t1x = (fl[A_G3] - ox) * inv_dx
-                    t0y = (fl[A_G0 + 1] - oy) * inv_dy
-                    t1y = (fl[A_G3 + 1] - oy) * inv_dy
-                    t0z = (fl[A_G0 + 2] - oz) * inv_dz
-                    t1z = (fl[A_G3 + 2] - oz) * inv_dz
-                    tmn = jnp.maximum(jnp.maximum(
-                        jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
-                        jnp.minimum(t0z, t1z))
-                    use_en = tmn > f(T_MIN)
-                    tx_c = jnp.where(use_en, jnp.minimum(t0x, t1x),
-                                     jnp.maximum(t0x, t1x))
-                    ty_c = jnp.where(use_en, jnp.minimum(t0y, t1y),
-                                     jnp.maximum(t0y, t1y))
-                    is_x = t_thin == tx_c
-                    is_y = (t_thin == ty_c) & (t_thin != tx_c)
-                    one, zero = f(1.0), f(0.0)
-                    is_box = fl[A_TYPE] == f(2.0)
-                    wnx = jnp.where(is_box, jnp.where(is_x, one, zero),
-                                    wnx)
-                    wny = jnp.where(is_box, jnp.where(is_y, one, zero),
-                                    wny)
-                    wnz = jnp.where(
-                        is_box,
-                        jnp.where(is_x, zero,
-                                  jnp.where(is_y, zero, one)), wnz)
-                flipw = fl[A_FLIP]
-
-                def mg(new, old):
-                    return jnp.where(wd, new, old)
-
                 st[0] = t_thin
-                st[1] = mg(wnx * flipw, st[1])
-                st[2] = mg(wny * flipw, st[2])
-                st[3] = mg(wnz * flipw, st[3])
-                st[4] = mg(fl[A_MAT], st[4])
-                if has_metal or has_diel:
-                    st[5] = mg(fl[A_PARAM], st[5])
-                for k in range(3):
-                    st[6 + k] = mg(fl[A_EMIT + k], st[6 + k])
-                    st[9 + k] = mg(fl[A_ALB_E + k], st[9 + k])
-                # extra fields mirror the attr layout at offset −17
-                # (R_ALB_ODD..R_IMG_W ↔ A_ALB_O..A_IMG_W)
-                for i, fid in enumerate(extra_fields):
-                    st[12 + i] = mg(fl[fid - 17], st[12 + i])
+
+                def resolve(_, stt):
+                    stt = list(stt)
+                    col = jnp.maximum(widx, f(0.0)).astype(jnp.int32)
+                    n_bands = 4 if (has_noise or has_image) else 3
+                    fl = _attr_gather(attr_ref, col, n_bands)
+                    # sphere winner normal: (p − c(time)) / r (reference
+                    # src/sphere.rs:55-57); invr=0 zeroes it for boxes
+                    fracw = (time - fl[A_T0]) * fl[A_INVDT]
+                    cxw = fl[A_G0] + fracw * fl[A_G3]
+                    cyw = fl[A_G0 + 1] + fracw * fl[A_G3 + 1]
+                    czw = fl[A_G0 + 2] + fracw * fl[A_G3 + 2]
+                    wnx = (ox + t_thin * dx - cxw) * fl[A_INVR]
+                    wny = (oy + t_thin * dy - cyw) * fl[A_INVR]
+                    wnz = (oz + t_thin * dz - czw) * fl[A_INVR]
+                    if n_box:
+                        # box winner face: recompute the chosen side's
+                        # per-axis slab candidates and match t (ties broken
+                        # x → y → z; measure-zero). Face normal = +axis like
+                        # the reference's rects (src/rect.rs:62-68)
+                        t0x = (fl[A_G0] - ox) * inv_dx
+                        t1x = (fl[A_G3] - ox) * inv_dx
+                        t0y = (fl[A_G0 + 1] - oy) * inv_dy
+                        t1y = (fl[A_G3 + 1] - oy) * inv_dy
+                        t0z = (fl[A_G0 + 2] - oz) * inv_dz
+                        t1z = (fl[A_G3 + 2] - oz) * inv_dz
+                        tmn = jnp.maximum(jnp.maximum(
+                            jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                            jnp.minimum(t0z, t1z))
+                        use_en = tmn > f(T_MIN)
+                        tx_c = jnp.where(use_en, jnp.minimum(t0x, t1x),
+                                         jnp.maximum(t0x, t1x))
+                        ty_c = jnp.where(use_en, jnp.minimum(t0y, t1y),
+                                         jnp.maximum(t0y, t1y))
+                        is_x = t_thin == tx_c
+                        is_y = (t_thin == ty_c) & (t_thin != tx_c)
+                        one, zero = f(1.0), f(0.0)
+                        is_box = fl[A_TYPE] == f(2.0)
+                        wnx = jnp.where(is_box,
+                                        jnp.where(is_x, one, zero), wnx)
+                        wny = jnp.where(is_box,
+                                        jnp.where(is_y, one, zero), wny)
+                        wnz = jnp.where(
+                            is_box,
+                            jnp.where(is_x, zero,
+                                      jnp.where(is_y, zero, one)), wnz)
+                    flipw = fl[A_FLIP]
+
+                    def mg(new, old):
+                        return jnp.where(wd, new, old)
+
+                    stt[1] = mg(wnx * flipw, stt[1])
+                    stt[2] = mg(wny * flipw, stt[2])
+                    stt[3] = mg(wnz * flipw, stt[3])
+                    stt[4] = mg(fl[A_MAT], stt[4])
+                    if has_metal or has_diel:
+                        stt[5] = mg(fl[A_PARAM], stt[5])
+                    for k in range(3):
+                        stt[6 + k] = mg(fl[A_EMIT + k], stt[6 + k])
+                        stt[9 + k] = mg(fl[A_ALB_E + k], stt[9 + k])
+                    # extra fields mirror the attr layout at offset −17
+                    # (R_ALB_ODD..R_IMG_W ↔ A_ALB_O..A_IMG_W)
+                    for i, fid in enumerate(extra_fields):
+                        stt[12 + i] = mg(fl[fid - 17], stt[12 + i])
+                    return tuple(stt)
+
+                st = list(jax.lax.fori_loop(
+                    0, jnp.any(wd).astype(jnp.int32), resolve, tuple(st)))
 
             (t_best, nx_b, ny_b, nz_b, mat_b, par_b,
              emr, emg, emb, alr, alg, alb_) = st[:12]
@@ -1241,10 +1405,17 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                 px = ox + t_best * dx
                 py = oy + t_best * dy
                 pz = oz + t_best * dz
-                turb = _turb3(px, py, pz, perlin_seed)
+                use_noise = noiz > f(0.0)
+                # the 7-octave turbulence is the most expensive shading
+                # block in the kernel; skip it entirely on bounces where
+                # no lane hit a noise prim (zero-trip fori, same trick
+                # as the image fetch)
+                turb = jax.lax.fori_loop(
+                    0, jnp.any(use_noise).astype(jnp.int32),
+                    lambda _, a: _turb3(px, py, pz, perlin_seed),
+                    jnp.zeros((SUB, LANES), f))
                 marble = f(0.5) * (f(1.0)
                                    + jnp.sin(nsc * px + f(5.0) * turb))
-                use_noise = noiz > f(0.0)
                 alr = jnp.where(use_noise, marble, alr)
                 alg = jnp.where(use_noise, marble, alg)
                 alb_ = jnp.where(use_noise, marble, alb_)
@@ -1529,7 +1700,8 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
 
             return (ox, oy, oz, dx, dy, dz, time,
                     thr_r, thr_g, thr_b, rad_r, rad_g, rad_b, cont,
-                    bcnt, scnt, acc_r, acc_g, acc_b)
+                    bcnt, scnt, acc_r, acc_g, acc_b) \
+                + ((s_steps, s_mem_s, s_mem_b) if stats else ())
 
         def unfinished(carry):
             alive, scnt = carry[13], carry[15]
@@ -1541,12 +1713,18 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
         st = (zero, zero, zero, zero, zero, one_a,  # o, d=(0,0,1) dummy
               zero, one_a, one_a, one_a, zero, zero, zero,
               zero, zero, zero, zero, zero, zero)
+        if stats:
+            st = st + (zero, zero, zero)
         st = jax.lax.while_loop(unfinished, step, st)
         acc_r, acc_g, acc_b = st[16], st[17], st[18]
 
         out_ref[0] = acc_r
         out_ref[1] = acc_g
         out_ref[2] = acc_b
+        if stats:
+            out_ref[3] = st[19]   # wavefront steps
+            out_ref[4] = st[20]   # sphere member tests
+            out_ref[5] = st[21]   # box member tests
 
     return kernel
 
@@ -1555,14 +1733,17 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
          static_argnames=("kinds", "rect_groups", "n_dyn", "n_box",
                           "n_sclus", "n_bclus", "med_kinds", "flags",
                           "background", "nx", "ny", "grid", "interpret",
-                          "rr_depth", "perlin_seed"))
+                          "rr_depth", "perlin_seed", "block", "stats"))
 def _trace_call(rec, dyn_rec, box_rec, sclus, bclus, med_rec, cam_rec,
                 params, img, attr, kinds, rect_groups, n_dyn, n_box,
                 n_sclus, n_bclus, med_kinds, flags, background, nx, ny,
-                grid, interpret=False, rr_depth=None, perlin_seed=0):
+                grid, interpret=False, rr_depth=None, perlin_seed=0,
+                block=None, stats=False):
     kernel = _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus,
                           n_bclus, med_kinds, flags, background, nx, ny,
-                          rr_depth=rr_depth, perlin_seed=perlin_seed)
+                          rr_depth=rr_depth, perlin_seed=perlin_seed,
+                          block=block, stats=stats)
+    n_rows = 6 if stats else 3
     return pl.pallas_call(
         kernel,
         interpret=interpret,
@@ -1579,9 +1760,10 @@ def _trace_call(rec, dyn_rec, box_rec, sclus, bclus, med_rec, cam_rec,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((3, SUB, LANES), lambda g: (0, g, 0),
+        out_specs=pl.BlockSpec((n_rows, SUB, LANES), lambda g: (0, g, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((3, grid * SUB, LANES), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_rows, grid * SUB, LANES),
+                                       jnp.float32),
     )(rec, dyn_rec, box_rec, sclus, bclus, med_rec, cam_rec, params, img,
       attr)
 
@@ -1654,13 +1836,24 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
 
     with timers.phase("record_build"):
         (rec_np, kinds, rect_groups, dyn_np, n_dyn, box_np, n_box, sclus_np,
-         bclus_np, med_np, med_kinds, flags, img_np,
+         n_sclus, bclus_np, n_bclus, med_np, med_kinds, flags, img_np,
          attr_np), dev_cache = _cached_scene_record(scene)
-    n_sclus, n_bclus = len(sclus_np) if n_dyn else 0, \
-        len(bclus_np) if n_box else 0
     cam_np, _ = _identity_cached(_CAM_CACHE, cam, build_camera_record)
     n_pix = nx * ny
-    grid = -(-n_pix // TILE)
+    if n_dyn or n_box:
+        # scenes with dynamic cluster loops use compact 2D pixel-block
+        # tiles so the cluster guards see coherent rays; pick the
+        # power-of-two block width minimizing the padded lane count
+        # (edge blocks clamp and are cropped at assembly). All-unrolled
+        # scenes keep the padding-free linear strips — their kernels
+        # have no guards to help.
+        block = min(((32, 64, 128, 256)), key=lambda w: (
+            -(-nx // w) * w * (-(-ny // (TILE // w)) * (TILE // w))))
+        block = (block, TILE // block)
+        grid = -(-nx // block[0]) * (-(-ny // block[1]))
+    else:
+        block = None
+        grid = -(-n_pix // TILE)
 
     if devices is None:
         devices = [d for d in jax.devices() if d.platform == "tpu"] \
@@ -1690,7 +1883,7 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
                          cam_np, seed, max_depth, kinds, rect_groups,
                          n_dyn, n_box, n_sclus, n_bclus, med_kinds, flags,
                          scene, nx, ny, n_pix, interpret, rr_depth, timers,
-                         progress)
+                         progress, block)
     except Exception:
         # a TPU worker crash/restart invalidates resident buffers; drop
         # every cached device table so the caller's retry re-uploads to
@@ -1707,7 +1900,7 @@ def _dispatch_chunks(sums, spp, spp_chunk, devices, bounds, dev_args,
                      cam_np, seed, max_depth, kinds, rect_groups, n_dyn,
                      n_box, n_sclus, n_bclus, med_kinds, flags, scene,
                      nx, ny, n_pix, interpret, rr_depth, timers,
-                     progress=None):
+                     progress=None, block=None):
     done = 0
     chunk_id = 0
     while done < spp:
@@ -1734,12 +1927,19 @@ def _dispatch_chunks(sums, spp, spp_chunk, devices, bounds, dev_args,
                     dev_args[di][7], kinds, rect_groups, n_dyn, n_box,
                     n_sclus, n_bclus, med_kinds, flags, scene.background,
                     nx, ny, g1 - g0, interpret, rr_depth,
-                    scene.perlin_seed))
+                    scene.perlin_seed, block))
             # all device dispatches are in flight; gather in order
-            lanes = np.concatenate(
-                [np.asarray(o).transpose(1, 2, 0).reshape(-1, 3)
-                 for o in outs])
-        sums += lanes[:n_pix]
+            full = np.concatenate([np.asarray(o) for o in outs], axis=1)
+        if block is None:
+            lanes = full.transpose(1, 2, 0).reshape(-1, 3)[:n_pix]
+        else:
+            # de-block: (3, gy·gx, BY·BX) → image rows, crop the padding
+            bxw, byh = block
+            gx, gy = -(-nx // bxw), -(-ny // byh)
+            img3 = full.reshape(3, gy, gx, byh, bxw).transpose(0, 1, 3, 2, 4)
+            lanes = img3.reshape(3, gy * byh, gx * bxw)[:, :ny, :nx] \
+                .reshape(3, n_pix).transpose(1, 0)
+        sums += lanes
         done += cur
         chunk_id += 1
         if progress is not None:

@@ -18,8 +18,9 @@ REC_FIELDS = dict(mat=pt.R_MAT, emit=pt.R_EMIT, alb=pt.R_ALB_EVEN)
 
 def test_cornell_record():
     scene = builders.cornell_box()
-    (rec, kinds, groups, dyn, n_dyn, box, n_box, sclus, bclus, med,
-     med_kinds, flags, img, attr) = pt.build_scene_record(scene)
+    (rec, kinds, groups, dyn, n_dyn, box, n_box, sclus, n_sclus, bclus,
+     n_bclus, med, med_kinds, flags, img,
+     attr) = pt.build_scene_record(scene)
     assert kinds == ("rect",) * 18
     # 18 rects share 9 world frames (axis walls + two rotated boxes)
     assert sorted(sum((list(g) for g in groups), [])) == list(range(18))
@@ -36,10 +37,13 @@ def test_cornell_record():
 
 def test_random_spheres_partition():
     scene = builders.random_spheres()
-    (rec, kinds, groups, dyn, n_dyn, box, n_box, sclus, bclus, med,
-     med_kinds, flags, img, attr) = pt.build_scene_record(scene)
-    assert n_dyn == scene.num_prims  # all spheres go dynamic
-    assert kinds == ()               # no rects; dummy unrolled row
+    (rec, kinds, groups, dyn, n_dyn, box, n_box, sclus, n_sclus, bclus,
+     n_bclus, med, med_kinds, flags, img,
+     attr) = pt.build_scene_record(scene)
+    # the ground sphere (r=1000) and the three unit heroes unroll
+    # (r ≥ 4× the 0.2 population median); the small spheres go dynamic
+    assert kinds == ("sphere",) * 4
+    assert n_dyn == scene.num_prims - 4
     (has_checker, has_metal, has_diel, has_noise, has_image,
      dyn_moving) = flags
     assert has_checker and has_metal and has_diel and not has_noise
@@ -53,8 +57,9 @@ def test_random_spheres_partition():
 
 def test_smoke_media_records():
     scene = builders.cornell_smoke()
-    (rec, kinds, groups, dyn, n_dyn, box, n_box, sclus, bclus, med,
-     med_kinds, flags, img, attr) = pt.build_scene_record(scene)
+    (rec, kinds, groups, dyn, n_dyn, box, n_box, sclus, n_sclus, bclus,
+     n_bclus, med, med_kinds, flags, img,
+     attr) = pt.build_scene_record(scene)
     assert med_kinds == ("mbox", "mbox")
     np.testing.assert_allclose(med[:, pt.M_INV_RHO], 100.0)  # 1/0.01
     # rotation block is orthonormal
@@ -80,13 +85,16 @@ def test_final_scene_partition():
     merge into box rows, 1006 spheres go clustered-dynamic, and only the
     light rect stays unrolled."""
     scene = builders.final_scene()
-    (rec, kinds, groups, dyn, n_dyn, box, n_box, sclus, bclus, med,
-     med_kinds, flags, img, attr) = pt.build_scene_record(scene)
-    # the ceiling light + the one moving sphere (movers prefer the
-    # unrolled loop so the thin dynamic loop can drop the center lerp)
-    assert sorted(kinds) == ["moving", "rect"]
+    (rec, kinds, groups, dyn, n_dyn, box, n_box, sclus, n_sclus, bclus,
+     n_bclus, med, med_kinds, flags, img,
+     attr) = pt.build_scene_record(scene)
+    # the ceiling light, the one moving sphere (movers prefer the
+    # unrolled loop so the thin dynamic loop can drop the center lerp),
+    # and the 5 static hero spheres (r=50..100 vs the whites' r=10;
+    # unrolling them seeds t_b before the cluster guards run)
+    assert sorted(kinds) == ["moving", "rect"] + ["sphere"] * 5
     assert n_box == 400
-    assert n_dyn == 1005               # 5 static heroes + 1000 white
+    assert n_dyn == 1000               # the white cluster spheres
     assert med_kinds == ("msphere", "msphere")
     assert flags == (False, True, True, True, True, False)
     # box rows: lo < hi, ground albedo carried
@@ -95,21 +103,31 @@ def test_final_scene_partition():
     np.testing.assert_allclose(box[:, pt.R_ALB_EVEN:pt.R_ALB_EVEN + 3],
                                np.tile([0.48, 0.83, 0.53], (400, 1)),
                                rtol=1e-6)
-    # clusters tile their tables exactly and bound their members
-    for clus, rows, lo_of, hi_of in (
-            (sclus, dyn, None, None), (bclus, box, lo, hi)):
-        spans = sorted((int(c[6]), int(c[7])) for c in clus)
-        covered = []
-        for start, cnt in spans:
-            covered.extend(range(start, start + cnt))
-        assert covered == list(range(len(rows)))
+    # leaf clusters tile their member tables exactly; superclusters tile
+    # the leaf rows exactly (two-level cull layout: leaves then supers)
+    for clus, (n_leaf, n_sup), rows in ((sclus, n_sclus, dyn),
+                                        (bclus, n_bclus, box)):
+        assert len(clus) == n_leaf + n_sup and n_sup >= 1
+        for part, total in ((clus[:n_leaf], len(rows)),
+                            (clus[n_leaf:], n_leaf)):
+            spans = sorted((int(c[6]), int(c[7])) for c in part)
+            covered = []
+            for start, cnt in spans:
+                covered.extend(range(start, start + cnt))
+            assert covered == list(range(total))
+        # supercluster AABBs contain their leaves' AABBs
+        eps = 1e-2
+        for c in clus[n_leaf:]:
+            s, n = int(c[6]), int(c[7])
+            assert (c[None, :3] <= clus[s:s + n, :3] + eps).all()
+            assert (clus[s:s + n, 3:6] <= c[None, 3:6] + eps).all()
     eps = 1e-2
-    for c in bclus:
+    for c in bclus[:n_bclus[0]]:
         s, n = int(c[6]), int(c[7])
         assert (c[None, :3] <= box[s:s + n, pt.R_C0:pt.R_C0 + 3] + eps).all()
         assert (box[s:s + n, pt.R_DC:pt.R_DC + 3] <= c[None, 3:6] + eps).all()
     # sphere cluster AABBs contain the swept sphere extents
-    for c in sclus:
+    for c in sclus[:n_sclus[0]]:
         s, n = int(c[6]), int(c[7])
         c0 = dyn[s:s + n, pt.R_C0:pt.R_C0 + 3]
         c1 = c0 + dyn[s:s + n, pt.R_DC:pt.R_DC + 3]
@@ -122,8 +140,9 @@ def test_earth_record_and_atlas():
     """earth (image texture) runs in-kernel: record fields + packed atlas
     round-trip exactly to the XLA tier's f32 texels."""
     scene = builders.earth()
-    (rec, kinds, groups, dyn, n_dyn, box, n_box, sclus, bclus, med,
-     med_kinds, flags, img, attr) = pt.build_scene_record(scene)
+    (rec, kinds, groups, dyn, n_dyn, box, n_box, sclus, n_sclus, bclus,
+     n_bclus, med, med_kinds, flags, img,
+     attr) = pt.build_scene_record(scene)
     assert flags[4]  # has_image
     assert rec[0, pt.R_IMG] == 1.0
     h, w = np.asarray(scene.image_hw)[0]
@@ -142,8 +161,9 @@ def test_earth_record_and_atlas():
 
 def test_noise_scene_record():
     scene = builders.two_perlin_spheres()
-    (rec, kinds, groups, dyn, n_dyn, box, n_box, sclus, bclus, med,
-     med_kinds, flags, img, attr) = pt.build_scene_record(scene)
+    (rec, kinds, groups, dyn, n_dyn, box, n_box, sclus, n_sclus, bclus,
+     n_bclus, med, med_kinds, flags, img,
+     attr) = pt.build_scene_record(scene)
     assert flags == (False, False, False, True, False, False)
     np.testing.assert_allclose(rec[:, pt.R_NOISE], 1.0)
     np.testing.assert_allclose(rec[:, pt.R_NSCALE], 4.0)  # test.rs:186

@@ -29,16 +29,20 @@ KERNEL_PRESETS = ["two_spheres", "cornell_box", "cornell_smoke",
 
 
 def _trace(scene, nx, ny, grid, rr_depth=None):
-    (rec, kinds, groups, dyn, n_dyn, box, n_box, sclus, bclus, med,
-     med_kinds, flags, img, attr) = pt.build_scene_record(scene)
+    (rec, kinds, groups, dyn, n_dyn, box, n_box, sclus, n_sclus, bclus,
+     n_bclus, med, med_kinds, flags, img,
+     attr) = pt.build_scene_record(scene)
     cam = np.zeros(pt.CAMREC, np.float32)
     params = jnp.zeros(4, jnp.int32)
     out = jax.eval_shape(
         lambda r, d, b, sc, bc, m, c, p, im, at: pt._trace_call(
             r, d, b, sc, bc, m, c, p, im, at, kinds, groups, n_dyn, n_box,
-            len(sclus) if n_dyn else 0, len(bclus) if n_box else 0,
+            n_sclus, n_bclus,
             med_kinds, flags, scene.background, nx, ny, grid, False,
-            rr_depth),
+            rr_depth, scene.perlin_seed,
+            # dynamic-loop scenes trace the 2D pixel-block mapping, the
+            # same choice render_pallas makes
+            (128, pt.TILE // 128) if (n_dyn or n_box) else None),
         jnp.asarray(rec), jnp.asarray(dyn), jnp.asarray(box),
         jnp.asarray(sclus), jnp.asarray(bclus), jnp.asarray(med),
         jnp.asarray(cam), params, jnp.asarray(img), jnp.asarray(attr))
@@ -71,7 +75,8 @@ def test_render_pallas_host_path_cpu_interpret():
     def fake_trace(rec, dyn, box, sclus, bclus, med, camr, params, img,
                    attr, kinds, groups, n_dyn, n_box, n_sclus, n_bclus,
                    med_kinds, flags, background, nx, ny, grid,
-                   interpret=False, rr_depth=None, perlin_seed=0):
+                   interpret=False, rr_depth=None, perlin_seed=0,
+                   block=None):
         spp = int(params[1])
         return jnp.full((3, grid * pt.SUB, pt.LANES), 0.25 * spp,
                         jnp.float32)
@@ -85,3 +90,47 @@ def test_render_pallas_host_path_cpu_interpret():
     assert img.shape == (90, 160, 3)
     # sums/spp = 0.25 → sqrt = 0.5 everywhere
     np.testing.assert_allclose(img, 0.5, atol=1e-6)
+
+
+def test_block_mapping_assembly_bijection():
+    """The 2D pixel-block lane mapping (kernel) and the de-block assembly
+    (host) must be exact inverses, including edge clamping, padding crop,
+    and multi-device tile splits. The stub reproduces the kernel's
+    mapping formula in numpy and emits each lane's pixel index; every
+    image pixel must receive exactly its own index back."""
+    scene = builders.random_spheres()   # n_dyn > 0 → block mapping
+    cam = builders.PRESETS["random_spheres"].camera()
+    nx, ny = 200, 90                    # non-multiples: clamp + crop
+    n_pix = nx * ny
+    real = pt._trace_call
+
+    def fake_trace(rec, dyn, box, sclus, bclus, med, camr, params, img,
+                   attr, kinds, groups, n_dyn, n_box, n_sclus, n_bclus,
+                   med_kinds, flags, background, nx_, ny_, grid,
+                   interpret=False, rr_depth=None, perlin_seed=0,
+                   block=None):
+        assert block is not None
+        bxw, byh = block
+        assert bxw * byh == pt.TILE
+        gx = -(-nx_ // bxw)
+        g0 = int(params[3])
+        lane = np.arange(pt.TILE).reshape(pt.SUB, pt.LANES)
+        out = np.zeros((3, grid * pt.SUB, pt.LANES), np.float32)
+        for t in range(grid):
+            by_t, bx_t = divmod(g0 + t, gx)
+            x = np.minimum(bx_t * bxw + lane % bxw, nx_ - 1)
+            y = np.minimum(by_t * byh + lane // bxw, ny_ - 1)
+            out[:, t * pt.SUB:(t + 1) * pt.SUB, :] = \
+                (y * nx_ + x) / (4.0 * nx_ * ny_)
+        return jnp.asarray(out)
+
+    pt._trace_call = fake_trace
+    try:
+        img = pt.render_pallas(scene, cam, nx=nx, ny=ny, spp=1,
+                               devices=jax.devices("cpu")[:2])
+    finally:
+        pt._trace_call = real
+    expect = np.sqrt(np.arange(n_pix, dtype=np.float32)
+                     / (4.0 * n_pix)).reshape(ny, nx)
+    np.testing.assert_allclose(img[..., 0], expect, atol=1e-6)
+    np.testing.assert_allclose(img[..., 2], expect, atol=1e-6)

@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Megakernel wavefront diagnostics on real hardware.
+
+Renders a scene with the kernel's stats mode (extra output rows counting
+wavefront steps and dynamic member tests per lane) and reports:
+
+* steps/sample — mean path length through the wavefront, including the
+  drain tail (utilization loss at the end of a tile's budget);
+* sphere/box member tests per step — how much geometry the cluster cull
+  actually lets through (the upper bound is n_dyn / n_box per step).
+
+Timings in stats mode are NOT representative (the counters ride the loop
+carries); use tools/bench_scenes.py for throughput.
+
+Run on a TPU host:  python tools/kernel_stats.py [scene ...]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_rt")
+
+import numpy as np  # noqa: E402
+import jax  # noqa: E402
+
+from raytracing_rust_tpu.models.builders import PRESETS  # noqa: E402
+from raytracing_rust_tpu.ops import pallas_tracer as pt  # noqa: E402
+
+
+def run(name: str, nx=400, ny=400, spp=32, max_depth=50) -> None:
+    preset = PRESETS[name]
+    scene = preset.build()
+    cam = preset.camera()
+    (rec, kinds, groups, dyn, n_dyn, box, n_box, sclus, n_sclus, bclus,
+     n_bclus, med, med_kinds, flags, img,
+     attr) = pt.build_scene_record(scene)
+    cam_np = pt.build_camera_record(cam)
+    block = None
+    if n_dyn or n_box:
+        block = min((32, 64, 128, 256), key=lambda w: (
+            -(-nx // w) * w * (-(-ny // (pt.TILE // w)) * (pt.TILE // w))))
+        block = (block, pt.TILE // block)
+        grid = -(-nx // block[0]) * (-(-ny // block[1]))
+    else:
+        grid = -(-nx * ny // pt.TILE)
+    dev = jax.devices()[0]
+    args = jax.device_put((rec, dyn, box, sclus, bclus, med, cam_np,
+                           np.asarray([7, spp, max_depth, 0], np.int32),
+                           img, attr), dev)
+    out = np.asarray(pt._trace_call(
+        *args, kinds, groups, n_dyn, n_box, n_sclus, n_bclus, med_kinds,
+        flags, scene.background, nx, ny, grid, False, None,
+        scene.perlin_seed, block, True))
+    steps = out[3]          # per-lane wavefront steps (same within a tile)
+    mem_s, mem_b = out[4], out[5]
+    per_tile = steps.reshape(grid, -1)[:, 0]
+    tot_steps = float(per_tile.sum())
+    print(f"{name}: grid={grid} n_dyn={n_dyn} n_box={n_box} "
+          f"sclus={n_sclus} bclus={n_bclus}")
+    print(f"  steps/tile: mean={per_tile.mean():.0f} "
+          f"min={per_tile.min():.0f} max={per_tile.max():.0f} "
+          f"(spp={spp}, so {per_tile.mean() / spp:.1f} steps/sample)")
+    if n_dyn:
+        ms = mem_s.reshape(grid, -1)[:, 0]
+        print(f"  sphere member tests/step: {ms.sum() / tot_steps:.1f} "
+              f"of {n_dyn} ({100 * ms.sum() / tot_steps / n_dyn:.1f}%)")
+    if n_box:
+        mb = mem_b.reshape(grid, -1)[:, 0]
+        print(f"  box member tests/step: {mb.sum() / tot_steps:.1f} "
+              f"of {n_box} ({100 * mb.sum() / tot_steps / n_box:.1f}%)")
+
+
+def main() -> int:
+    names = sys.argv[1:] or ["final_scene", "random_spheres"]
+    for name in names:
+        run(name)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
