@@ -63,9 +63,12 @@ from .perlin import _gradient
 BIG = 3.0e38
 T_MIN = 1e-3   # reference src/color.rs:7
 
-# lane tile: (SUB, LANES) f32 = native (8, 128k) VPU tiling
+# lane tile: (SUB, LANES) f32 = native (8, 128k) VPU tiling. RT_LANES
+# overrides for hardware A/B (smaller tiles → finer-grained cluster
+# guards and more coherent pixel blocks, but fixed per-step work
+# amortizes over fewer rays).
 SUB = 8
-LANES = 1024
+LANES = int(os.environ.get("RT_LANES", "1024"))
 TILE = SUB * LANES
 
 # per-primitive scalar record layout (f32[P, REC])
@@ -164,6 +167,15 @@ BOX_LEAF = 8        # box cluster leaf size
 #   leaf — leaf guards only (no super level)
 #   flat — no guards at all (pure member scan)
 CULL = os.environ.get("RT_CULL", "two")
+
+# gate the winner-attribute resolution pass behind any(winner)? The gate
+# skips a ~600-op gather on winnerless steps, but its fori carries the
+# full shading state through the loop boundary every step — measurable
+# either way, hence the A/B toggle
+RESOLVE_GATE = os.environ.get("RT_RESOLVE_GATE", "1") == "1"
+
+# cost-balanced pixel scheduling default (see render_pallas balance=)
+BALANCE = os.environ.get("RT_BALANCE", "1") == "1"
 
 
 class UnsupportedScene(ValueError):
@@ -878,7 +890,8 @@ def _attr_gather(attr_ref, col, n_bands):
 
 def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                  med_kinds, flags, background, nx, ny, rr_depth=None,
-                 perlin_seed=0, block=None, stats=False):
+                 perlin_seed=0, block=None, stats=False,
+                 explicit_pix=False):
     """Build the megakernel body for a static scene structure.
 
     spp / max_depth arrive as runtime scalars (params_ref = [seed, spp,
@@ -905,7 +918,11 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
         extra_fields += [R_IMG, R_IMG_BASE, R_IMG_H, R_IMG_W]
 
     def kernel(rec_ref, dyn_ref, box_ref, sclus_ref, bclus_ref, med_ref,
-               cam_ref, params_ref, img_ref, attr_ref, out_ref):
+               cam_ref, params_ref, img_ref, attr_ref, *rest):
+        if explicit_pix:
+            pix_ref, out_ref = rest
+        else:
+            (out_ref,) = rest
         pid = pl.program_id(0)
         pltpu.prng_seed(params_ref[0], pid)
         spp_v = params_ref[1].astype(jnp.float32)
@@ -916,7 +933,17 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
         # reference tests/test.rs:62-64 row order handled via j flip)
         row = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 1)
-        if block is not None:
+        if explicit_pix:
+            # cost-balanced scheduling: the host hands each lane its
+            # pixel directly (tiles grouped by measured path cost with a
+            # spatial tie-break — see render_pallas). Index n_pix is the
+            # dummy slot for padding lanes; render coordinates clamp to
+            # the last real pixel, the host scatter drops the slot.
+            pix = pix_ref[...]
+            pixf = jnp.minimum(pix, nx * ny - 1).astype(f)
+            jrow = jnp.floor((pixf + f(0.5)) * f(1.0 / nx))
+            icol = pixf - jrow * f(nx)
+        elif block is not None:
             # 2D pixel-block tiles (scenes with dynamic cluster loops):
             # a tile covers a compact BX×BY pixel block instead of a
             # TILE-long scanline strip, so the lane-coherent cluster
@@ -967,7 +994,7 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
              rad_r, rad_g, rad_b, alive, bcnt, scnt,
              acc_r, acc_g, acc_b) = carry[:19]
             if stats:
-                s_steps, s_mem_s, s_mem_b = carry[19:]
+                s_steps, s_mem_s, s_mem_b, s_busy = carry[19:]
                 s_steps = s_steps + f(1.0)
 
             # -- regenerate dead lanes that still owe samples
@@ -1002,6 +1029,9 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
             rad_b = jnp.where(regen, f(0.0), rad_b)
             bcnt = jnp.where(regen, f(0.0), bcnt)
             alive = jnp.where(regen, one, alive)
+            if stats:
+                # per-lane occupancy: steps this lane did useful work
+                s_busy = s_busy + alive
 
             # ---- closest hit: unrolled prim loop over SMEM scalars ----
             t_best = jnp.full((SUB, LANES), f(BIG))
@@ -1368,8 +1398,12 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                         stt[12 + i] = mg(fl[fid - 17], stt[12 + i])
                     return tuple(stt)
 
-                st = list(jax.lax.fori_loop(
-                    0, jnp.any(wd).astype(jnp.int32), resolve, tuple(st)))
+                if RESOLVE_GATE:
+                    st = list(jax.lax.fori_loop(
+                        0, jnp.any(wd).astype(jnp.int32), resolve,
+                        tuple(st)))
+                else:
+                    st = list(resolve(0, tuple(st)))
 
             (t_best, nx_b, ny_b, nz_b, mat_b, par_b,
              emr, emg, emb, alr, alg, alb_) = st[:12]
@@ -1701,7 +1735,7 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
             return (ox, oy, oz, dx, dy, dz, time,
                     thr_r, thr_g, thr_b, rad_r, rad_g, rad_b, cont,
                     bcnt, scnt, acc_r, acc_g, acc_b) \
-                + ((s_steps, s_mem_s, s_mem_b) if stats else ())
+                + ((s_steps, s_mem_s, s_mem_b, s_busy) if stats else ())
 
         def unfinished(carry):
             alive, scnt = carry[13], carry[15]
@@ -1714,7 +1748,11 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
               zero, one_a, one_a, one_a, zero, zero, zero,
               zero, zero, zero, zero, zero, zero)
         if stats:
-            st = st + (zero, zero, zero)
+            # iota-derived zeros: splat-constant inits give Mosaic a
+            # replicated layout that the `s_busy + alive` add can't
+            # relayout inside the while carry — anchor them to lanes
+            zero_c = (row + col).astype(f) * f(0.0)
+            st = st + (zero_c, zero_c, zero_c, zero_c)
         st = jax.lax.while_loop(unfinished, step, st)
         acc_r, acc_g, acc_b = st[16], st[17], st[18]
 
@@ -1725,6 +1763,7 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
             out_ref[3] = st[19]   # wavefront steps
             out_ref[4] = st[20]   # sphere member tests
             out_ref[5] = st[21]   # box member tests
+            out_ref[6] = st[22]   # per-lane busy (alive) steps
 
     return kernel
 
@@ -1738,34 +1777,34 @@ def _trace_call(rec, dyn_rec, box_rec, sclus, bclus, med_rec, cam_rec,
                 params, img, attr, kinds, rect_groups, n_dyn, n_box,
                 n_sclus, n_bclus, med_kinds, flags, background, nx, ny,
                 grid, interpret=False, rr_depth=None, perlin_seed=0,
-                block=None, stats=False):
+                block=None, stats=False, pix=None):
     kernel = _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus,
                           n_bclus, med_kinds, flags, background, nx, ny,
                           rr_depth=rr_depth, perlin_seed=perlin_seed,
-                          block=block, stats=stats)
-    n_rows = 6 if stats else 3
+                          block=block, stats=stats,
+                          explicit_pix=pix is not None)
+    n_rows = 7 if stats else 3
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 8 + [
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    operands = [rec, dyn_rec, box_rec, sclus, bclus, med_rec, cam_rec,
+                params, img, attr]
+    if pix is not None:
+        # per-lane pixel table: one (SUB, LANES) block per tile
+        in_specs.append(pl.BlockSpec((SUB, LANES), lambda g: (g, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(pix)
     return pl.pallas_call(
         kernel,
         interpret=interpret,
         grid=(grid,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((n_rows, SUB, LANES), lambda g: (0, g, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_rows, grid * SUB, LANES),
                                        jnp.float32),
-    )(rec, dyn_rec, box_rec, sclus, bclus, med_rec, cam_rec, params, img,
-      attr)
+    )(*operands)
 
 
 def tile_bounds(grid: int, n_dev: int) -> list[int]:
@@ -1815,12 +1854,64 @@ def _cached_scene_record(scene):
     return _identity_cached(_SCENE_CACHE, scene, build_scene_record)
 
 
+def _cost_permutation(dev_args0, dev, cam_np, max_depth, kinds,
+                      rect_groups, n_dyn, n_box, n_sclus, n_bclus,
+                      med_kinds, flags, scene, nx, ny, block, rr_depth):
+    """Measure per-pixel path cost with a 2-spp stats probe and return a
+    pixel permutation for cost-balanced tiles.
+
+    The wavefront's tile time is set by its slowest lane; with lane =
+    image-order pixel, one expensive pixel (a medium random walk, a
+    total-internal-reflection loop) stalls 8191 cheap ones — measured
+    lane occupancy on final_scene is ~25%. Sorting pixels into
+    cost-alike tiles makes every lane of a tile comparably busy.
+    Within each cost bucket pixels keep their 2D-block order, so the
+    cluster guards retain most of their spatial coherence.
+    """
+    bxw, byh = block
+    gx, gy = -(-nx // bxw), -(-ny // byh)
+    grid_b = gx * gy
+    # fixed probe seed: the permutation is cached across renders of the
+    # same (scene, camera, size), so it must not depend on the caller's
+    # seed or the first caller would steer every later render's layout
+    params, cam_dev = jax.device_put(
+        (np.asarray([0x5BD1, 4, max_depth, 0], np.int32), cam_np), dev)
+    out = np.asarray(_trace_call(
+        dev_args0[0], dev_args0[1], dev_args0[2], dev_args0[3],
+        dev_args0[4], dev_args0[5], cam_dev, params, dev_args0[6],
+        dev_args0[7], kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
+        med_kinds, flags, scene.background, nx, ny, grid_b, False,
+        rr_depth, scene.perlin_seed, block, True))
+    busy = out[6].reshape(gy, gx, byh, bxw).transpose(0, 2, 1, 3)
+    cost = busy.reshape(gy * byh, gx * bxw)[:ny, :nx]
+    n_pix = nx * ny
+    # path length has a heavy tail, so a few-spp per-pixel estimate is
+    # noise-dominated and would scramble the sort (measured: it made
+    # tiles WORSE than spatial blocks). Expensive regions are spatially
+    # contiguous — a box filter borrows the neighbors' samples,
+    # multiplying the effective probe spp by the window area.
+    k = 5
+    pad = np.pad(cost, k // 2, mode="edge")
+    ii = np.zeros((pad.shape[0] + 1, pad.shape[1] + 1), np.float64)
+    ii[1:, 1:] = pad.cumsum(0).cumsum(1)
+    cost = (ii[k:, k:] - ii[:-k, k:] - ii[k:, :-k]
+            + ii[:-k, :-k]).reshape(-1)
+    # equal-population cost buckets (rank-based), 2D-block tie-break
+    rank = np.empty(n_pix, np.int64)
+    rank[np.argsort(cost, kind="stable")] = np.arange(n_pix)
+    bucket = rank * 32 // n_pix
+    yy, xx = np.divmod(np.arange(n_pix), nx)
+    blk = (yy // byh) * gx + (xx // bxw)
+    return np.lexsort((np.arange(n_pix), blk, bucket)).astype(np.int32)
+
+
 def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
                   seed: int = 0, max_depth: int = 50,
                   spp_chunk: int | None = None,
                   interpret: bool = False,
                   rr_depth: int | None = None,
-                  devices=None, timers=None, progress=None) -> np.ndarray:
+                  devices=None, timers=None, progress=None,
+                  balance: bool | None = None) -> np.ndarray:
     """Full-image render on the megakernel → float32 [ny, nx, 3] with the
     reference's gamma (sqrt + clamp, tests/test.rs:72-75).
 
@@ -1829,6 +1920,11 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
     renders a contiguous tile range — the sample axis is per-device
     seeded, so any split is deterministic for a given seed and device
     count). Raises UnsupportedScene when the scene needs the XLA tier.
+
+    balance: cost-balanced pixel scheduling (_cost_permutation). Default
+    (None): on for dynamic-loop scenes at spp ≥ 8, where the one-time
+    2-spp probe amortizes; renders stay deterministic per (seed, config)
+    since the probe is. Off disables the probe and uses 2D-block tiles.
     """
     if timers is None:
         from ..utils.timers import Timers
@@ -1860,7 +1956,6 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
             or jax.devices()[:1]
     n_dev = min(len(devices), grid)
     devices = devices[:n_dev]
-    bounds = tile_bounds(grid, n_dev)
     # one batched device_put per device (per-array puts would each pay a
     # tunnel roundtrip); repeated renders of the same scene reuse the
     # resident tables (JAX arrays are immutable, so the cache is sound)
@@ -1875,6 +1970,37 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
                 dev_cache[d] = tables
             dev_args.append(tables)
 
+    if balance is None:
+        balance = (BALANCE and block is not None and spp >= 8
+                   and not interpret)
+    perm = None
+    pix_dev = [None] * n_dev
+    if balance:
+        perm_key = ("perm", id(cam), nx, ny, max_depth, rr_depth, n_dev)
+        cached = dev_cache.get(perm_key)
+        if cached is None:
+            with timers.phase("balance_probe"):
+                perm = _cost_permutation(
+                    dev_args[0], devices[0], cam_np, max_depth,
+                    kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
+                    med_kinds, flags, scene, nx, ny, block, rr_depth)
+                grid = -(-n_pix // TILE)
+                n_dev = min(n_dev, grid)
+                bounds = tile_bounds(grid, n_dev)
+                pix_full = np.full(grid * TILE, n_pix, np.int32)
+                pix_full[:n_pix] = perm
+                pix_full = pix_full.reshape(grid * SUB, LANES)
+                pix_dev = [jax.device_put(
+                    pix_full[bounds[di] * SUB:bounds[di + 1] * SUB], d)
+                    for di, d in enumerate(devices[:n_dev])]
+            dev_cache[perm_key] = (perm, grid, bounds, pix_dev)
+        else:
+            perm, grid, bounds, pix_dev = cached
+            n_dev = len(bounds) - 1
+        devices = devices[:n_dev]
+    else:
+        bounds = tile_bounds(grid, n_dev)
+
     if spp_chunk is None:
         spp_chunk = spp
     sums = np.zeros((n_pix, 3), np.float64)
@@ -1883,7 +2009,7 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
                          cam_np, seed, max_depth, kinds, rect_groups,
                          n_dyn, n_box, n_sclus, n_bclus, med_kinds, flags,
                          scene, nx, ny, n_pix, interpret, rr_depth, timers,
-                         progress, block)
+                         progress, block, perm, pix_dev)
     except Exception:
         # a TPU worker crash/restart invalidates resident buffers; drop
         # every cached device table so the caller's retry re-uploads to
@@ -1900,7 +2026,7 @@ def _dispatch_chunks(sums, spp, spp_chunk, devices, bounds, dev_args,
                      cam_np, seed, max_depth, kinds, rect_groups, n_dyn,
                      n_box, n_sclus, n_bclus, med_kinds, flags, scene,
                      nx, ny, n_pix, interpret, rr_depth, timers,
-                     progress=None, block=None):
+                     progress=None, block=None, perm=None, pix_dev=None):
     done = 0
     chunk_id = 0
     while done < spp:
@@ -1927,19 +2053,25 @@ def _dispatch_chunks(sums, spp, spp_chunk, devices, bounds, dev_args,
                     dev_args[di][7], kinds, rect_groups, n_dyn, n_box,
                     n_sclus, n_bclus, med_kinds, flags, scene.background,
                     nx, ny, g1 - g0, interpret, rr_depth,
-                    scene.perlin_seed, block))
+                    scene.perlin_seed, None if perm is not None else block,
+                    False, pix_dev[di] if perm is not None else None))
             # all device dispatches are in flight; gather in order
             full = np.concatenate([np.asarray(o) for o in outs], axis=1)
-        if block is None:
-            lanes = full.transpose(1, 2, 0).reshape(-1, 3)[:n_pix]
+        if perm is not None:
+            # balanced scheduling: lane i rendered pixel perm[i]; the
+            # padding tail (dummy slot) is dropped. perm is a bijection,
+            # so the fancy-index add touches each row once.
+            lanes = full.transpose(1, 2, 0).reshape(-1, 3)
+            sums[perm] += lanes[:n_pix]
+        elif block is None:
+            sums += full.transpose(1, 2, 0).reshape(-1, 3)[:n_pix]
         else:
             # de-block: (3, gy·gx, BY·BX) → image rows, crop the padding
             bxw, byh = block
             gx, gy = -(-nx // bxw), -(-ny // byh)
             img3 = full.reshape(3, gy, gx, byh, bxw).transpose(0, 1, 3, 2, 4)
-            lanes = img3.reshape(3, gy * byh, gx * bxw)[:, :ny, :nx] \
+            sums += img3.reshape(3, gy * byh, gx * bxw)[:, :ny, :nx] \
                 .reshape(3, n_pix).transpose(1, 0)
-        sums += lanes
         done += cur
         chunk_id += 1
         if progress is not None:

@@ -76,7 +76,7 @@ def test_render_pallas_host_path_cpu_interpret():
                    attr, kinds, groups, n_dyn, n_box, n_sclus, n_bclus,
                    med_kinds, flags, background, nx, ny, grid,
                    interpret=False, rr_depth=None, perlin_seed=0,
-                   block=None):
+                   block=None, stats=False, pix=None):
         spp = int(params[1])
         return jnp.full((3, grid * pt.SUB, pt.LANES), 0.25 * spp,
                         jnp.float32)
@@ -108,7 +108,7 @@ def test_block_mapping_assembly_bijection():
                    attr, kinds, groups, n_dyn, n_box, n_sclus, n_bclus,
                    med_kinds, flags, background, nx_, ny_, grid,
                    interpret=False, rr_depth=None, perlin_seed=0,
-                   block=None):
+                   block=None, stats=False, pix=None):
         assert block is not None
         bxw, byh = block
         assert bxw * byh == pt.TILE
@@ -134,3 +134,46 @@ def test_block_mapping_assembly_bijection():
                      / (4.0 * n_pix)).reshape(ny, nx)
     np.testing.assert_allclose(img[..., 0], expect, atol=1e-6)
     np.testing.assert_allclose(img[..., 2], expect, atol=1e-6)
+
+
+def test_balanced_scheduling_assembly_bijection():
+    """Cost-balanced mode: the probe's permutation, the per-lane pixel
+    tables handed to each device, and the host scatter must compose to
+    the identity — every pixel gets exactly its own samples back. The
+    stub serves both the stats probe (row 6 = a deterministic per-lane
+    cost pattern) and the balanced render (each lane returns its
+    assigned pixel index)."""
+    scene = builders.random_spheres()
+    cam = builders.PRESETS["random_spheres"].camera()
+    nx, ny = 200, 90
+    n_pix = nx * ny
+    real = pt._trace_call
+
+    def fake_trace(rec, dyn, box, sclus, bclus, med, camr, params, img,
+                   attr, kinds, groups, n_dyn, n_box, n_sclus, n_bclus,
+                   med_kinds, flags, background, nx_, ny_, grid,
+                   interpret=False, rr_depth=None, perlin_seed=0,
+                   block=None, stats=False, pix=None):
+        if stats:
+            out = np.zeros((7, grid * pt.SUB, pt.LANES), np.float32)
+            # arbitrary deterministic cost pattern → some permutation
+            out[6] = np.arange(grid * pt.SUB * pt.LANES) \
+                .reshape(grid * pt.SUB, pt.LANES) % 97
+            return jnp.asarray(out)
+        assert pix is not None and block is None
+        p = np.minimum(np.asarray(pix), n_pix - 1).astype(np.float32)
+        # the real kernel banks the SUM over the chunk's spp samples
+        out = np.broadcast_to(p / (4.0 * n_pix) * int(params[1]),
+                              (3, grid * pt.SUB, pt.LANES))
+        return jnp.asarray(out)
+
+    pt._trace_call = fake_trace
+    try:
+        img = pt.render_pallas(scene, cam, nx=nx, ny=ny, spp=8,
+                               devices=jax.devices("cpu")[:2],
+                               balance=True)
+    finally:
+        pt._trace_call = real
+    expect = np.sqrt(np.arange(n_pix, dtype=np.float32)
+                     / (4.0 * n_pix)).reshape(ny, nx)
+    np.testing.assert_allclose(img[..., 1], expect, atol=1e-6)

@@ -29,7 +29,8 @@ from raytracing_rust_tpu.models.builders import PRESETS  # noqa: E402
 from raytracing_rust_tpu.ops import pallas_tracer as pt  # noqa: E402
 
 
-def run(name: str, nx=400, ny=400, spp=32, max_depth=50) -> None:
+def run(name: str, nx=400, ny=400, spp=32, max_depth=50,
+        balance=False) -> None:
     preset = PRESETS[name]
     scene = preset.build()
     cam = preset.camera()
@@ -49,12 +50,28 @@ def run(name: str, nx=400, ny=400, spp=32, max_depth=50) -> None:
     args = jax.device_put((rec, dyn, box, sclus, bclus, med, cam_np,
                            np.asarray([7, spp, max_depth, 0], np.int32),
                            img, attr), dev)
+    pix = None
+    if balance:
+        dev_args0 = jax.device_put((rec, dyn, box, sclus, bclus, med,
+                                    img, attr), dev)
+        perm = pt._cost_permutation(dev_args0, dev, cam_np, max_depth,
+                                    kinds, groups, n_dyn, n_box, n_sclus,
+                                    n_bclus, med_kinds, flags, scene,
+                                    nx, ny, block, None)
+        grid = -(-nx * ny // pt.TILE)
+        pix_full = np.full(grid * pt.TILE, nx * ny, np.int32)
+        pix_full[:nx * ny] = perm
+        pix = jax.device_put(pix_full.reshape(grid * pt.SUB, pt.LANES),
+                             dev)
+        block = None
+        print(f"{name} [balanced]:")
     out = np.asarray(pt._trace_call(
         *args, kinds, groups, n_dyn, n_box, n_sclus, n_bclus, med_kinds,
         flags, scene.background, nx, ny, grid, False, None,
-        scene.perlin_seed, block, True))
+        scene.perlin_seed, block, True, pix))
     steps = out[3]          # per-lane wavefront steps (same within a tile)
     mem_s, mem_b = out[4], out[5]
+    busy = out[6]           # per-lane alive steps
     per_tile = steps.reshape(grid, -1)[:, 0]
     tot_steps = float(per_tile.sum())
     print(f"{name}: grid={grid} n_dyn={n_dyn} n_box={n_box} "
@@ -62,6 +79,9 @@ def run(name: str, nx=400, ny=400, spp=32, max_depth=50) -> None:
     print(f"  steps/tile: mean={per_tile.mean():.0f} "
           f"min={per_tile.min():.0f} max={per_tile.max():.0f} "
           f"(spp={spp}, so {per_tile.mean() / spp:.1f} steps/sample)")
+    occ = busy.sum() / (steps.sum() + 1e-9)
+    print(f"  lane occupancy: {100 * occ:.1f}% "
+          f"(mean busy steps / tile steps; the rest is drain tail)")
     if n_dyn:
         ms = mem_s.reshape(grid, -1)[:, 0]
         print(f"  sphere member tests/step: {ms.sum() / tot_steps:.1f} "
@@ -73,9 +93,11 @@ def run(name: str, nx=400, ny=400, spp=32, max_depth=50) -> None:
 
 
 def main() -> int:
-    names = sys.argv[1:] or ["final_scene", "random_spheres"]
+    argv = [a for a in sys.argv[1:] if a != "--balance"]
+    balance = "--balance" in sys.argv
+    names = argv or ["final_scene", "random_spheres"]
     for name in names:
-        run(name)
+        run(name, balance=balance)
     return 0
 
 
