@@ -161,12 +161,16 @@ BOX_LEAF = 8        # box cluster leaf size
 # RT_CULL=two|sup|leaf|flat): every guard's any-reduce collapses an
 # (8, LANES) mask to one scalar, which on v5e costs roughly as much as a
 # dozen member tests — so MORE guards is not automatically faster.
+#   wide — one bitmask pass: every leaf's cross mask is packed into
+#          int32 lanes and collapsed with ONE roll-tree OR-reduce per 31
+#          leaves, so leaf-grain skipping costs ~2 reduces per table
+#          instead of one per guard (default; measured fastest)
 #   two  — supercluster guards over leaf guards (finest skipping)
 #   sup  — supercluster guards only; a crossed super runs its whole
 #          contiguous member range unguarded (fewest reduces)
 #   leaf — leaf guards only (no super level)
 #   flat — no guards at all (pure member scan)
-CULL = os.environ.get("RT_CULL", "two")
+CULL = os.environ.get("RT_CULL", "wide")
 
 # gate the winner-attribute resolution pass behind any(winner)? The gate
 # skips a ~600-op gather on winnerless steps, but its fori carries the
@@ -780,6 +784,49 @@ def _asin(y):
                                           jnp.float32(1.0) - y * y)))
 
 
+def _or_reduce(m):
+    """Scalar union of an (S, L) int32 bitmask via a log-depth roll
+    tree: one jnp.any-priced reduction answers up to 31 "does any lane
+    need X" questions at once (cross-lane reduces cost ~250 ns each on
+    v5e — more than a dozen member intersection tests — so the kernel
+    batches every gate it can through this)."""
+    s = m.shape[1] // 2
+    while s:
+        m = m | pltpu.roll(m, shift=s, axis=1)
+        s //= 2
+    s = m.shape[0] // 2
+    while s:
+        m = m | pltpu.roll(m, shift=s, axis=0)
+        s //= 2
+    return m[0, 0]
+
+
+def _packed_need(pred, n, shape):
+    """int32 scalar words w[k // 31] whose bit (k % 31) answers
+    any-lane(pred(k)), for k in range(n) — ceil(n/31) reductions total."""
+    words = []
+    m = jnp.zeros(shape, jnp.int32)
+    nbit = 0
+    for k in range(n):
+        m = m | (pred(k).astype(jnp.int32) << nbit)
+        nbit += 1
+        if nbit == 31 or k == n - 1:
+            words.append(_or_reduce(m))
+            m = jnp.zeros(shape, jnp.int32)
+            nbit = 0
+    return words
+
+
+def _word_bit(words, k):
+    """Bit k of the packed words as a scalar, k traced or static."""
+    if isinstance(k, int):
+        return (words[k // 31] >> (k % 31)) & 1
+    b = words[-1] >> (k - 31 * (len(words) - 1))
+    for j in reversed(range(len(words) - 1)):
+        b = jnp.where(k < 31 * (j + 1), words[j] >> (k - 31 * j), b)
+    return b & 1
+
+
 def _image_fetch(img_ref, jrow, icol):
     """Exact per-lane 2D gather out[r, c] = img[jrow[r, c], icol[r, c]].
 
@@ -831,10 +878,12 @@ def _image_fetch(img_ref, jrow, icol):
                 out = jnp.where((sub_iota == r) & (jhi_b == k), rowres, out)
             return out
 
-        # zero-or-one-trip loop instead of lax.cond (see _clus_guard)
-        return jax.lax.fori_loop(
-            0, jnp.any(jhi == k).astype(jnp.int32), active, out)
+        # zero-or-one-trip loop instead of lax.cond (see _clus_guard);
+        # the chunk's need bit comes from one packed mask pass instead
+        # of a per-chunk jnp.any (64 reduces → 3 for a 512-row atlas)
+        return jax.lax.fori_loop(0, _word_bit(words, k), active, out)
 
+    words = _packed_need(lambda k: jhi == k, n_rk, (S, L))
     return jax.lax.fori_loop(0, n_rk, chunk_body,
                              jnp.zeros((S, L), jnp.int32))
 
@@ -859,9 +908,9 @@ def _attr_gather(attr_ref, col, n_bands):
     clo, chi = col & 127, col >> 7
     # winners within one tile step are spatially clustered, so most
     # 128-prim blocks have no takers on most steps: skip them with a
-    # zero-trip fori per block (one any-reduce each, computed once and
-    # shared by every band/sublane)
-    need = [jnp.any(chi == kc).astype(jnp.int32) for kc in range(n_blocks)]
+    # zero-trip fori per block, all need bits from ONE packed reduce
+    # shared by every band/sublane
+    need = _packed_need(lambda kc: chi == kc, n_blocks, col.shape)
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (S, L), 0)
     fields = [jnp.zeros((S, L), jnp.int32) for _ in range(8 * n_bands)]
     for band in range(n_bands):
@@ -879,7 +928,7 @@ def _attr_gather(attr_ref, col, n_bands):
                          for oc in range(n_oc)], axis=1)
                     return jnp.where(chi_b == kc, gk, g)
 
-                g = jax.lax.fori_loop(0, need[kc], fetch, g)
+                g = jax.lax.fori_loop(0, _word_bit(need, kc), fetch, g)
             for fz in range(8):
                 fields[band * 8 + fz] = jnp.where(
                     sub_iota == s,
@@ -1207,6 +1256,36 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                     if CULL == "flat" or n_leaf == 0:
                         return jax.lax.fori_loop(0, n_mem, member_body,
                                                  thin0)
+                    if CULL == "wide":
+                        # one mask pass over every leaf (cross-lane
+                        # reduces amortized 31:1), then statically
+                        # unrolled zero-trip member loops keyed on the
+                        # scalar bits. The masks use the entry t_b (no
+                        # mid-loop tightening — measured immaterial next
+                        # to the reduce savings).
+                        t_b0 = thin0[0]
+
+                        def leaf_cross(k):
+                            tmn, tmx = _slab(clus_ref[k, 0],
+                                             clus_ref[k, 1],
+                                             clus_ref[k, 2],
+                                             clus_ref[k, 3],
+                                             clus_ref[k, 4],
+                                             clus_ref[k, 5])
+                            return ((tmx > jnp.maximum(tmn, f(T_MIN)))
+                                    & (tmn < t_b0) & (alive > f(0.0)))
+
+                        words = _packed_need(leaf_cross, n_leaf,
+                                             (SUB, LANES))
+                        st2 = tuple(thin0)
+                        for k in range(n_leaf):
+                            b = _word_bit(words, k)
+                            start = clus_ref[k, 6].astype(jnp.int32)
+                            cnt = clus_ref[k, 7].astype(jnp.int32)
+                            st2 = jax.lax.fori_loop(
+                                start, start + jnp.where(b > 0, cnt, 0),
+                                member_body, st2)
+                        return st2
                     if CULL == "leaf" or n_sup == 0:
                         return jax.lax.fori_loop(0, n_leaf, leaf_body,
                                                  thin0)
@@ -1890,7 +1969,7 @@ def _cost_permutation(dev_args0, dev, cam_np, max_depth, kinds,
     # tiles WORSE than spatial blocks). Expensive regions are spatially
     # contiguous — a box filter borrows the neighbors' samples,
     # multiplying the effective probe spp by the window area.
-    k = 5
+    k = int(os.environ.get("RT_SMOOTH", "9"))
     pad = np.pad(cost, k // 2, mode="edge")
     ii = np.zeros((pad.shape[0] + 1, pad.shape[1] + 1), np.float64)
     ii[1:, 1:] = pad.cumsum(0).cumsum(1)
@@ -1899,7 +1978,7 @@ def _cost_permutation(dev_args0, dev, cam_np, max_depth, kinds,
     # equal-population cost buckets (rank-based), 2D-block tie-break
     rank = np.empty(n_pix, np.int64)
     rank[np.argsort(cost, kind="stable")] = np.arange(n_pix)
-    bucket = rank * 32 // n_pix
+    bucket = rank * int(os.environ.get("RT_BUCKETS", "32")) // n_pix
     yy, xx = np.divmod(np.arange(n_pix), nx)
     blk = (yy // byh) * gx + (xx // bxw)
     return np.lexsort((np.arange(n_pix), blk, bucket)).astype(np.int32)
