@@ -657,6 +657,100 @@ def build_scene_record(scene: SceneTables):
     flags = flags + (bool(n_dyn
                           and np.any(dyn_rec[:n_dyn, R_INV_DT] != 0.0)),)
 
+    # ---- dense-medium walk fast path (host analysis) ----
+    # A medium whose mean free path is much smaller than its extent
+    # turns every entering path into a long isotropic random walk
+    # (final_scene's subsurface sphere: mfp 5 vs diameter 140 ⇒ paths
+    # run to the depth-50 cap, dominating the frame). The kernel
+    # collapses those walks in a cheap inner loop that only needs the
+    # prims reachable from inside the medium; compute that interior set
+    # here (conservative AABB overlap) plus per-medium dense flags.
+    def _row_aabb(row, kind):
+        if kind in ("sphere", "moving"):
+            c0 = row[R_C0:R_C0 + 3]
+            c1 = c0 + row[R_DC:R_DC + 3]
+            r = abs(row[R_RADIUS])
+            return np.minimum(c0, c1) - r, np.maximum(c0, c1) + r
+        if kind == "box":
+            return row[R_C0:R_C0 + 3].copy(), row[R_DC:R_DC + 3].copy()
+        # rect: p·kn = KOFF, p·an ∈ AOFF+[A0,A1], p·bn ∈ BOFF+[B0,B1]
+        kn, an, bn = (row[R_KN:R_KN + 3], row[R_AN:R_AN + 3],
+                      row[R_BN:R_BN + 3])
+        pts = [(a + row[R_AOFF]) * an + (b + row[R_BOFF]) * bn
+               + row[R_KOFF] * kn
+               for a in (row[R_A0], row[R_A1])
+               for b in (row[R_B0], row[R_B1])]
+        pts = np.stack(pts)
+        return pts.min(0) - 1e-4, pts.max(0) + 1e-4
+
+    med_dense = []
+    med_aabbs = []
+    for i, mk in enumerate(med_kinds):
+        R = med_rec[i, M_ROT:M_ROT + 9].reshape(3, 3)
+        off = med_rec[i, M_OFF:M_OFF + 3]
+        if mk == "msphere":
+            c, r = med_rec[i, M_DATA:M_DATA + 3], \
+                float(np.sqrt(med_rec[i, M_DATA + 3]))
+            olo, ohi = c - r, c + r
+            extent = 2.0 * r
+        else:
+            olo, ohi = (med_rec[i, M_DATA:M_DATA + 3],
+                        med_rec[i, M_DATA + 3:M_DATA + 6])
+            extent = float((ohi - olo).min())
+        corners = np.stack([
+            R.T @ np.array([(olo, ohi)[a][0], (olo, ohi)[b][1],
+                            (olo, ohi)[c_][2]]) + off
+            for a in (0, 1) for b in (0, 1) for c_ in (0, 1)])
+        med_aabbs.append((corners.min(0), corners.max(0)))
+        med_dense.append(bool(4.0 * med_rec[i, M_INV_RHO] < extent))
+
+    int_rows, int_kinds = [], []
+    if any(med_dense):
+        cand = ([(rec[i], k) for i, k in enumerate(kinds)]
+                + [(dyn_rec[i],
+                    "moving" if dyn_rec[i, R_INV_DT] != 0.0 else "sphere")
+                   for i in range(n_dyn)]
+                + [(box_rec[i], "box") for i in range(n_box)])
+        # the walk is only sound when every segment from inside the
+        # medium ends at a KNOWN surface at or before the medium's own
+        # exit — i.e. a coincident boundary prim seals the volume (the
+        # reference's subsurface pattern: glass shell + interior
+        # medium, tests/test.rs:469-483). Without one, a no-scatter
+        # window could extend past geometry the interior set can't see.
+        for mi, (mk, dense) in enumerate(zip(med_kinds, med_dense)):
+            if not dense:
+                continue
+            sealed = False
+            R = med_rec[mi, M_ROT:M_ROT + 9].reshape(3, 3)
+            off = med_rec[mi, M_OFF:M_OFF + 3]
+            if mk == "msphere" and np.allclose(R, np.eye(3), atol=1e-6):
+                cw = med_rec[mi, M_DATA:M_DATA + 3] + off
+                r_m = float(np.sqrt(med_rec[mi, M_DATA + 3]))
+                for row, k in cand:
+                    if (k == "sphere"
+                            and np.allclose(row[R_C0:R_C0 + 3], cw,
+                                            atol=1e-3 * max(r_m, 1.0))
+                            and abs(row[R_RADIUS] - r_m) < 1e-3 * r_m):
+                        sealed = True
+                        break
+            med_dense[mi] = sealed
+    if any(med_dense):
+        for row, k in cand:
+            plo, phi = _row_aabb(row, k)
+            for dense, (mlo, mhi) in zip(med_dense, med_aabbs):
+                if dense and (plo <= mhi).all() and (mlo <= phi).all():
+                    int_rows.append(row)
+                    int_kinds.append(k)
+                    break
+        if len(int_rows) > 24:
+            # too many interior surfaces for the cheap loop to pay off
+            int_rows, int_kinds = [], []
+    int_rec = (np.stack(int_rows).astype(np.float32) if int_rows
+               else np.zeros((1, REC), np.float32))
+    med_kinds = tuple(zip(med_kinds,
+                          med_dense if int_rows else [False] * len(
+                              med_dense)))
+
     # group unrolled rects by world frame
     groups = {}
     for i, k in enumerate(kinds):
@@ -672,8 +766,8 @@ def build_scene_record(scene: SceneTables):
     else:
         attr = np.zeros((ATTR_ROWS, 128), np.int32)
     return (rec, tuple(kinds), rect_groups, dyn_rec, n_dyn, box_rec, n_box,
-            sclus, n_sclus, bclus, n_bclus, med_rec, tuple(med_kinds),
-            flags, img_packed, attr)
+            sclus, n_sclus, bclus, n_bclus, med_rec, med_kinds,
+            flags, img_packed, attr, int_rec, tuple(int_kinds))
 
 
 def build_camera_record(cam) -> np.ndarray:
@@ -940,7 +1034,7 @@ def _attr_gather(attr_ref, col, n_bands):
 def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                  med_kinds, flags, background, nx, ny, rr_depth=None,
                  perlin_seed=0, block=None, stats=False,
-                 explicit_pix=False):
+                 explicit_pix=False, int_kinds=()):
     """Build the megakernel body for a static scene structure.
 
     spp / max_depth arrive as runtime scalars (params_ref = [seed, spp,
@@ -967,7 +1061,7 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
         extra_fields += [R_IMG, R_IMG_BASE, R_IMG_H, R_IMG_W]
 
     def kernel(rec_ref, dyn_ref, box_ref, sclus_ref, bclus_ref, med_ref,
-               cam_ref, params_ref, img_ref, attr_ref, *rest):
+               cam_ref, params_ref, img_ref, attr_ref, int_ref, *rest):
         if explicit_pix:
             pix_ref, out_ref = rest
         else:
@@ -1031,6 +1125,90 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
         cvx, cvy, cvz = cs(C_V), cs(C_V + 1), cs(C_V + 2)
         lens_r, t0c, dtc = cs(C_LENS_R), cs(C_TIME0), cs(C_DTIME)
 
+        def media_events(ox, oy, oz, dx, dy, dz, a_dd, inv_a, t_cap,
+                         skip):
+            """Nearest ConstantMedium scatter event on [T_MIN, t_cap]:
+            (t_med, albedo rgb, dense flag of the winning medium).
+            Shared by the main bounce and the dense-medium walk."""
+            d_len = jnp.sqrt(a_dd)
+            inv_dlen = f(1.0) / d_len
+            t_med = jnp.full((SUB, LANES), f(BIG))
+            mar = mag = mab = mdn = jnp.zeros((SUB, LANES), f)
+            for i, (mk, dense_i) in enumerate(med_kinds):
+                def mr(k):
+                    return med_ref[i, k]
+
+                # world→object (reference src/traslate.rs:18 +
+                # src/rotate.rs:87-97, hoisted into R₋, offset)
+                wx = ox - mr(M_OFF)
+                wy = oy - mr(M_OFF + 1)
+                wz = oz - mr(M_OFF + 2)
+                o0x = mr(M_ROT) * wx + mr(M_ROT + 1) * wy \
+                    + mr(M_ROT + 2) * wz
+                o0y = mr(M_ROT + 3) * wx + mr(M_ROT + 4) * wy \
+                    + mr(M_ROT + 5) * wz
+                o0z = mr(M_ROT + 6) * wx + mr(M_ROT + 7) * wy \
+                    + mr(M_ROT + 8) * wz
+                d0x = mr(M_ROT) * dx + mr(M_ROT + 1) * dy \
+                    + mr(M_ROT + 2) * dz
+                d0y = mr(M_ROT + 3) * dx + mr(M_ROT + 4) * dy \
+                    + mr(M_ROT + 5) * dz
+                d0z = mr(M_ROT + 6) * dx + mr(M_ROT + 7) * dy \
+                    + mr(M_ROT + 8) * dz
+
+                if mk == "msphere":
+                    ocx = o0x - mr(M_DATA)
+                    ocy = o0y - mr(M_DATA + 1)
+                    ocz = o0z - mr(M_DATA + 2)
+                    bq = _dot3(ocx, ocy, ocz, d0x, d0y, d0z)
+                    cq = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) \
+                        - mr(M_DATA + 3)
+                    disc = bq * bq - a_dd * cq
+                    mok = disc > f(0.0)
+                    sq = jnp.sqrt(jnp.where(mok, disc, f(1.0)))
+                    enter = (-bq - sq) * inv_a
+                    exit_ = (-bq + sq) * inv_a
+                else:
+                    tiny = f(1e-30)
+                    sx = jnp.where(jnp.abs(d0x) < tiny, tiny, d0x)
+                    sy = jnp.where(jnp.abs(d0y) < tiny, tiny, d0y)
+                    sz = jnp.where(jnp.abs(d0z) < tiny, tiny, d0z)
+                    ax0 = (mr(M_DATA) - o0x) / sx
+                    ax1 = (mr(M_DATA + 3) - o0x) / sx
+                    ay0 = (mr(M_DATA + 1) - o0y) / sy
+                    ay1 = (mr(M_DATA + 4) - o0y) / sy
+                    az0 = (mr(M_DATA + 2) - o0z) / sz
+                    az1 = (mr(M_DATA + 5) - o0z) / sz
+                    enter = jnp.maximum(
+                        jnp.maximum(jnp.minimum(ax0, ax1),
+                                    jnp.minimum(ay0, ay1)),
+                        jnp.minimum(az0, az1))
+                    exit_ = jnp.minimum(
+                        jnp.minimum(jnp.maximum(ax0, ax1),
+                                    jnp.maximum(ay0, ay1)),
+                        jnp.maximum(az0, az1))
+                    mok = enter < exit_
+
+                enter = jnp.maximum(enter, f(T_MIN))
+                exit_ = jnp.minimum(exit_, t_cap)
+                mok = mok & (enter < exit_)
+                u_m = _uniform((SUB, LANES))
+                flight = -mr(M_INV_RHO) * jnp.log(
+                    jnp.maximum(u_m, f(1e-37)))
+                dist_inside = (exit_ - enter) * d_len
+                scat = (mok.astype(f)
+                        * (flight < dist_inside).astype(f)) > f(0.0)
+                scat = scat & (skip < f(0.5))
+                t_i = jnp.where(scat, enter + flight * inv_dlen,
+                                f(BIG))
+                mbetter = t_i < t_med
+                t_med = jnp.where(mbetter, t_i, t_med)
+                mar = jnp.where(mbetter, mr(M_ALB), mar)
+                mag = jnp.where(mbetter, mr(M_ALB + 1), mag)
+                mab = jnp.where(mbetter, mr(M_ALB + 2), mab)
+                mdn = jnp.where(mbetter, f(1.0 if dense_i else 0.0), mdn)
+            return t_med, mar, mag, mab, mdn
+
         # ---- persistent wavefront over the sample budget ----
         # One lane = one pixel. Instead of tracing sample k of every lane
         # to termination before sample k+1 (utilization = mean/max path
@@ -1041,9 +1219,9 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
         def step(carry):
             (ox, oy, oz, dx, dy, dz, time, thr_r, thr_g, thr_b,
              rad_r, rad_g, rad_b, alive, bcnt, scnt,
-             acc_r, acc_g, acc_b) = carry[:19]
+             acc_r, acc_g, acc_b, skip_med) = carry[:20]
             if stats:
-                s_steps, s_mem_s, s_mem_b, s_busy = carry[19:]
+                s_steps, s_mem_s, s_mem_b, s_busy = carry[20:]
                 s_steps = s_steps + f(1.0)
 
             # -- regenerate dead lanes that still owe samples
@@ -1078,6 +1256,7 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
             rad_b = jnp.where(regen, f(0.0), rad_b)
             bcnt = jnp.where(regen, f(0.0), bcnt)
             alive = jnp.where(regen, one, alive)
+            skip_med = jnp.where(regen, f(0.0), skip_med)
             if stats:
                 # per-lane occupancy: steps this lane did useful work
                 s_busy = s_busy + alive
@@ -1334,6 +1513,35 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                 t_thin = st[0]
                 widx = jnp.full((SUB, LANES), f(-1.0))
 
+            if n_box:
+                # merged axis-aligned cubes (reference src/cube.rs:20-74):
+                # one slab test replaces six rect tests; entry face when
+                # beyond T_MIN else exit face (face normal reconstructed
+                # in the attribute pass). Boxes run BEFORE the spheres:
+                # final_scene's ground boxes terminate most rays close,
+                # and the wide cull's sphere masks use the running t_b —
+                # box-first measured sphere member tests 75% → far less
+                def box_thin(p, st2):
+                    t_b, wi = st2[:2]
+
+                    def r(i):
+                        return box_ref[p, i]
+
+                    tmn, tmx = _slab(r(R_C0), r(R_C0 + 1), r(R_C0 + 2),
+                                     r(R_DC), r(R_DC + 1), r(R_DC + 2))
+                    t_p = jnp.where(tmn > f(T_MIN), tmn, tmx)
+                    ok = (tmx > tmn) & (t_p > f(T_MIN)) & (t_p < t_b)
+                    return (jnp.where(ok, t_p, t_b),
+                            jnp.where(ok, f(n_dyn) + p.astype(f), wi)) \
+                        + ((st2[2] + f(1.0),) if stats else ())
+
+                thin1 = (t_thin, widx) + ((s_mem_b,) if stats else ())
+                out1 = _culled_loop(bclus_ref, n_bclus, box_thin, thin1,
+                                    n_box)
+                t_thin, widx = out1[:2]
+                if stats:
+                    s_mem_b = out1[2]
+
             if n_dyn:
                 # dynamic spheres (random_spheres' 441, final_scene's
                 # 1006), cluster-culled; the moving-center form covers
@@ -1376,32 +1584,6 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                 t_thin, widx = out0[:2]
                 if stats:
                     s_mem_s = out0[2]
-
-            if n_box:
-                # merged axis-aligned cubes (reference src/cube.rs:20-74):
-                # one slab test replaces six rect tests; entry face when
-                # beyond T_MIN else exit face (face normal reconstructed
-                # in the attribute pass)
-                def box_thin(p, st2):
-                    t_b, wi = st2[:2]
-
-                    def r(i):
-                        return box_ref[p, i]
-
-                    tmn, tmx = _slab(r(R_C0), r(R_C0 + 1), r(R_C0 + 2),
-                                     r(R_DC), r(R_DC + 1), r(R_DC + 2))
-                    t_p = jnp.where(tmn > f(T_MIN), tmn, tmx)
-                    ok = (tmx > tmn) & (t_p > f(T_MIN)) & (t_p < t_b)
-                    return (jnp.where(ok, t_p, t_b),
-                            jnp.where(ok, f(n_dyn) + p.astype(f), wi)) \
-                        + ((st2[2] + f(1.0),) if stats else ())
-
-                thin1 = (t_thin, widx) + ((s_mem_b,) if stats else ())
-                out1 = _culled_loop(bclus_ref, n_bclus, box_thin, thin1,
-                                    n_box)
-                t_thin, widx = out1[:2]
-                if stats:
-                    s_mem_b = out1[2]
 
             if n_dyn or n_box:
                 # ---- attribute resolution: one transposed gather,
@@ -1578,78 +1760,16 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                 # ---- ConstantMedium events (reference src/medium.rs:
                 # 28-56): analytic entry/exit on the infinite line,
                 # clamped to [T_MIN, closest surface], exponential
-                # free flight −(1/ρ)·ln U ----
-                d_len = jnp.sqrt(a_dd)
-                inv_dlen = f(1.0) / d_len
-                t_med = jnp.full((SUB, LANES), f(BIG))
-                mar = mag = mab = jnp.zeros((SUB, LANES), f)
-                for i, mk in enumerate(med_kinds):
-                    def mr(k):
-                        return med_ref[i, k]
-
-                    # world→object (reference src/traslate.rs:18 +
-                    # src/rotate.rs:87-97, hoisted into R₋, offset)
-                    wx = ox - mr(M_OFF)
-                    wy = oy - mr(M_OFF + 1)
-                    wz = oz - mr(M_OFF + 2)
-                    o0x = mr(M_ROT) * wx + mr(M_ROT + 1) * wy + mr(M_ROT + 2) * wz
-                    o0y = mr(M_ROT + 3) * wx + mr(M_ROT + 4) * wy + mr(M_ROT + 5) * wz
-                    o0z = mr(M_ROT + 6) * wx + mr(M_ROT + 7) * wy + mr(M_ROT + 8) * wz
-                    d0x = mr(M_ROT) * dx + mr(M_ROT + 1) * dy + mr(M_ROT + 2) * dz
-                    d0y = mr(M_ROT + 3) * dx + mr(M_ROT + 4) * dy + mr(M_ROT + 5) * dz
-                    d0z = mr(M_ROT + 6) * dx + mr(M_ROT + 7) * dy + mr(M_ROT + 8) * dz
-
-                    if mk == "msphere":
-                        ocx = o0x - mr(M_DATA)
-                        ocy = o0y - mr(M_DATA + 1)
-                        ocz = o0z - mr(M_DATA + 2)
-                        bq = _dot3(ocx, ocy, ocz, d0x, d0y, d0z)
-                        cq = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) \
-                            - mr(M_DATA + 3)
-                        disc = bq * bq - a_dd * cq
-                        mok = disc > f(0.0)
-                        sq = jnp.sqrt(jnp.where(mok, disc, f(1.0)))
-                        enter = (-bq - sq) * inv_a
-                        exit_ = (-bq + sq) * inv_a
-                    else:
-                        tiny = f(1e-30)
-                        sx = jnp.where(jnp.abs(d0x) < tiny, tiny, d0x)
-                        sy = jnp.where(jnp.abs(d0y) < tiny, tiny, d0y)
-                        sz = jnp.where(jnp.abs(d0z) < tiny, tiny, d0z)
-                        ax0 = (mr(M_DATA) - o0x) / sx
-                        ax1 = (mr(M_DATA + 3) - o0x) / sx
-                        ay0 = (mr(M_DATA + 1) - o0y) / sy
-                        ay1 = (mr(M_DATA + 4) - o0y) / sy
-                        az0 = (mr(M_DATA + 2) - o0z) / sz
-                        az1 = (mr(M_DATA + 5) - o0z) / sz
-                        enter = jnp.maximum(
-                            jnp.maximum(jnp.minimum(ax0, ax1),
-                                        jnp.minimum(ay0, ay1)),
-                            jnp.minimum(az0, az1))
-                        exit_ = jnp.minimum(
-                            jnp.minimum(jnp.maximum(ax0, ax1),
-                                        jnp.maximum(ay0, ay1)),
-                            jnp.maximum(az0, az1))
-                        mok = enter < exit_
-
-                    enter = jnp.maximum(enter, f(T_MIN))
-                    exit_ = jnp.minimum(exit_, t_best)
-                    mok = mok & (enter < exit_)
-                    u_m = _uniform((SUB, LANES))
-                    flight = -mr(M_INV_RHO) * jnp.log(
-                        jnp.maximum(u_m, f(1e-37)))
-                    dist_inside = (exit_ - enter) * d_len
-                    scat = (mok.astype(f)
-                            * (flight < dist_inside).astype(f)) > f(0.0)
-                    t_i = jnp.where(scat, enter + flight * inv_dlen,
-                                    f(BIG))
-                    mbetter = t_i < t_med
-                    t_med = jnp.where(mbetter, t_i, t_med)
-                    mar = jnp.where(mbetter, mr(M_ALB), mar)
-                    mag = jnp.where(mbetter, mr(M_ALB + 1), mag)
-                    mab = jnp.where(mbetter, mr(M_ALB + 2), mab)
-
+                # free flight −(1/ρ)·ln U. skip_med suppresses every
+                # event for lanes whose dense-medium walk already
+                # concluded no-scatter on this segment (re-rolling the
+                # memoryless flight would double the scatter chance) ----
+                t_med, mar, mag, mab, mdn = media_events(
+                    ox, oy, oz, dx, dy, dz, a_dd, inv_a, t_best,
+                    skip_med)
+                skip_med = jnp.zeros((SUB, LANES), f)  # consumed
                 med_event = t_med < t_best
+                evt_dense = jnp.where(med_event, mdn, f(0.0))
                 t_best = jnp.where(med_event, t_med, t_best)
                 mat_b = jnp.where(med_event, f(MAT_ISOTROPIC), mat_b)
                 alr = jnp.where(med_event, mar, alr)
@@ -1811,9 +1931,155 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
             scnt = scnt + died
             bcnt = bcnt + cont
 
+            if int_kinds:
+                # ---- dense-medium walk (subsurface random walks,
+                # reference pattern tests/test.rs:469-483): a lane whose
+                # path just scattered inside a sealed dense medium
+                # bounces to termination here. Each walk bounce tests
+                # only the medium-interior prims (host-computed
+                # conservative set) instead of running a full wavefront
+                # step — on final_scene those walks run to the depth-50
+                # cap and were over half of all steps. Exact semantics:
+                # same flight/direction sampling as the main loop; a
+                # no-scatter conclusion is handed to the next main step
+                # via skip_med (the flight is memoryless, but re-rolling
+                # a segment already ruled out would bias density up). --
+                walking = (evt_dense > f(0.5)) & (cont > f(0.0))
+
+                def w_cond(ws):
+                    return jnp.any(ws[10] > f(0.0))
+
+                def w_body(ws):
+                    (wox, woy, woz, wdx, wdy, wdz, wtr, wtg, wtb,
+                     wbc, wk, wsk) = ws
+                    a2 = _dot3(wdx, wdy, wdz, wdx, wdy, wdz)
+                    ia2 = f(1.0) / a2
+                    # nearest interior surface (t only; no attributes —
+                    # the main loop re-traces the exit hit exactly)
+                    t_s = jnp.full((SUB, LANES), f(BIG))
+                    for j, k2 in enumerate(int_kinds):
+                        def r2(i, j=j):
+                            return int_ref[j, i]
+
+                        if k2 == "box":
+                            def wsi(dc):
+                                sgn = jnp.where(dc >= f(0.0), f(1e30),
+                                                f(-1e30))
+                                return jnp.where(
+                                    jnp.abs(dc) < f(1e-30), sgn,
+                                    f(1.0) / dc)
+
+                            iwx, iwy, iwz = wsi(wdx), wsi(wdy), wsi(wdz)
+                            t0 = (r2(R_C0) - wox) * iwx
+                            t1 = (r2(R_DC) - wox) * iwx
+                            tmn = jnp.minimum(t0, t1)
+                            tmx = jnp.maximum(t0, t1)
+                            t0 = (r2(R_C0 + 1) - woy) * iwy
+                            t1 = (r2(R_DC + 1) - woy) * iwy
+                            tmn = jnp.maximum(tmn, jnp.minimum(t0, t1))
+                            tmx = jnp.minimum(tmx, jnp.maximum(t0, t1))
+                            t0 = (r2(R_C0 + 2) - woz) * iwz
+                            t1 = (r2(R_DC + 2) - woz) * iwz
+                            tmn = jnp.maximum(tmn, jnp.minimum(t0, t1))
+                            tmx = jnp.minimum(tmx, jnp.maximum(t0, t1))
+                            t_p = jnp.where(tmn > f(T_MIN), tmn, tmx)
+                            ok2 = (tmx > tmn) & (t_p > f(T_MIN))
+                        elif k2 == "rect":
+                            d_kn = _dot3(wdx, wdy, wdz, r2(R_KN),
+                                         r2(R_KN + 1), r2(R_KN + 2))
+                            o_kn = _dot3(wox, woy, woz, r2(R_KN),
+                                         r2(R_KN + 1), r2(R_KN + 2))
+                            nonpar = d_kn != f(0.0)
+                            t_p = (r2(R_KOFF) - o_kn) / jnp.where(
+                                nonpar, d_kn, f(1.0))
+                            xa = (_dot3(wox, woy, woz, r2(R_AN),
+                                        r2(R_AN + 1), r2(R_AN + 2))
+                                  + t_p * _dot3(wdx, wdy, wdz, r2(R_AN),
+                                                r2(R_AN + 1),
+                                                r2(R_AN + 2))
+                                  - r2(R_AOFF))
+                            yb = (_dot3(wox, woy, woz, r2(R_BN),
+                                        r2(R_BN + 1), r2(R_BN + 2))
+                                  + t_p * _dot3(wdx, wdy, wdz, r2(R_BN),
+                                                r2(R_BN + 1),
+                                                r2(R_BN + 2))
+                                  - r2(R_BOFF))
+                            ok2 = (nonpar & (t_p > f(T_MIN))
+                                   & (xa >= r2(R_A0)) & (xa <= r2(R_A1))
+                                   & (yb >= r2(R_B0)) & (yb <= r2(R_B1)))
+                        else:
+                            if k2 == "moving":
+                                frac = (time - r2(R_T0)) * r2(R_INV_DT)
+                                cx = r2(R_C0) + frac * r2(R_DC)
+                                cy = r2(R_C0 + 1) + frac * r2(R_DC + 1)
+                                cz = r2(R_C0 + 2) + frac * r2(R_DC + 2)
+                            else:
+                                cx, cy, cz = (r2(R_C0), r2(R_C0 + 1),
+                                              r2(R_C0 + 2))
+                            ocx, ocy, ocz = wox - cx, woy - cy, woz - cz
+                            bq = _dot3(ocx, ocy, ocz, wdx, wdy, wdz)
+                            cq = _dot3(ocx, ocy, ocz, ocx, ocy,
+                                       ocz) - r2(R_R2)
+                            disc = bq * bq - a2 * cq
+                            pos = disc > f(0.0)
+                            sq = jnp.sqrt(jnp.where(pos, disc, f(1.0)))
+                            t_near = (-bq - sq) * ia2
+                            t_far = (-bq + sq) * ia2
+                            t_p = jnp.where(t_near > f(T_MIN), t_near,
+                                            t_far)
+                            ok2 = pos & (t_p > f(T_MIN))
+                        t_s = jnp.minimum(t_s, jnp.where(ok2, t_p,
+                                                         f(BIG)))
+
+                    t_m2, ma_r, ma_g, ma_b, mdn2 = media_events(
+                        wox, woy, woz, wdx, wdy, wdz, a2, ia2, t_s,
+                        jnp.zeros((SUB, LANES), f))
+                    evt = t_m2 < f(BIG)
+                    adv = (wk > f(0.0)) & evt
+                    stop_s = (wk > f(0.0)) & ~evt
+                    # isotropic rescatter (reference src/material.rs:
+                    # 164-168): bare ball sample, radius via max-of-3
+                    u0w = _uniform((SUB, LANES))
+                    u1w = _uniform((SUB, LANES))
+                    cw = f(2.0) * u0w - f(1.0)
+                    sw = jnp.sqrt(jnp.maximum(f(0.0),
+                                              f(1.0) - cw * cw))
+                    phw = f(2.0 * math.pi) * u1w
+                    rw = jnp.maximum(
+                        jnp.maximum(_uniform((SUB, LANES)),
+                                    _uniform((SUB, LANES))),
+                        _uniform((SUB, LANES)))
+                    nwx = rw * sw * jnp.cos(phw)
+                    nwy = rw * sw * jnp.sin(phw)
+                    nwz = rw * cw
+                    wox = jnp.where(adv, wox + t_m2 * wdx, wox)
+                    woy = jnp.where(adv, woy + t_m2 * wdy, woy)
+                    woz = jnp.where(adv, woz + t_m2 * wdz, woz)
+                    wdx = jnp.where(adv, nwx, wdx)
+                    wdy = jnp.where(adv, nwy, wdy)
+                    wdz = jnp.where(adv, nwz, wdz)
+                    wtr = jnp.where(adv, wtr * ma_r, wtr)
+                    wtg = jnp.where(adv, wtg * ma_g, wtg)
+                    wtb = jnp.where(adv, wtb * ma_b, wtb)
+                    wbc = wbc + adv.astype(f)
+                    wsk = jnp.where(stop_s, f(1.0), wsk)
+                    # keep walking while the event medium is dense and
+                    # the depth cap is not reached
+                    wk = (adv.astype(f) * mdn2
+                          * (wbc < depth_v).astype(f))
+                    return (wox, woy, woz, wdx, wdy, wdz, wtr, wtg,
+                            wtb, wbc, wk, wsk)
+
+                ws = jax.lax.while_loop(
+                    w_cond, w_body,
+                    (ox, oy, oz, dx, dy, dz, thr_r, thr_g, thr_b,
+                     bcnt, walking.astype(f), skip_med))
+                (ox, oy, oz, dx, dy, dz, thr_r, thr_g, thr_b,
+                 bcnt, _, skip_med) = ws
+
             return (ox, oy, oz, dx, dy, dz, time,
                     thr_r, thr_g, thr_b, rad_r, rad_g, rad_b, cont,
-                    bcnt, scnt, acc_r, acc_g, acc_b) \
+                    bcnt, scnt, acc_r, acc_g, acc_b, skip_med) \
                 + ((s_steps, s_mem_s, s_mem_b, s_busy) if stats else ())
 
         def unfinished(carry):
@@ -1823,14 +2089,15 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
 
         zero = jnp.zeros((SUB, LANES), f)
         one_a = jnp.full((SUB, LANES), f(1.0))
+        # iota-derived zero: splat-constant inits give Mosaic a
+        # replicated layout that some carry updates can't relayout
+        # inside the while (`s_busy + alive`, skip_med selects) — anchor
+        # the late-added carries to lanes
+        zero_c = (row + col).astype(f) * f(0.0)
         st = (zero, zero, zero, zero, zero, one_a,  # o, d=(0,0,1) dummy
               zero, one_a, one_a, one_a, zero, zero, zero,
-              zero, zero, zero, zero, zero, zero)
+              zero, zero, zero, zero, zero, zero, zero_c)
         if stats:
-            # iota-derived zeros: splat-constant inits give Mosaic a
-            # replicated layout that the `s_busy + alive` add can't
-            # relayout inside the while carry — anchor them to lanes
-            zero_c = (row + col).astype(f) * f(0.0)
             st = st + (zero_c, zero_c, zero_c, zero_c)
         st = jax.lax.while_loop(unfinished, step, st)
         acc_r, acc_g, acc_b = st[16], st[17], st[18]
@@ -1839,10 +2106,10 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
         out_ref[1] = acc_g
         out_ref[2] = acc_b
         if stats:
-            out_ref[3] = st[19]   # wavefront steps
-            out_ref[4] = st[20]   # sphere member tests
-            out_ref[5] = st[21]   # box member tests
-            out_ref[6] = st[22]   # per-lane busy (alive) steps
+            out_ref[3] = st[20]   # wavefront steps
+            out_ref[4] = st[21]   # sphere member tests
+            out_ref[5] = st[22]   # box member tests
+            out_ref[6] = st[23]   # per-lane busy (alive) steps
 
     return kernel
 
@@ -1851,24 +2118,30 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
          static_argnames=("kinds", "rect_groups", "n_dyn", "n_box",
                           "n_sclus", "n_bclus", "med_kinds", "flags",
                           "background", "nx", "ny", "grid", "interpret",
-                          "rr_depth", "perlin_seed", "block", "stats"))
+                          "rr_depth", "perlin_seed", "block", "stats",
+                          "int_kinds"))
 def _trace_call(rec, dyn_rec, box_rec, sclus, bclus, med_rec, cam_rec,
                 params, img, attr, kinds, rect_groups, n_dyn, n_box,
                 n_sclus, n_bclus, med_kinds, flags, background, nx, ny,
                 grid, interpret=False, rr_depth=None, perlin_seed=0,
-                block=None, stats=False, pix=None):
+                block=None, stats=False, pix=None, int_rec=None,
+                int_kinds=()):
     kernel = _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus,
                           n_bclus, med_kinds, flags, background, nx, ny,
                           rr_depth=rr_depth, perlin_seed=perlin_seed,
                           block=block, stats=stats,
-                          explicit_pix=pix is not None)
+                          explicit_pix=pix is not None,
+                          int_kinds=int_kinds)
     n_rows = 7 if stats else 3
+    if int_rec is None:
+        int_rec = jnp.zeros((1, REC), jnp.float32)
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 8 + [
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
     ]
     operands = [rec, dyn_rec, box_rec, sclus, bclus, med_rec, cam_rec,
-                params, img, attr]
+                params, img, attr, int_rec]
     if pix is not None:
         # per-lane pixel table: one (SUB, LANES) block per tile
         in_specs.append(pl.BlockSpec((SUB, LANES), lambda g: (g, 0),
@@ -1935,7 +2208,8 @@ def _cached_scene_record(scene):
 
 def _cost_permutation(dev_args0, dev, cam_np, max_depth, kinds,
                       rect_groups, n_dyn, n_box, n_sclus, n_bclus,
-                      med_kinds, flags, scene, nx, ny, block, rr_depth):
+                      med_kinds, flags, scene, nx, ny, block, rr_depth,
+                      int_kinds):
     """Measure per-pixel path cost with a 2-spp stats probe and return a
     pixel permutation for cost-balanced tiles.
 
@@ -1960,7 +2234,8 @@ def _cost_permutation(dev_args0, dev, cam_np, max_depth, kinds,
         dev_args0[4], dev_args0[5], cam_dev, params, dev_args0[6],
         dev_args0[7], kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
         med_kinds, flags, scene.background, nx, ny, grid_b, False,
-        rr_depth, scene.perlin_seed, block, True))
+        rr_depth, scene.perlin_seed, block, True, None, dev_args0[8],
+        int_kinds))
     busy = out[6].reshape(gy, gx, byh, bxw).transpose(0, 2, 1, 3)
     cost = busy.reshape(gy * byh, gx * bxw)[:ny, :nx]
     n_pix = nx * ny
@@ -2012,7 +2287,8 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
     with timers.phase("record_build"):
         (rec_np, kinds, rect_groups, dyn_np, n_dyn, box_np, n_box, sclus_np,
          n_sclus, bclus_np, n_bclus, med_np, med_kinds, flags, img_np,
-         attr_np), dev_cache = _cached_scene_record(scene)
+         attr_np, int_np, int_kinds), dev_cache = _cached_scene_record(
+             scene)
     cam_np, _ = _identity_cached(_CAM_CACHE, cam, build_camera_record)
     n_pix = nx * ny
     if n_dyn or n_box:
@@ -2045,7 +2321,7 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
             if tables is None:
                 tables = jax.device_put((rec_np, dyn_np, box_np, sclus_np,
                                          bclus_np, med_np, img_np,
-                                         attr_np), d)
+                                         attr_np, int_np), d)
                 dev_cache[d] = tables
             dev_args.append(tables)
 
@@ -2062,7 +2338,8 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
                 perm = _cost_permutation(
                     dev_args[0], devices[0], cam_np, max_depth,
                     kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
-                    med_kinds, flags, scene, nx, ny, block, rr_depth)
+                    med_kinds, flags, scene, nx, ny, block, rr_depth,
+                    int_kinds)
                 grid = -(-n_pix // TILE)
                 n_dev = min(n_dev, grid)
                 bounds = tile_bounds(grid, n_dev)
@@ -2088,7 +2365,7 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
                          cam_np, seed, max_depth, kinds, rect_groups,
                          n_dyn, n_box, n_sclus, n_bclus, med_kinds, flags,
                          scene, nx, ny, n_pix, interpret, rr_depth, timers,
-                         progress, block, perm, pix_dev)
+                         progress, block, perm, pix_dev, int_kinds)
     except Exception:
         # a TPU worker crash/restart invalidates resident buffers; drop
         # every cached device table so the caller's retry re-uploads to
@@ -2105,7 +2382,8 @@ def _dispatch_chunks(sums, spp, spp_chunk, devices, bounds, dev_args,
                      cam_np, seed, max_depth, kinds, rect_groups, n_dyn,
                      n_box, n_sclus, n_bclus, med_kinds, flags, scene,
                      nx, ny, n_pix, interpret, rr_depth, timers,
-                     progress=None, block=None, perm=None, pix_dev=None):
+                     progress=None, block=None, perm=None, pix_dev=None,
+                     int_kinds=()):
     done = 0
     chunk_id = 0
     while done < spp:
@@ -2133,7 +2411,8 @@ def _dispatch_chunks(sums, spp, spp_chunk, devices, bounds, dev_args,
                     n_sclus, n_bclus, med_kinds, flags, scene.background,
                     nx, ny, g1 - g0, interpret, rr_depth,
                     scene.perlin_seed, None if perm is not None else block,
-                    False, pix_dev[di] if perm is not None else None))
+                    False, pix_dev[di] if perm is not None else None,
+                    dev_args[di][8], int_kinds))
             # all device dispatches are in flight; gather in order
             full = np.concatenate([np.asarray(o) for o in outs], axis=1)
         if perm is not None:

@@ -19,8 +19,8 @@ REC_FIELDS = dict(mat=pt.R_MAT, emit=pt.R_EMIT, alb=pt.R_ALB_EVEN)
 def test_cornell_record():
     scene = builders.cornell_box()
     (rec, kinds, groups, dyn, n_dyn, box, n_box, sclus, n_sclus, bclus,
-     n_bclus, med, med_kinds, flags, img,
-     attr) = pt.build_scene_record(scene)
+     n_bclus, med, med_kinds, flags, img, attr, int_rec,
+     int_kinds) = pt.build_scene_record(scene)
     assert kinds == ("rect",) * 18
     # 18 rects share 9 world frames (axis walls + two rotated boxes)
     assert sorted(sum((list(g) for g in groups), [])) == list(range(18))
@@ -38,8 +38,8 @@ def test_cornell_record():
 def test_random_spheres_partition():
     scene = builders.random_spheres()
     (rec, kinds, groups, dyn, n_dyn, box, n_box, sclus, n_sclus, bclus,
-     n_bclus, med, med_kinds, flags, img,
-     attr) = pt.build_scene_record(scene)
+     n_bclus, med, med_kinds, flags, img, attr, int_rec,
+     int_kinds) = pt.build_scene_record(scene)
     # the ground sphere (r=1000) and the three unit heroes unroll
     # (r ≥ 4× the 0.2 population median); the small spheres go dynamic
     assert kinds == ("sphere",) * 4
@@ -58,9 +58,11 @@ def test_random_spheres_partition():
 def test_smoke_media_records():
     scene = builders.cornell_smoke()
     (rec, kinds, groups, dyn, n_dyn, box, n_box, sclus, n_sclus, bclus,
-     n_bclus, med, med_kinds, flags, img,
-     attr) = pt.build_scene_record(scene)
-    assert med_kinds == ("mbox", "mbox")
+     n_bclus, med, med_kinds, flags, img, attr, int_rec,
+     int_kinds) = pt.build_scene_record(scene)
+    # neither smoke box is walk-dense (mfp 100 ≳ extent/4)
+    assert med_kinds == (("mbox", False), ("mbox", False))
+    assert int_kinds == ()
     np.testing.assert_allclose(med[:, pt.M_INV_RHO], 100.0)  # 1/0.01
     # rotation block is orthonormal
     for i in range(2):
@@ -86,8 +88,8 @@ def test_final_scene_partition():
     light rect stays unrolled."""
     scene = builders.final_scene()
     (rec, kinds, groups, dyn, n_dyn, box, n_box, sclus, n_sclus, bclus,
-     n_bclus, med, med_kinds, flags, img,
-     attr) = pt.build_scene_record(scene)
+     n_bclus, med, med_kinds, flags, img, attr, int_rec,
+     int_kinds) = pt.build_scene_record(scene)
     # the ceiling light, the one moving sphere (movers prefer the
     # unrolled loop so the thin dynamic loop can drop the center lerp),
     # and the 5 static hero spheres (r=50..100 vs the whites' r=10;
@@ -95,8 +97,19 @@ def test_final_scene_partition():
     assert sorted(kinds) == ["moving", "rect"] + ["sphere"] * 5
     assert n_box == 400
     assert n_dyn == 1000               # the white cluster spheres
-    assert med_kinds == ("msphere", "msphere")
+    # the subsurface blue sphere is walk-dense (mfp 5 vs diameter 140)
+    # AND sealed by the coincident glass hero; the global mist is not
+    assert med_kinds == (("msphere", True), ("msphere", False))
     assert flags == (False, True, True, True, True, False)
+    # the walk's interior set: the sealing glass hero + the ground
+    # boxes that poke into the medium's AABB — all near (360, 150, 145)
+    assert "sphere" in int_kinds and "box" in int_kinds
+    assert 2 <= len(int_kinds) <= 24
+    for row, k in zip(int_rec, int_kinds):
+        if k == "sphere":
+            c = row[pt.R_C0:pt.R_C0 + 3]
+            if abs(row[pt.R_RADIUS] - 70.0) < 1e-3:
+                np.testing.assert_allclose(c, [360, 150, 145], atol=1e-3)
     # box rows: lo < hi, ground albedo carried
     lo, hi = box[:, pt.R_C0:pt.R_C0 + 3], box[:, pt.R_DC:pt.R_DC + 3]
     assert (lo < hi).all()
@@ -141,8 +154,8 @@ def test_earth_record_and_atlas():
     round-trip exactly to the XLA tier's f32 texels."""
     scene = builders.earth()
     (rec, kinds, groups, dyn, n_dyn, box, n_box, sclus, n_sclus, bclus,
-     n_bclus, med, med_kinds, flags, img,
-     attr) = pt.build_scene_record(scene)
+     n_bclus, med, med_kinds, flags, img, attr, int_rec,
+     int_kinds) = pt.build_scene_record(scene)
     assert flags[4]  # has_image
     assert rec[0, pt.R_IMG] == 1.0
     h, w = np.asarray(scene.image_hw)[0]
@@ -162,8 +175,8 @@ def test_earth_record_and_atlas():
 def test_noise_scene_record():
     scene = builders.two_perlin_spheres()
     (rec, kinds, groups, dyn, n_dyn, box, n_box, sclus, n_sclus, bclus,
-     n_bclus, med, med_kinds, flags, img,
-     attr) = pt.build_scene_record(scene)
+     n_bclus, med, med_kinds, flags, img, attr, int_rec,
+     int_kinds) = pt.build_scene_record(scene)
     assert flags == (False, False, False, True, False, False)
     np.testing.assert_allclose(rec[:, pt.R_NOISE], 1.0)
     np.testing.assert_allclose(rec[:, pt.R_NSCALE], 4.0)  # test.rs:186

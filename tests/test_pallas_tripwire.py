@@ -30,22 +30,24 @@ KERNEL_PRESETS = ["two_spheres", "cornell_box", "cornell_smoke",
 
 def _trace(scene, nx, ny, grid, rr_depth=None):
     (rec, kinds, groups, dyn, n_dyn, box, n_box, sclus, n_sclus, bclus,
-     n_bclus, med, med_kinds, flags, img,
-     attr) = pt.build_scene_record(scene)
+     n_bclus, med, med_kinds, flags, img, attr, int_rec,
+     int_kinds) = pt.build_scene_record(scene)
     cam = np.zeros(pt.CAMREC, np.float32)
     params = jnp.zeros(4, jnp.int32)
     out = jax.eval_shape(
-        lambda r, d, b, sc, bc, m, c, p, im, at: pt._trace_call(
+        lambda r, d, b, sc, bc, m, c, p, im, at, ir: pt._trace_call(
             r, d, b, sc, bc, m, c, p, im, at, kinds, groups, n_dyn, n_box,
             n_sclus, n_bclus,
             med_kinds, flags, scene.background, nx, ny, grid, False,
             rr_depth, scene.perlin_seed,
             # dynamic-loop scenes trace the 2D pixel-block mapping, the
             # same choice render_pallas makes
-            (128, pt.TILE // 128) if (n_dyn or n_box) else None),
+            (128, pt.TILE // 128) if (n_dyn or n_box) else None,
+            False, None, ir, int_kinds),
         jnp.asarray(rec), jnp.asarray(dyn), jnp.asarray(box),
         jnp.asarray(sclus), jnp.asarray(bclus), jnp.asarray(med),
-        jnp.asarray(cam), params, jnp.asarray(img), jnp.asarray(attr))
+        jnp.asarray(cam), params, jnp.asarray(img), jnp.asarray(attr),
+        jnp.asarray(int_rec))
     assert out.shape == (3, grid * pt.SUB, pt.LANES)
     assert out.dtype == jnp.float32
 
@@ -76,7 +78,8 @@ def test_render_pallas_host_path_cpu_interpret():
                    attr, kinds, groups, n_dyn, n_box, n_sclus, n_bclus,
                    med_kinds, flags, background, nx, ny, grid,
                    interpret=False, rr_depth=None, perlin_seed=0,
-                   block=None, stats=False, pix=None):
+                   block=None, stats=False, pix=None,
+                   int_rec=None, int_kinds=()):
         spp = int(params[1])
         return jnp.full((3, grid * pt.SUB, pt.LANES), 0.25 * spp,
                         jnp.float32)
@@ -108,7 +111,8 @@ def test_block_mapping_assembly_bijection():
                    attr, kinds, groups, n_dyn, n_box, n_sclus, n_bclus,
                    med_kinds, flags, background, nx_, ny_, grid,
                    interpret=False, rr_depth=None, perlin_seed=0,
-                   block=None, stats=False, pix=None):
+                   block=None, stats=False, pix=None,
+                   int_rec=None, int_kinds=()):
         assert block is not None
         bxw, byh = block
         assert bxw * byh == pt.TILE
@@ -153,7 +157,8 @@ def test_balanced_scheduling_assembly_bijection():
                    attr, kinds, groups, n_dyn, n_box, n_sclus, n_bclus,
                    med_kinds, flags, background, nx_, ny_, grid,
                    interpret=False, rr_depth=None, perlin_seed=0,
-                   block=None, stats=False, pix=None):
+                   block=None, stats=False, pix=None,
+                   int_rec=None, int_kinds=()):
         if stats:
             out = np.zeros((7, grid * pt.SUB, pt.LANES), np.float32)
             # arbitrary deterministic cost pattern → some permutation

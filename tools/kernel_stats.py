@@ -35,8 +35,8 @@ def run(name: str, nx=400, ny=400, spp=32, max_depth=50,
     scene = preset.build()
     cam = preset.camera()
     (rec, kinds, groups, dyn, n_dyn, box, n_box, sclus, n_sclus, bclus,
-     n_bclus, med, med_kinds, flags, img,
-     attr) = pt.build_scene_record(scene)
+     n_bclus, med, med_kinds, flags, img, attr, int_rec,
+     int_kinds) = pt.build_scene_record(scene)
     cam_np = pt.build_camera_record(cam)
     block = None
     if n_dyn or n_box:
@@ -53,11 +53,11 @@ def run(name: str, nx=400, ny=400, spp=32, max_depth=50,
     pix = None
     if balance:
         dev_args0 = jax.device_put((rec, dyn, box, sclus, bclus, med,
-                                    img, attr), dev)
+                                    img, attr, int_rec), dev)
         perm = pt._cost_permutation(dev_args0, dev, cam_np, max_depth,
                                     kinds, groups, n_dyn, n_box, n_sclus,
                                     n_bclus, med_kinds, flags, scene,
-                                    nx, ny, block, None)
+                                    nx, ny, block, None, int_kinds)
         grid = -(-nx * ny // pt.TILE)
         pix_full = np.full(grid * pt.TILE, nx * ny, np.int32)
         pix_full[:nx * ny] = perm
@@ -68,7 +68,8 @@ def run(name: str, nx=400, ny=400, spp=32, max_depth=50,
     out = np.asarray(pt._trace_call(
         *args, kinds, groups, n_dyn, n_box, n_sclus, n_bclus, med_kinds,
         flags, scene.background, nx, ny, grid, False, None,
-        scene.perlin_seed, block, True, pix))
+        scene.perlin_seed, block, True, pix, jax.device_put(int_rec, dev),
+        int_kinds))
     steps = out[3]          # per-lane wavefront steps (same within a tile)
     mem_s, mem_b = out[4], out[5]
     busy = out[6]           # per-lane alive steps
