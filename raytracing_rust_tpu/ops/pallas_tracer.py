@@ -1441,30 +1441,55 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                         # unrolled zero-trip member loops keyed on the
                         # scalar bits. The masks use the entry t_b (no
                         # mid-loop tightening — measured immaterial next
-                        # to the reduce savings).
-                        t_b0 = thin0[0]
+                        # to the reduce savings). The whole pass sits
+                        # behind a root-AABB gate: medium-walk steps and
+                        # sky tiles skip the table for one slab + one
+                        # reduce (the root bounds fold from the super
+                        # rows on the scalar unit, no host change).
+                        sup_rows = list(range(n_leaf, n_leaf + n_sup)
+                                        if n_sup else range(n_leaf))
+                        rb = [clus_ref[sup_rows[0], c] for c in range(6)]
+                        for r_ in sup_rows[1:]:
+                            for c in range(3):
+                                rb[c] = jnp.minimum(rb[c], clus_ref[r_, c])
+                                rb[3 + c] = jnp.maximum(rb[3 + c],
+                                                        clus_ref[r_, 3 + c])
+                        tmn_r, tmx_r = _slab(rb[0], rb[1], rb[2],
+                                             rb[3], rb[4], rb[5])
+                        root_cross = ((tmx_r > jnp.maximum(tmn_r,
+                                                           f(T_MIN)))
+                                      & (tmn_r < thin0[0])
+                                      & (alive > f(0.0)))
 
-                        def leaf_cross(k):
-                            tmn, tmx = _slab(clus_ref[k, 0],
-                                             clus_ref[k, 1],
-                                             clus_ref[k, 2],
-                                             clus_ref[k, 3],
-                                             clus_ref[k, 4],
-                                             clus_ref[k, 5])
-                            return ((tmx > jnp.maximum(tmn, f(T_MIN)))
-                                    & (tmn < t_b0) & (alive > f(0.0)))
+                        def table_pass(_, st2):
+                            t_b0 = st2[0]
 
-                        words = _packed_need(leaf_cross, n_leaf,
-                                             (SUB, LANES))
-                        st2 = tuple(thin0)
-                        for k in range(n_leaf):
-                            b = _word_bit(words, k)
-                            start = clus_ref[k, 6].astype(jnp.int32)
-                            cnt = clus_ref[k, 7].astype(jnp.int32)
-                            st2 = jax.lax.fori_loop(
-                                start, start + jnp.where(b > 0, cnt, 0),
-                                member_body, st2)
-                        return st2
+                            def leaf_cross(k):
+                                tmn, tmx = _slab(clus_ref[k, 0],
+                                                 clus_ref[k, 1],
+                                                 clus_ref[k, 2],
+                                                 clus_ref[k, 3],
+                                                 clus_ref[k, 4],
+                                                 clus_ref[k, 5])
+                                return ((tmx > jnp.maximum(tmn, f(T_MIN)))
+                                        & (tmn < t_b0)
+                                        & (alive > f(0.0)))
+
+                            words = _packed_need(leaf_cross, n_leaf,
+                                                 (SUB, LANES))
+                            for k in range(n_leaf):
+                                b = _word_bit(words, k)
+                                start = clus_ref[k, 6].astype(jnp.int32)
+                                cnt = clus_ref[k, 7].astype(jnp.int32)
+                                st2 = jax.lax.fori_loop(
+                                    start,
+                                    start + jnp.where(b > 0, cnt, 0),
+                                    member_body, st2)
+                            return st2
+
+                        return jax.lax.fori_loop(
+                            0, jnp.any(root_cross).astype(jnp.int32),
+                            table_pass, tuple(thin0))
                     if CULL == "leaf" or n_sup == 0:
                         return jax.lax.fori_loop(0, n_leaf, leaf_body,
                                                  thin0)
