@@ -265,13 +265,48 @@ def _merge_boxes(rec, kinds):
     return box_rows, member
 
 
-def _build_attr_table(dyn_rec, box_rec, n_dyn, n_box):
+def _attr_field_list(dyn_rec, box_rec, n_dyn, n_box):
+    """Static tuple of the A_* fields the thin hit path actually needs
+    for THIS table's prims. Measured on v5e: the winner-attribute
+    gather costs ~7 µs per 8-field band per step and runs on nearly
+    every step, so fields that are identically zero for every dynamic
+    prim (e.g. final_scene's noise/image — those live on unrolled
+    heroes) must not ride along."""
+    rows = ([dyn_rec[i] for i in range(n_dyn)]
+            + [box_rec[i] for i in range(n_box)])
+
+    def used(col):
+        return any(r[col] != 0.0 for r in rows)
+
+    fields = []
+    if n_box:
+        fields.append(A_TYPE)
+    fields += [A_G0, A_G0 + 1, A_G0 + 2, A_G3, A_G3 + 1, A_G3 + 2]
+    if any(r[R_INV_DT] != 0.0 for r in rows):
+        fields += [A_T0, A_INVDT]
+    fields += [A_INVR, A_FLIP, A_MAT]
+    if any(r[R_MAT] in (MAT_METAL, MAT_DIELECTRIC) for r in rows):
+        fields.append(A_PARAM)
+    fields += [A_EMIT, A_EMIT + 1, A_EMIT + 2,
+               A_ALB_E, A_ALB_E + 1, A_ALB_E + 2]
+    if used(R_CHECKER):
+        fields += [A_ALB_O, A_ALB_O + 1, A_ALB_O + 2, A_CHECKER]
+    if used(R_NOISE):
+        fields += [A_NOISE, A_NSCALE]
+    if used(R_IMG):
+        fields += [A_IMG, A_IMG_BASE, A_IMG_H, A_IMG_W]
+    return tuple(fields)
+
+
+def _build_attr_table(dyn_rec, box_rec, n_dyn, n_box, fields):
     """Transposed attribute table for the thin hit path (host side).
 
     Columns are winner indices in thin-path order: dynamic spheres,
-    then boxes. Stored as int32 bit patterns so the kernel's lane
-    gathers take the exact code path proven by the image fetch; the
-    kernel bitcasts fields back to f32.
+    then boxes; rows are the COMPACT static field list from
+    _attr_field_list (row i = fields[i]), padded to a multiple of 8 so
+    the kernel gathers whole bands. Stored as int32 bit patterns so the
+    kernel's lane gathers take the exact code path proven by the image
+    fetch; the kernel bitcasts fields back to f32.
     """
     cols = []
 
@@ -303,18 +338,19 @@ def _build_attr_table(dyn_rec, box_rec, n_dyn, n_box):
         a[A_IMG_BASE] = row[R_IMG_BASE]
         a[A_IMG_H] = row[R_IMG_H]
         a[A_IMG_W] = row[R_IMG_W]
-        cols.append(a)
+        cols.append(a[list(fields)])
 
     for i in range(n_dyn):
         add(dyn_rec[i], "sphere")
     for i in range(n_box):
         add(box_rec[i], "box")
     if not cols:
-        cols.append(np.zeros(ATTR_ROWS, np.float32))
-    tab = np.stack(cols, axis=1)                        # (32, P_total)
+        cols.append(np.zeros(len(fields), np.float32))
+    tab = np.stack(cols, axis=1)                 # (len(fields), P_total)
     pad = -(-tab.shape[1] // 128) * 128
-    out = np.zeros((ATTR_ROWS, pad), np.float32)
-    out[:, :tab.shape[1]] = tab
+    n_rows = -(-len(fields) // 8) * 8
+    out = np.zeros((n_rows, pad), np.float32)
+    out[:tab.shape[0], :tab.shape[1]] = tab
     return out.view(np.int32)
 
 
@@ -761,13 +797,18 @@ def build_scene_record(scene: SceneTables):
     rect_groups = tuple(tuple(g) for g in groups.values())
     if n_dyn or n_box:
         # columns cover the thin-path winner index space: dynamic
-        # spheres then boxes (unrolled prims keep the fat select)
-        attr = _build_attr_table(dyn_rec, box_rec, n_dyn, n_box)
+        # spheres then boxes (unrolled prims keep the fat select);
+        # rows are the compact static field list (attr_fields)
+        attr_fields = _attr_field_list(dyn_rec, box_rec, n_dyn, n_box)
+        attr = _build_attr_table(dyn_rec, box_rec, n_dyn, n_box,
+                                 attr_fields)
     else:
-        attr = np.zeros((ATTR_ROWS, 128), np.int32)
+        attr_fields = ()
+        attr = np.zeros((8, 128), np.int32)
     return (rec, tuple(kinds), rect_groups, dyn_rec, n_dyn, box_rec, n_box,
             sclus, n_sclus, bclus, n_bclus, med_rec, med_kinds,
-            flags, img_packed, attr, int_rec, tuple(int_kinds))
+            flags, img_packed, attr, attr_fields, int_rec,
+            tuple(int_kinds))
 
 
 def build_camera_record(cam) -> np.ndarray:
@@ -1034,7 +1075,7 @@ def _attr_gather(attr_ref, col, n_bands):
 def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                  med_kinds, flags, background, nx, ny, rr_depth=None,
                  perlin_seed=0, block=None, stats=False,
-                 explicit_pix=False, int_kinds=()):
+                 explicit_pix=False, int_kinds=(), attr_fields=()):
     """Build the megakernel body for a static scene structure.
 
     spp / max_depth arrive as runtime scalars (params_ref = [seed, spp,
@@ -1619,31 +1660,45 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                 wd = widx >= f(0.0)
                 st[0] = t_thin
 
+                # compact attribute rows: fl[pos[A_x]] is field A_x
+                # (fields zero for every dyn/box prim are not in the
+                # table at all — the gather's per-band cost is ~7 µs
+                # per step, measured, so bands are precious)
+                pos = {a: i for i, a in enumerate(attr_fields)}
+
                 def resolve(_, stt):
                     stt = list(stt)
                     col = jnp.maximum(widx, f(0.0)).astype(jnp.int32)
-                    n_bands = 4 if (has_noise or has_image) else 3
-                    fl = _attr_gather(attr_ref, col, n_bands)
+                    fl = _attr_gather(attr_ref, col,
+                                      -(-len(attr_fields) // 8))
+
+                    def flx(a):
+                        return fl[pos[a]]
+
                     # sphere winner normal: (p − c(time)) / r (reference
                     # src/sphere.rs:55-57); invr=0 zeroes it for boxes
-                    fracw = (time - fl[A_T0]) * fl[A_INVDT]
-                    cxw = fl[A_G0] + fracw * fl[A_G3]
-                    cyw = fl[A_G0 + 1] + fracw * fl[A_G3 + 1]
-                    czw = fl[A_G0 + 2] + fracw * fl[A_G3 + 2]
-                    wnx = (ox + t_thin * dx - cxw) * fl[A_INVR]
-                    wny = (oy + t_thin * dy - cyw) * fl[A_INVR]
-                    wnz = (oz + t_thin * dz - czw) * fl[A_INVR]
+                    if A_T0 in pos:
+                        fracw = (time - flx(A_T0)) * flx(A_INVDT)
+                        cxw = flx(A_G0) + fracw * flx(A_G3)
+                        cyw = flx(A_G0 + 1) + fracw * flx(A_G3 + 1)
+                        czw = flx(A_G0 + 2) + fracw * flx(A_G3 + 2)
+                    else:  # every dyn sphere is static
+                        cxw, cyw, czw = (flx(A_G0), flx(A_G0 + 1),
+                                         flx(A_G0 + 2))
+                    wnx = (ox + t_thin * dx - cxw) * flx(A_INVR)
+                    wny = (oy + t_thin * dy - cyw) * flx(A_INVR)
+                    wnz = (oz + t_thin * dz - czw) * flx(A_INVR)
                     if n_box:
                         # box winner face: recompute the chosen side's
                         # per-axis slab candidates and match t (ties broken
                         # x → y → z; measure-zero). Face normal = +axis like
                         # the reference's rects (src/rect.rs:62-68)
-                        t0x = (fl[A_G0] - ox) * inv_dx
-                        t1x = (fl[A_G3] - ox) * inv_dx
-                        t0y = (fl[A_G0 + 1] - oy) * inv_dy
-                        t1y = (fl[A_G3 + 1] - oy) * inv_dy
-                        t0z = (fl[A_G0 + 2] - oz) * inv_dz
-                        t1z = (fl[A_G3 + 2] - oz) * inv_dz
+                        t0x = (flx(A_G0) - ox) * inv_dx
+                        t1x = (flx(A_G3) - ox) * inv_dx
+                        t0y = (flx(A_G0 + 1) - oy) * inv_dy
+                        t1y = (flx(A_G3 + 1) - oy) * inv_dy
+                        t0z = (flx(A_G0 + 2) - oz) * inv_dz
+                        t1z = (flx(A_G3 + 2) - oz) * inv_dz
                         tmn = jnp.maximum(jnp.maximum(
                             jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
                             jnp.minimum(t0z, t1z))
@@ -1655,7 +1710,7 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                         is_x = t_thin == tx_c
                         is_y = (t_thin == ty_c) & (t_thin != tx_c)
                         one, zero = f(1.0), f(0.0)
-                        is_box = fl[A_TYPE] == f(2.0)
+                        is_box = flx(A_TYPE) == f(2.0)
                         wnx = jnp.where(is_box,
                                         jnp.where(is_x, one, zero), wnx)
                         wny = jnp.where(is_box,
@@ -1664,7 +1719,7 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                             is_box,
                             jnp.where(is_x, zero,
                                       jnp.where(is_y, zero, one)), wnz)
-                    flipw = fl[A_FLIP]
+                    flipw = flx(A_FLIP)
 
                     def mg(new, old):
                         return jnp.where(wd, new, old)
@@ -1672,16 +1727,21 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                     stt[1] = mg(wnx * flipw, stt[1])
                     stt[2] = mg(wny * flipw, stt[2])
                     stt[3] = mg(wnz * flipw, stt[3])
-                    stt[4] = mg(fl[A_MAT], stt[4])
+                    stt[4] = mg(flx(A_MAT), stt[4])
                     if has_metal or has_diel:
-                        stt[5] = mg(fl[A_PARAM], stt[5])
+                        # zero when no dyn/box prim is metal/dielectric
+                        stt[5] = mg(flx(A_PARAM) if A_PARAM in pos
+                                    else f(0.0), stt[5])
                     for k in range(3):
-                        stt[6 + k] = mg(fl[A_EMIT + k], stt[6 + k])
-                        stt[9 + k] = mg(fl[A_ALB_E + k], stt[9 + k])
+                        stt[6 + k] = mg(flx(A_EMIT + k), stt[6 + k])
+                        stt[9 + k] = mg(flx(A_ALB_E + k), stt[9 + k])
                     # extra fields mirror the attr layout at offset −17
-                    # (R_ALB_ODD..R_IMG_W ↔ A_ALB_O..A_IMG_W)
+                    # (R_ALB_ODD..R_IMG_W ↔ A_ALB_O..A_IMG_W); a feature
+                    # the dyn table lacks still CLEARS for dyn winners
+                    # (the lane may carry an unrolled prim's value)
                     for i, fid in enumerate(extra_fields):
-                        stt[12 + i] = mg(fl[fid - 17], stt[12 + i])
+                        val = flx(fid - 17) if fid - 17 in pos else f(0.0)
+                        stt[12 + i] = mg(val, stt[12 + i])
                     return tuple(stt)
 
                 if RESOLVE_GATE:
@@ -2144,19 +2204,19 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                           "n_sclus", "n_bclus", "med_kinds", "flags",
                           "background", "nx", "ny", "grid", "interpret",
                           "rr_depth", "perlin_seed", "block", "stats",
-                          "int_kinds"))
+                          "int_kinds", "attr_fields"))
 def _trace_call(rec, dyn_rec, box_rec, sclus, bclus, med_rec, cam_rec,
                 params, img, attr, kinds, rect_groups, n_dyn, n_box,
                 n_sclus, n_bclus, med_kinds, flags, background, nx, ny,
                 grid, interpret=False, rr_depth=None, perlin_seed=0,
                 block=None, stats=False, pix=None, int_rec=None,
-                int_kinds=()):
+                int_kinds=(), attr_fields=()):
     kernel = _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus,
                           n_bclus, med_kinds, flags, background, nx, ny,
                           rr_depth=rr_depth, perlin_seed=perlin_seed,
                           block=block, stats=stats,
                           explicit_pix=pix is not None,
-                          int_kinds=int_kinds)
+                          int_kinds=int_kinds, attr_fields=attr_fields)
     n_rows = 7 if stats else 3
     if int_rec is None:
         int_rec = jnp.zeros((1, REC), jnp.float32)
@@ -2234,7 +2294,7 @@ def _cached_scene_record(scene):
 def _cost_permutation(dev_args0, dev, cam_np, max_depth, kinds,
                       rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                       med_kinds, flags, scene, nx, ny, block, rr_depth,
-                      int_kinds):
+                      int_kinds, attr_fields):
     """Measure per-pixel path cost with a 2-spp stats probe and return a
     pixel permutation for cost-balanced tiles.
 
@@ -2260,7 +2320,7 @@ def _cost_permutation(dev_args0, dev, cam_np, max_depth, kinds,
         dev_args0[7], kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
         med_kinds, flags, scene.background, nx, ny, grid_b, False,
         rr_depth, scene.perlin_seed, block, True, None, dev_args0[8],
-        int_kinds))
+        int_kinds, attr_fields))
     busy = out[6].reshape(gy, gx, byh, bxw).transpose(0, 2, 1, 3)
     cost = busy.reshape(gy * byh, gx * bxw)[:ny, :nx]
     n_pix = nx * ny
@@ -2312,8 +2372,8 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
     with timers.phase("record_build"):
         (rec_np, kinds, rect_groups, dyn_np, n_dyn, box_np, n_box, sclus_np,
          n_sclus, bclus_np, n_bclus, med_np, med_kinds, flags, img_np,
-         attr_np, int_np, int_kinds), dev_cache = _cached_scene_record(
-             scene)
+         attr_np, attr_fields, int_np,
+         int_kinds), dev_cache = _cached_scene_record(scene)
     cam_np, _ = _identity_cached(_CAM_CACHE, cam, build_camera_record)
     n_pix = nx * ny
     if n_dyn or n_box:
@@ -2364,7 +2424,7 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
                     dev_args[0], devices[0], cam_np, max_depth,
                     kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                     med_kinds, flags, scene, nx, ny, block, rr_depth,
-                    int_kinds)
+                    int_kinds, attr_fields)
                 grid = -(-n_pix // TILE)
                 n_dev = min(n_dev, grid)
                 bounds = tile_bounds(grid, n_dev)
@@ -2390,7 +2450,8 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
                          cam_np, seed, max_depth, kinds, rect_groups,
                          n_dyn, n_box, n_sclus, n_bclus, med_kinds, flags,
                          scene, nx, ny, n_pix, interpret, rr_depth, timers,
-                         progress, block, perm, pix_dev, int_kinds)
+                         progress, block, perm, pix_dev, int_kinds,
+                         attr_fields)
     except Exception:
         # a TPU worker crash/restart invalidates resident buffers; drop
         # every cached device table so the caller's retry re-uploads to
@@ -2408,7 +2469,7 @@ def _dispatch_chunks(sums, spp, spp_chunk, devices, bounds, dev_args,
                      n_box, n_sclus, n_bclus, med_kinds, flags, scene,
                      nx, ny, n_pix, interpret, rr_depth, timers,
                      progress=None, block=None, perm=None, pix_dev=None,
-                     int_kinds=()):
+                     int_kinds=(), attr_fields=()):
     done = 0
     chunk_id = 0
     while done < spp:
@@ -2437,7 +2498,7 @@ def _dispatch_chunks(sums, spp, spp_chunk, devices, bounds, dev_args,
                     nx, ny, g1 - g0, interpret, rr_depth,
                     scene.perlin_seed, None if perm is not None else block,
                     False, pix_dev[di] if perm is not None else None,
-                    dev_args[di][8], int_kinds))
+                    dev_args[di][8], int_kinds, attr_fields))
             # all device dispatches are in flight; gather in order
             full = np.concatenate([np.asarray(o) for o in outs], axis=1)
         if perm is not None:

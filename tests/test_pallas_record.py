@@ -19,7 +19,7 @@ REC_FIELDS = dict(mat=pt.R_MAT, emit=pt.R_EMIT, alb=pt.R_ALB_EVEN)
 def test_cornell_record():
     scene = builders.cornell_box()
     (rec, kinds, groups, dyn, n_dyn, box, n_box, sclus, n_sclus, bclus,
-     n_bclus, med, med_kinds, flags, img, attr, int_rec,
+     n_bclus, med, med_kinds, flags, img, attr, attr_fields, int_rec,
      int_kinds) = pt.build_scene_record(scene)
     assert kinds == ("rect",) * 18
     # 18 rects share 9 world frames (axis walls + two rotated boxes)
@@ -38,7 +38,7 @@ def test_cornell_record():
 def test_random_spheres_partition():
     scene = builders.random_spheres()
     (rec, kinds, groups, dyn, n_dyn, box, n_box, sclus, n_sclus, bclus,
-     n_bclus, med, med_kinds, flags, img, attr, int_rec,
+     n_bclus, med, med_kinds, flags, img, attr, attr_fields, int_rec,
      int_kinds) = pt.build_scene_record(scene)
     # the ground sphere (r=1000) and the three unit heroes unroll
     # (r ≥ 4× the 0.2 population median); the small spheres go dynamic
@@ -58,7 +58,7 @@ def test_random_spheres_partition():
 def test_smoke_media_records():
     scene = builders.cornell_smoke()
     (rec, kinds, groups, dyn, n_dyn, box, n_box, sclus, n_sclus, bclus,
-     n_bclus, med, med_kinds, flags, img, attr, int_rec,
+     n_bclus, med, med_kinds, flags, img, attr, attr_fields, int_rec,
      int_kinds) = pt.build_scene_record(scene)
     # neither smoke box is walk-dense (mfp 100 ≳ extent/4)
     assert med_kinds == (("mbox", False), ("mbox", False))
@@ -88,7 +88,7 @@ def test_final_scene_partition():
     light rect stays unrolled."""
     scene = builders.final_scene()
     (rec, kinds, groups, dyn, n_dyn, box, n_box, sclus, n_sclus, bclus,
-     n_bclus, med, med_kinds, flags, img, attr, int_rec,
+     n_bclus, med, med_kinds, flags, img, attr, attr_fields, int_rec,
      int_kinds) = pt.build_scene_record(scene)
     # the ceiling light, the one moving sphere (movers prefer the
     # unrolled loop so the thin dynamic loop can drop the center lerp),
@@ -101,6 +101,14 @@ def test_final_scene_partition():
     # AND sealed by the coincident glass hero; the global mist is not
     assert med_kinds == (("msphere", True), ("msphere", False))
     assert flags == (False, True, True, True, True, False)
+    # compact attribute table: the dyn/box prims (white spheres + green
+    # ground boxes, all lambertian) carry no moving centers, metal/diel
+    # params, checker, noise, or image fields, so exactly 16 fields
+    # survive (TYPE, G0/G3, INVR/FLIP/MAT, EMIT, ALB_E) → 2 bands
+    # instead of 4; the gather is the thin path's hot spot
+    assert len(attr_fields) == 16 and pt.A_NOISE not in attr_fields
+    assert pt.A_T0 not in attr_fields and pt.A_PARAM not in attr_fields
+    assert attr.shape[0] == 16
     # the walk's interior set: the sealing glass hero + the ground
     # boxes that poke into the medium's AABB — all near (360, 150, 145)
     assert "sphere" in int_kinds and "box" in int_kinds
@@ -154,7 +162,7 @@ def test_earth_record_and_atlas():
     round-trip exactly to the XLA tier's f32 texels."""
     scene = builders.earth()
     (rec, kinds, groups, dyn, n_dyn, box, n_box, sclus, n_sclus, bclus,
-     n_bclus, med, med_kinds, flags, img, attr, int_rec,
+     n_bclus, med, med_kinds, flags, img, attr, attr_fields, int_rec,
      int_kinds) = pt.build_scene_record(scene)
     assert flags[4]  # has_image
     assert rec[0, pt.R_IMG] == 1.0
@@ -175,7 +183,7 @@ def test_earth_record_and_atlas():
 def test_noise_scene_record():
     scene = builders.two_perlin_spheres()
     (rec, kinds, groups, dyn, n_dyn, box, n_box, sclus, n_sclus, bclus,
-     n_bclus, med, med_kinds, flags, img, attr, int_rec,
+     n_bclus, med, med_kinds, flags, img, attr, attr_fields, int_rec,
      int_kinds) = pt.build_scene_record(scene)
     assert flags == (False, False, False, True, False, False)
     np.testing.assert_allclose(rec[:, pt.R_NOISE], 1.0)

@@ -30,7 +30,7 @@ KERNEL_PRESETS = ["two_spheres", "cornell_box", "cornell_smoke",
 
 def _trace(scene, nx, ny, grid, rr_depth=None):
     (rec, kinds, groups, dyn, n_dyn, box, n_box, sclus, n_sclus, bclus,
-     n_bclus, med, med_kinds, flags, img, attr, int_rec,
+     n_bclus, med, med_kinds, flags, img, attr, attr_fields, int_rec,
      int_kinds) = pt.build_scene_record(scene)
     cam = np.zeros(pt.CAMREC, np.float32)
     params = jnp.zeros(4, jnp.int32)
@@ -43,7 +43,7 @@ def _trace(scene, nx, ny, grid, rr_depth=None):
             # dynamic-loop scenes trace the 2D pixel-block mapping, the
             # same choice render_pallas makes
             (128, pt.TILE // 128) if (n_dyn or n_box) else None,
-            False, None, ir, int_kinds),
+            False, None, ir, int_kinds, attr_fields),
         jnp.asarray(rec), jnp.asarray(dyn), jnp.asarray(box),
         jnp.asarray(sclus), jnp.asarray(bclus), jnp.asarray(med),
         jnp.asarray(cam), params, jnp.asarray(img), jnp.asarray(attr),
@@ -60,6 +60,33 @@ def test_kernel_traces(name):
 def test_kernel_traces_with_rr_and_multitile():
     # russian-roulette branch + >1 tile grid + non-multiple-of-TILE image
     _trace(builders.cornell_box(), nx=200, ny=200, grid=5, rr_depth=6)
+
+
+def test_kernel_traces_textured_dynamic_prims():
+    """No preset puts checker/noise/image textures or movers in the
+    DYNAMIC loop (their textured prims are unrolled heroes), so the
+    compact attribute table's full-field path — A_T0/A_INVDT lerp,
+    A_PARAM, and every extra band — only traces through this synthetic
+    scene."""
+    from raytracing_rust_tpu.models.scene import SceneBuilder, BG_SKY
+    b = SceneBuilder(background=BG_SKY)
+    rng = np.random.default_rng(3)
+    checker = b.lambertian(b.checker(b.solid(0.2, 0.3, 0.1),
+                                     b.solid(0.9, 0.9, 0.9)))
+    noise = b.lambertian(b.noise(2.0))
+    # the in-kernel atlas requires 8-bit-exact texels
+    texels = np.rint(rng.uniform(26, 230, (8, 16, 3))).astype(np.float32)
+    img = b.lambertian(b.image((texels / 255.0).astype(np.float32)))
+    metal = b.metal(b.solid(0.8, 0.7, 0.6), 0.2)
+    for i in range(120):   # > UNROLL_BUDGET, uniform radii (no heroes)
+        mat = (checker, noise, img, metal)[i % 4]
+        c = rng.uniform(-10, 10, 3)
+        if i % 7 == 0:
+            b.moving_sphere(c, c + np.array([0.2, 0, 0]), 0.0, 1.0,
+                            0.5, mat)
+        else:
+            b.sphere(tuple(c), 0.5, mat)
+    _trace(b.build(), nx=256, ny=128, grid=4)
 
 
 def test_render_pallas_host_path_cpu_interpret():
@@ -79,7 +106,8 @@ def test_render_pallas_host_path_cpu_interpret():
                    med_kinds, flags, background, nx, ny, grid,
                    interpret=False, rr_depth=None, perlin_seed=0,
                    block=None, stats=False, pix=None,
-                   int_rec=None, int_kinds=()):
+                   int_rec=None, int_kinds=(),
+                   attr_fields=()):
         spp = int(params[1])
         return jnp.full((3, grid * pt.SUB, pt.LANES), 0.25 * spp,
                         jnp.float32)
@@ -112,7 +140,8 @@ def test_block_mapping_assembly_bijection():
                    med_kinds, flags, background, nx_, ny_, grid,
                    interpret=False, rr_depth=None, perlin_seed=0,
                    block=None, stats=False, pix=None,
-                   int_rec=None, int_kinds=()):
+                   int_rec=None, int_kinds=(),
+                   attr_fields=()):
         assert block is not None
         bxw, byh = block
         assert bxw * byh == pt.TILE
@@ -158,7 +187,8 @@ def test_balanced_scheduling_assembly_bijection():
                    med_kinds, flags, background, nx_, ny_, grid,
                    interpret=False, rr_depth=None, perlin_seed=0,
                    block=None, stats=False, pix=None,
-                   int_rec=None, int_kinds=()):
+                   int_rec=None, int_kinds=(),
+                   attr_fields=()):
         if stats:
             out = np.zeros((7, grid * pt.SUB, pt.LANES), np.float32)
             # arbitrary deterministic cost pattern → some permutation

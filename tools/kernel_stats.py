@@ -35,7 +35,7 @@ def run(name: str, nx=400, ny=400, spp=32, max_depth=50,
     scene = preset.build()
     cam = preset.camera()
     (rec, kinds, groups, dyn, n_dyn, box, n_box, sclus, n_sclus, bclus,
-     n_bclus, med, med_kinds, flags, img, attr, int_rec,
+     n_bclus, med, med_kinds, flags, img, attr, attr_fields, int_rec,
      int_kinds) = pt.build_scene_record(scene)
     cam_np = pt.build_camera_record(cam)
     block = None
@@ -57,7 +57,8 @@ def run(name: str, nx=400, ny=400, spp=32, max_depth=50,
         perm = pt._cost_permutation(dev_args0, dev, cam_np, max_depth,
                                     kinds, groups, n_dyn, n_box, n_sclus,
                                     n_bclus, med_kinds, flags, scene,
-                                    nx, ny, block, None, int_kinds)
+                                    nx, ny, block, None, int_kinds,
+                                    attr_fields)
         grid = -(-nx * ny // pt.TILE)
         pix_full = np.full(grid * pt.TILE, nx * ny, np.int32)
         pix_full[:nx * ny] = perm
@@ -69,7 +70,7 @@ def run(name: str, nx=400, ny=400, spp=32, max_depth=50,
         *args, kinds, groups, n_dyn, n_box, n_sclus, n_bclus, med_kinds,
         flags, scene.background, nx, ny, grid, False, None,
         scene.perlin_seed, block, True, pix, jax.device_put(int_rec, dev),
-        int_kinds))
+        int_kinds, attr_fields))
     steps = out[3]          # per-lane wavefront steps (same within a tile)
     mem_s, mem_b = out[4], out[5]
     busy = out[6]           # per-lane alive steps
