@@ -181,6 +181,14 @@ RESOLVE_GATE = os.environ.get("RT_RESOLVE_GATE", "1") == "1"
 # cost-balanced pixel scheduling default (see render_pallas balance=)
 BALANCE = os.environ.get("RT_BALANCE", "1") == "1"
 
+# RT_ABLATE=members,resolve,media,image,noise,walk — compile kernels
+# with whole sections removed, for per-step cost attribution at
+# max_depth=1 (where every sample is exactly one wavefront step, so
+# removing a section cannot change path lengths). Ablated kernels
+# render WRONG images; timing diagnostics only.
+ABLATE = frozenset(filter(None, os.environ.get("RT_ABLATE",
+                                               "").split(",")))
+
 
 class UnsupportedScene(ValueError):
     """Scene uses features outside the megakernel's coverage."""
@@ -1089,6 +1097,17 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
     """
     (has_checker, has_metal, has_diel, has_noise, has_image,
      dyn_moving) = flags
+    if ABLATE:  # timing diagnostics only (see ABLATE above)
+        if "noise" in ABLATE:
+            has_noise = False
+        if "image" in ABLATE:
+            has_image = False
+        if "media" in ABLATE:
+            med_kinds = ()
+        if "walk" in ABLATE:
+            int_kinds = ()
+        if "members" in ABLATE:
+            n_dyn = n_box = 0
     f = jnp.float32
 
     # optional per-prim record fields threaded through the hit-selection
@@ -1518,15 +1537,23 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
 
                             words = _packed_need(leaf_cross, n_leaf,
                                                  (SUB, LANES))
-                            for k in range(n_leaf):
-                                b = _word_bit(words, k)
-                                start = clus_ref[k, 6].astype(jnp.int32)
-                                cnt = clus_ref[k, 7].astype(jnp.int32)
-                                st2 = jax.lax.fori_loop(
+
+                            # ONE dynamic loop over leaves (bit extract
+                            # handles a traced index): statically
+                            # unrolling a fori per leaf costs a Mosaic
+                            # loop boundary each — measured ~60% of a
+                            # coherent step's time on final_scene
+                            def leaf_body(c, st3):
+                                b = _word_bit(words, c)
+                                start = clus_ref[c, 6].astype(jnp.int32)
+                                cnt = clus_ref[c, 7].astype(jnp.int32)
+                                return jax.lax.fori_loop(
                                     start,
                                     start + jnp.where(b > 0, cnt, 0),
-                                    member_body, st2)
-                            return st2
+                                    member_body, tuple(st3))
+
+                            return jax.lax.fori_loop(0, n_leaf,
+                                                     leaf_body, st2)
 
                         return jax.lax.fori_loop(
                             0, jnp.any(root_cross).astype(jnp.int32),
@@ -1744,7 +1771,9 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                         stt[12 + i] = mg(val, stt[12 + i])
                     return tuple(stt)
 
-                if RESOLVE_GATE:
+                if "resolve" in ABLATE:  # timing diagnostics only
+                    pass
+                elif RESOLVE_GATE:
                     st = list(jax.lax.fori_loop(
                         0, jnp.any(wd).astype(jnp.int32), resolve,
                         tuple(st)))
@@ -2016,7 +2045,7 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
             scnt = scnt + died
             bcnt = bcnt + cont
 
-            if int_kinds:
+            if int_kinds and med_kinds:
                 # ---- dense-medium walk (subsurface random walks,
                 # reference pattern tests/test.rs:469-483): a lane whose
                 # path just scattered inside a sealed dense medium
