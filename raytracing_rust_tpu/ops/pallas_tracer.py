@@ -2045,7 +2045,9 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
             scnt = scnt + died
             bcnt = bcnt + cont
 
-            if int_kinds and med_kinds:
+            # (disabled under Russian roulette: the walk's collapsed
+            # bounces would bypass the per-bounce survival lottery)
+            if int_kinds and med_kinds and rr_depth is None:
                 # ---- dense-medium walk (subsurface random walks,
                 # reference pattern tests/test.rs:469-483): a lane whose
                 # path just scattered inside a sealed dense medium
@@ -2341,8 +2343,10 @@ def _cost_permutation(dev_args0, dev, cam_np, max_depth, kinds,
     # fixed probe seed: the permutation is cached across renders of the
     # same (scene, camera, size), so it must not depend on the caller's
     # seed or the first caller would steer every later render's layout
+    probe_spp = int(os.environ.get("RT_PROBE_SPP", "4"))
     params, cam_dev = jax.device_put(
-        (np.asarray([0x5BD1, 4, max_depth, 0], np.int32), cam_np), dev)
+        (np.asarray([0x5BD1, probe_spp, max_depth, 0], np.int32),
+         cam_np), dev)
     out = np.asarray(_trace_call(
         dev_args0[0], dev_args0[1], dev_args0[2], dev_args0[3],
         dev_args0[4], dev_args0[5], cam_dev, params, dev_args0[6],

@@ -50,6 +50,10 @@ CONFIGS = {
     "earth": ("earth", 96, 54, 64, 12, 0.02, {}),
     # small config: the XLA side of this pair is ~0.5M rays/s on 3.4k prims
     "final_scene": ("final_scene", 48, 48, 48, 10, 0.05, {}),
+    # russian roulette disables the dense-medium walk (it would bypass
+    # the survival lottery) — this covers that compile variant
+    "final_scene_rr": ("final_scene", 48, 48, 48, 10, 0.07,
+                       {"rr_depth": 5}),
 }
 
 # XLA-only scenes: render on TPU, check the mean against the CPU suite's
