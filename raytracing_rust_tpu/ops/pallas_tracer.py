@@ -154,8 +154,8 @@ for _rf, _af in ((R_ALB_ODD, A_ALB_O), (R_CHECKER, A_CHECKER),
 
 
 UNROLL_BUDGET = 96  # prims unrolled at trace time; spheres beyond go dynamic
-SPH_LEAF = 16       # dynamic-sphere cluster leaf size
-BOX_LEAF = 8        # box cluster leaf size
+SPH_LEAF = int(os.environ.get("RT_SPH_LEAF", "16"))  # sphere leaf size
+BOX_LEAF = int(os.environ.get("RT_BOX_LEAF", "8"))   # box leaf size
 
 # Cull strategy for the dynamic member loops (measurable on hardware with
 # RT_CULL=two|sup|leaf|flat): every guard's any-reduce collapses an
