@@ -126,6 +126,54 @@ def main() -> int:
               f"{'OK' if ok else 'FAIL'}")
         failures += 0 if ok else 1
 
+    # cost-balanced scheduling scatter: balanced and unbalanced renders
+    # of the same scene must agree PER-PIXEL within Monte-Carlo noise —
+    # a permutation/scatter bug would show as structural differences far
+    # above it (means alone would dilute localized corruption)
+    preset = PRESETS["final_scene"]
+    scene = preset.build()
+    cam = preset.camera()
+    spp_b = 64 if quick else 256
+    a = _with_retry(lambda: render_pallas(scene, cam, 64, 64, spp_b,
+                                          seed=5, max_depth=10,
+                                          balance=True))
+    b = _with_retry(lambda: render_pallas(scene, cam, 64, 64, spp_b,
+                                          seed=6, max_depth=10,
+                                          balance=False))
+    base = _with_retry(lambda: render_pallas(scene, cam, 64, 64, spp_b,
+                                             seed=7, max_depth=10,
+                                             balance=False))
+    # self-calibrating: two unbalanced renders with different seeds set
+    # the per-pixel MC noise yardstick (measured ~0.12 at 64 spp); a
+    # scatter/permutation bug would blow far past it
+    mad = float(np.abs(a - b).mean())
+    mad0 = float(np.abs(base - b).mean())
+    ok = np.isfinite(a).all() and mad < 1.3 * mad0
+    print(f"balance scatter (final_scene): mean|Δpx|={mad:.4f} "
+          f"noise baseline={mad0:.4f} {'OK' if ok else 'FAIL'}")
+    failures += 0 if ok else 1
+
+    # dense-medium walk region: compare the two tiers on a window
+    # centered on the subsurface sphere (the walk's pixels), where the
+    # whole-image mean would dilute a walk-specific bias. Compare in
+    # the LINEAR domain (gamma⁻¹): the √-gamma mean is Jensen-biased by
+    # per-pixel noise, so unequal-variance renders of a dark noisy
+    # window disagree even when their estimators match exactly.
+    a_w = _with_retry(lambda: render_pallas(scene, cam, 96, 96, spp_b,
+                                            seed=2, max_depth=24))
+    b_w = _with_retry(lambda: render(scene, cam, 96, 96, spp_b, seed=3,
+                                     max_depth=24))
+    # the blue sphere sits left of center in the lower half of the
+    # frame (blue-dominance bbox measured at 96×96)
+    win = (slice(58, 82), slice(16, 40))
+    ma = float((a_w[win] ** 2).mean())
+    mb = float((b_w[win] ** 2).mean())
+    rel = abs(ma - mb) / max(mb, 1e-6)
+    ok = rel < 0.15
+    print(f"walk window (subsurface, linear): pallas={ma:.4f} "
+          f"xla={mb:.4f} rel={rel:.3f} {'OK' if ok else 'FAIL'}")
+    failures += 0 if ok else 1
+
     # multi-device dispatch path on one chip: passing the same device
     # twice exercises the tile split, per-device seeding, the in-flight
     # multi-dispatch loop, and the ordered gather (the real multi-chip
