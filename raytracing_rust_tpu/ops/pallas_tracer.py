@@ -27,13 +27,22 @@ dielectric / diffuse-light materials, solid + checker + Perlin-marble
 textures, black / sky backgrounds — i.e. the reference scenes cornell_box,
 two_spheres, random_spheres (the BASELINE.json headline config included),
 two_perlin_spheres, simple_light. Constant-density media (ConstantMedium,
-analytic sphere/box boundaries with hoisted transforms) run in-kernel too.
+analytic sphere/box boundaries with hoisted transforms) run in-kernel too,
+with a dense-medium walk fast path for sealed subsurface volumes.
 Noise textures are evaluated fully in-kernel: the hash-gradient Perlin
 (ops/perlin.py — the framework's table-free redesign of reference
 src/perlin.rs) is pure per-lane VPU arithmetic, so the kernel shares
-`_gradient` with the XLA tier and the two tiers agree to f32 ulps. Scenes
-with image textures fall back to the XLA tier (`render(engine='xla')`),
-which covers everything.
+`_gradient` with the XLA tier and the two tiers agree to f32 ulps. Image
+textures fetch in-kernel from a packed u8 atlas (earth included), so every
+reference scene runs here; the XLA tier (`render(engine='xla')`) remains
+the general fallback and the differentiable path.
+
+Dynamic scenes (beyond the ≤96-prim unroll) get three scheduling/culling
+layers, each chosen by measurement (docs/DESIGN.md): wide-guard bitmask
+culls (31 any-lane gates per OR-tree reduce), cost-balanced pixel
+scheduling (a smoothed probe sorts pixels into cost-alike tiles), and
+the dense-medium walk. final_scene runs 6.6M primary rays/s,
+random_spheres 44M, the cornell headline ~400M.
 
 Semantics match the reference math exactly like the XLA tier does
 (src/sphere.rs:37-77, src/rect.rs:39-69, src/material.rs:35-131,
@@ -1636,9 +1645,10 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                     s_mem_b = out1[2]
 
             if n_dyn:
-                # dynamic spheres (random_spheres' 441, final_scene's
-                # 1006), cluster-culled; the moving-center form covers
-                # static spheres (dc=0, inv_dt=0 ⇒ frac·dc = 0)
+                # dynamic spheres (random_spheres' 397, final_scene's
+                # 1000 — heroes are unrolled), wide-culled; the
+                # moving-center form covers static spheres (dc=0,
+                # inv_dt=0 ⇒ frac·dc = 0)
                 def dyn_thin(p, st2):
                     t_b, wi = st2[:2]
 
