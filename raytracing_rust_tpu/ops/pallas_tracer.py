@@ -2070,7 +2070,14 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                 # no-scatter conclusion is handed to the next main step
                 # via skip_med (the flight is memoryless, but re-rolling
                 # a segment already ruled out would bias density up). --
-                walking = (evt_dense > f(0.5)) & (cont > f(0.0))
+                # a lane at the depth cap must NOT walk: its next hit
+                # only contributes emission, and the main step must roll
+                # that segment's medium-vs-surface race exactly once
+                # (reference src/color.rs:9 — the 50th scatter is the
+                # last; the walk's wk update keeps the invariant after
+                # entry)
+                walking = ((evt_dense > f(0.5)) & (cont > f(0.0))
+                           & (bcnt < depth_v))
 
                 def w_cond(ws):
                     return jnp.any(ws[10] > f(0.0))
