@@ -37,12 +37,15 @@ textures fetch in-kernel from a packed u8 atlas (earth included), so every
 reference scene runs here; the XLA tier (`render(engine='xla')`) remains
 the general fallback and the differentiable path.
 
-Dynamic scenes (beyond the ≤96-prim unroll) get three scheduling/culling
+Dynamic scenes (beyond the ≤96-prim unroll) get four scheduling/culling
 layers, each chosen by measurement (docs/DESIGN.md): wide-guard bitmask
 culls (31 any-lane gates per OR-tree reduce), cost-balanced pixel
-scheduling (a smoothed probe sorts pixels into cost-alike tiles), and
-the dense-medium walk. final_scene runs 6.6M primary rays/s,
-random_spheres 44M, the cornell headline ~400M.
+scheduling (a smoothed probe sorts pixels into cost-alike tiles),
+multi-pixel lane banks (each lane renders KPIX snake-striped cost ranks
+into mask-selected accumulator banks, averaging per-sample path noise
+the pixel sort cannot reach), and the dense-medium walk. final_scene
+runs 7.3M primary rays/s, random_spheres 46M, the cornell headline
+~400M.
 
 Semantics match the reference math exactly like the XLA tier does
 (src/sphere.rs:37-77, src/rect.rs:39-69, src/material.rs:35-131,
@@ -189,6 +192,15 @@ RESOLVE_GATE = os.environ.get("RT_RESOLVE_GATE", "1") == "1"
 
 # cost-balanced pixel scheduling default (see render_pallas balance=)
 BALANCE = os.environ.get("RT_BALANCE", "1") == "1"
+
+# pixels per lane under balanced scheduling (RT_KPIX): a tile's wall time
+# is max over lanes of that lane's total path work, so giving each lane K
+# pixels drawn from K different cost quartiles (snake-striped ranks)
+# averages both the per-pixel cost differences and the per-sample path
+# noise over K·spp samples — the drain tail shrinks ~√K. Each lane keeps
+# K radiance accumulators (bank = scnt // spp, arithmetic masks; no
+# per-lane scatter) and the output carries K·SUB rows per tile.
+KPIX = int(os.environ.get("RT_KPIX", "4"))
 
 # RT_ABLATE=members,resolve,media,image,noise,walk — compile kernels
 # with whole sections removed, for per-step cost attribution at
@@ -1092,7 +1104,8 @@ def _attr_gather(attr_ref, col, n_bands):
 def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                  med_kinds, flags, background, nx, ny, rr_depth=None,
                  perlin_seed=0, block=None, stats=False,
-                 explicit_pix=False, int_kinds=(), attr_fields=()):
+                 explicit_pix=False, int_kinds=(), attr_fields=(),
+                 kpix=1):
     """Build the megakernel body for a static scene structure.
 
     spp / max_depth arrive as runtime scalars (params_ref = [seed, spp,
@@ -1106,6 +1119,8 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
     """
     (has_checker, has_metal, has_diel, has_noise, has_image,
      dyn_moving) = flags
+    assert kpix == 1 or explicit_pix, \
+        "kpix > 1 requires an explicit per-lane pixel table"
     if ABLATE:  # timing diagnostics only (see ABLATE above)
         if "noise" in ABLATE:
             has_noise = False
@@ -1145,16 +1160,24 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
         # reference tests/test.rs:62-64 row order handled via j flip)
         row = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 1)
+        icol_ks = jflip_ks = None
         if explicit_pix:
             # cost-balanced scheduling: the host hands each lane its
-            # pixel directly (tiles grouped by measured path cost with a
-            # spatial tie-break — see render_pallas). Index n_pix is the
+            # pixel(s) directly (tiles grouped by measured path cost with
+            # a spatial tie-break — see render_pallas). Index n_pix is the
             # dummy slot for padding lanes; render coordinates clamp to
             # the last real pixel, the host scatter drops the slot.
-            pix = pix_ref[...]
-            pixf = jnp.minimum(pix, nx * ny - 1).astype(f)
-            jrow = jnp.floor((pixf + f(0.5)) * f(1.0 / nx))
-            icol = pixf - jrow * f(nx)
+            # With kpix > 1 the table carries kpix (SUB, LANES) banks per
+            # tile; a lane renders bank b once scnt reaches b·spp.
+            pix_all = pix_ref[...]
+            icol_ks, jflip_ks = [], []
+            for k in range(kpix):
+                pixk = pix_all[k * SUB:(k + 1) * SUB]
+                pixf = jnp.minimum(pixk, nx * ny - 1).astype(f)
+                jr = jnp.floor((pixf + f(0.5)) * f(1.0 / nx))
+                icol_ks.append(pixf - jr * f(nx))
+                jflip_ks.append(f(ny - 1) - jr)
+            icol, jrow = icol_ks[0], f(ny - 1) - jflip_ks[0]
         elif block is not None:
             # 2D pixel-block tiles (scenes with dynamic cluster loops):
             # a tile covers a compact BX×BY pixel block instead of a
@@ -1285,21 +1308,39 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
         # radiance and immediately regenerates the next camera ray. Every
         # iteration runs at ~full occupancy until the whole tile's spp
         # budget drains; only the final tail is divergent.
+        n_extra = (1 + 3 * (kpix - 1)) if kpix > 1 else 0
+
         def step(carry):
             (ox, oy, oz, dx, dy, dz, time, thr_r, thr_g, thr_b,
              rad_r, rad_g, rad_b, alive, bcnt, scnt,
              acc_r, acc_g, acc_b, skip_med) = carry[:20]
+            if kpix > 1:
+                bank = carry[20]
+                accs = [[acc_r, acc_g, acc_b]]
+                for k in range(1, kpix):
+                    accs.append(list(carry[21 + 3 * (k - 1):
+                                           21 + 3 * k]))
             if stats:
-                s_steps, s_mem_s, s_mem_b, s_busy = carry[20:]
+                s_steps, s_mem_s, s_mem_b, s_busy = carry[20 + n_extra:]
                 s_steps = s_steps + f(1.0)
 
             # -- regenerate dead lanes that still owe samples
             # (reference src/camera.rs:53-67 + jitter tests/test.rs:
             # 66-68) --
-            regen = (alive == f(0.0)) & (scnt < spp_v)
+            regen = (alive == f(0.0)) & (scnt < spp_v * f(kpix))
+            if kpix > 1:
+                # current pixel of each lane: bank advanced as samples
+                # complete (monotone), so chained wheres resolve it
+                icol_b, jflip_b = icol_ks[0], jflip_ks[0]
+                for k in range(1, kpix):
+                    sw = bank > f(k - 0.5)
+                    icol_b = jnp.where(sw, icol_ks[k], icol_b)
+                    jflip_b = jnp.where(sw, jflip_ks[k], jflip_b)
+            else:
+                icol_b, jflip_b = icol, jflip
             u0, u1 = _uniform((SUB, LANES)), _uniform((SUB, LANES))
-            s = (icol + u0) * f(1.0 / nx)
-            t = (jflip + u1) * f(1.0 / ny)
+            s = (icol_b + u0) * f(1.0 / nx)
+            t = (jflip_b + u1) * f(1.0 / ny)
             ud0, ud1 = _uniform((SUB, LANES)), _uniform((SUB, LANES))
             rdr = jnp.sqrt(ud0)
             phi = f(2.0 * math.pi) * ud1
@@ -2049,10 +2090,27 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
             dz = jnp.where(live, ndz, dz)
             # -- bank samples whose path just terminated --
             died = alive * (one - cont)
-            acc_r = acc_r + died * rad_r
-            acc_g = acc_g + died * rad_g
-            acc_b = acc_b + died * rad_b
+            if kpix > 1:
+                # route the dead sample to its pixel's accumulator bank
+                # via arithmetic masks (bank is per-lane; a data-dependent
+                # index would be a scatter)
+                for k in range(kpix):
+                    mk = died * (bank < f(k + 0.5)).astype(f) \
+                        * (bank > f(k - 0.5)).astype(f)
+                    accs[k][0] = accs[k][0] + mk * rad_r
+                    accs[k][1] = accs[k][1] + mk * rad_g
+                    accs[k][2] = accs[k][2] + mk * rad_b
+                acc_r, acc_g, acc_b = accs[0]
+            else:
+                acc_r = acc_r + died * rad_r
+                acc_g = acc_g + died * rad_g
+                acc_b = acc_b + died * rad_b
             scnt = scnt + died
+            if kpix > 1:
+                # advance to the next pixel bank once this one's spp
+                # quota fills (exact f32: integers < 2^24)
+                bank = jnp.where(scnt >= (bank + f(1.0)) * spp_v,
+                                 bank + f(1.0), bank)
             bcnt = bcnt + cont
 
             # (disabled under Russian roulette: the walk's collapsed
@@ -2210,15 +2268,21 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                 (ox, oy, oz, dx, dy, dz, thr_r, thr_g, thr_b,
                  bcnt, _, skip_med) = ws
 
+            extra = ()
+            if kpix > 1:
+                extra = (bank,)
+                for k in range(1, kpix):
+                    extra = extra + tuple(accs[k])
             return (ox, oy, oz, dx, dy, dz, time,
                     thr_r, thr_g, thr_b, rad_r, rad_g, rad_b, cont,
-                    bcnt, scnt, acc_r, acc_g, acc_b, skip_med) \
+                    bcnt, scnt, acc_r, acc_g, acc_b, skip_med) + extra \
                 + ((s_steps, s_mem_s, s_mem_b, s_busy) if stats else ())
 
         def unfinished(carry):
             alive, scnt = carry[13], carry[15]
             return jnp.max(jnp.where(alive > f(0.0), f(1.0),
-                                     (scnt < spp_v).astype(f))) > f(0.0)
+                                     (scnt < spp_v * f(kpix))
+                                     .astype(f))) > f(0.0)
 
         zero = jnp.zeros((SUB, LANES), f)
         one_a = jnp.full((SUB, LANES), f(1.0))
@@ -2230,19 +2294,35 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
         st = (zero, zero, zero, zero, zero, one_a,  # o, d=(0,0,1) dummy
               zero, one_a, one_a, one_a, zero, zero, zero,
               zero, zero, zero, zero, zero, zero, zero_c)
+        if kpix > 1:
+            st = st + (zero_c,) * n_extra
         if stats:
             st = st + (zero_c, zero_c, zero_c, zero_c)
         st = jax.lax.while_loop(unfinished, step, st)
-        acc_r, acc_g, acc_b = st[16], st[17], st[18]
 
-        out_ref[0] = acc_r
-        out_ref[1] = acc_g
-        out_ref[2] = acc_b
+        if kpix > 1:
+            # bank-major rows per tile, matching the host pix layout
+            banks = [list(st[16:19])]
+            for k in range(1, kpix):
+                banks.append(list(st[21 + 3 * (k - 1):21 + 3 * k]))
+            for c in range(3):
+                out_ref[c] = jnp.concatenate([b[c] for b in banks],
+                                             axis=0)
+        else:
+            out_ref[0] = st[16]
+            out_ref[1] = st[17]
+            out_ref[2] = st[18]
         if stats:
-            out_ref[3] = st[20]   # wavefront steps
-            out_ref[4] = st[21]   # sphere member tests
-            out_ref[5] = st[22]   # box member tests
-            out_ref[6] = st[23]   # per-lane busy (alive) steps
+            pad_z = [jnp.zeros((SUB, LANES), f)] * (kpix - 1)
+
+            def srow(a):
+                return jnp.concatenate([a] + pad_z, axis=0) \
+                    if kpix > 1 else a
+
+            out_ref[3] = srow(st[20 + n_extra])   # wavefront steps
+            out_ref[4] = srow(st[21 + n_extra])   # sphere member tests
+            out_ref[5] = srow(st[22 + n_extra])   # box member tests
+            out_ref[6] = srow(st[23 + n_extra])   # per-lane busy steps
 
     return kernel
 
@@ -2252,19 +2332,20 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                           "n_sclus", "n_bclus", "med_kinds", "flags",
                           "background", "nx", "ny", "grid", "interpret",
                           "rr_depth", "perlin_seed", "block", "stats",
-                          "int_kinds", "attr_fields"))
+                          "int_kinds", "attr_fields", "kpix"))
 def _trace_call(rec, dyn_rec, box_rec, sclus, bclus, med_rec, cam_rec,
                 params, img, attr, kinds, rect_groups, n_dyn, n_box,
                 n_sclus, n_bclus, med_kinds, flags, background, nx, ny,
                 grid, interpret=False, rr_depth=None, perlin_seed=0,
                 block=None, stats=False, pix=None, int_rec=None,
-                int_kinds=(), attr_fields=()):
+                int_kinds=(), attr_fields=(), kpix=1):
     kernel = _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus,
                           n_bclus, med_kinds, flags, background, nx, ny,
                           rr_depth=rr_depth, perlin_seed=perlin_seed,
                           block=block, stats=stats,
                           explicit_pix=pix is not None,
-                          int_kinds=int_kinds, attr_fields=attr_fields)
+                          int_kinds=int_kinds, attr_fields=attr_fields,
+                          kpix=kpix)
     n_rows = 7 if stats else 3
     if int_rec is None:
         int_rec = jnp.zeros((1, REC), jnp.float32)
@@ -2276,8 +2357,9 @@ def _trace_call(rec, dyn_rec, box_rec, sclus, bclus, med_rec, cam_rec,
     operands = [rec, dyn_rec, box_rec, sclus, bclus, med_rec, cam_rec,
                 params, img, attr, int_rec]
     if pix is not None:
-        # per-lane pixel table: one (SUB, LANES) block per tile
-        in_specs.append(pl.BlockSpec((SUB, LANES), lambda g: (g, 0),
+        # per-lane pixel table: kpix (SUB, LANES) banks per tile
+        in_specs.append(pl.BlockSpec((kpix * SUB, LANES),
+                                     lambda g: (g, 0),
                                      memory_space=pltpu.VMEM))
         operands.append(pix)
     return pl.pallas_call(
@@ -2285,9 +2367,10 @@ def _trace_call(rec, dyn_rec, box_rec, sclus, bclus, med_rec, cam_rec,
         interpret=interpret,
         grid=(grid,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((n_rows, SUB, LANES), lambda g: (0, g, 0),
+        out_specs=pl.BlockSpec((n_rows, kpix * SUB, LANES),
+                               lambda g: (0, g, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_rows, grid * SUB, LANES),
+        out_shape=jax.ShapeDtypeStruct((n_rows, grid * kpix * SUB, LANES),
                                        jnp.float32),
     )(*operands)
 
@@ -2339,10 +2422,22 @@ def _cached_scene_record(scene):
     return _identity_cached(_SCENE_CACHE, scene, build_scene_record)
 
 
+def _morton(y, x):
+    """Interleave the low 16 bits of y (odd positions) and x (even)."""
+    def spread(v):
+        v = v.astype(np.uint64)
+        v = (v | (v << 8)) & 0x00FF00FF
+        v = (v | (v << 4)) & 0x0F0F0F0F
+        v = (v | (v << 2)) & 0x33333333
+        v = (v | (v << 1)) & 0x55555555
+        return v
+    return (spread(y) << 1) | spread(x)
+
+
 def _cost_permutation(dev_args0, dev, cam_np, max_depth, kinds,
                       rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                       med_kinds, flags, scene, nx, ny, block, rr_depth,
-                      int_kinds, attr_fields):
+                      int_kinds, attr_fields, kpix=1):
     """Measure per-pixel path cost with a 2-spp stats probe and return a
     pixel permutation for cost-balanced tiles.
 
@@ -2385,11 +2480,27 @@ def _cost_permutation(dev_args0, dev, cam_np, max_depth, kinds,
     ii[1:, 1:] = pad.cumsum(0).cumsum(1)
     cost = (ii[k:, k:] - ii[:-k, k:] - ii[k:, :-k]
             + ii[:-k, :-k]).reshape(-1)
+    yy, xx = np.divmod(np.arange(n_pix), nx)
+    if kpix > 1 and os.environ.get("RT_BAL_MODE", "band") == "spatial":
+        # A/B alternative (measured REJECT, kept for hardware re-runs):
+        # spatially-compact equal-count tiles — morton-order chunks of
+        # kpix·TILE pixels, cost-sorted only WITHIN each chunk, hoping
+        # the kpix-bank snake striping equalizes lane totals locally and
+        # the compact tiles restore cluster-guard coherence (band mode
+        # costs final_scene sphere member tests 76% → 85%). Measured on
+        # v5e: final_scene a wash (7.2 vs 7.3M), random_spheres WORSE
+        # (38.5 vs 45.9M) — a morton chunk spans sky + sphere field, and
+        # that within-tile cost spread tails harder than the band tiles'
+        # residual sample noise.
+        order = np.argsort(_morton(yy, xx), kind="stable")
+        chunk = np.empty(n_pix, np.int64)
+        chunk[order] = np.arange(n_pix) // (kpix * TILE)
+        return np.lexsort((np.arange(n_pix), cost, chunk)) \
+            .astype(np.int32)
     # equal-population cost buckets (rank-based), 2D-block tie-break
     rank = np.empty(n_pix, np.int64)
     rank[np.argsort(cost, kind="stable")] = np.arange(n_pix)
     bucket = rank * int(os.environ.get("RT_BUCKETS", "32")) // n_pix
-    yy, xx = np.divmod(np.arange(n_pix), nx)
     blk = (yy // byh) * gx + (xx // bxw)
     return np.lexsort((np.arange(n_pix), blk, bucket)).astype(np.int32)
 
@@ -2464,25 +2575,42 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
         balance = (BALANCE and block is not None and spp >= 8
                    and not interpret)
     perm = None
+    kpix = 1
     pix_dev = [None] * n_dev
     if balance:
-        perm_key = ("perm", id(cam), nx, ny, max_depth, rr_depth, n_dev)
+        # each lane renders kpix pixels snake-striped across the tile's
+        # cost ranks (see KPIX); capped so padding never exceeds one
+        # tile's worth of dummy slots
+        kpix = max(1, min(KPIX, n_pix // TILE))
+        perm_key = ("perm", id(cam), nx, ny, max_depth, rr_depth, n_dev,
+                    kpix)
         cached = dev_cache.get(perm_key)
         if cached is None:
             with timers.phase("balance_probe"):
-                perm = _cost_permutation(
+                order = _cost_permutation(
                     dev_args[0], devices[0], cam_np, max_depth,
                     kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                     med_kinds, flags, scene, nx, ny, block, rr_depth,
-                    int_kinds, attr_fields)
-                grid = -(-n_pix // TILE)
+                    int_kinds, attr_fields, kpix)
+                grid = -(-n_pix // (TILE * kpix))
                 n_dev = min(n_dev, grid)
                 bounds = tile_bounds(grid, n_dev)
-                pix_full = np.full(grid * TILE, n_pix, np.int32)
-                pix_full[:n_pix] = perm
-                pix_full = pix_full.reshape(grid * SUB, LANES)
+                ids = np.full(grid * kpix * TILE, n_pix, np.int32)
+                ids[:n_pix] = order
+                ids = ids.reshape(grid, kpix, TILE)
+                # snake: reverse the within-bank order of odd banks so a
+                # lane's kpix pixels sum to ~the tile mean (straight
+                # striping would hand lane j the j-th cheapest pixel of
+                # EVERY bank — correlated totals, tail preserved)
+                ids[:, 1::2] = ids[:, 1::2, ::-1].copy()
+                # perm doubles as the lane-slot → pixel scatter map; its
+                # flat row-major order must equal the kernel's out rows
+                # (tile, bank, sub, lane)
+                perm = ids.reshape(-1)
+                pix_full = ids.reshape(grid * kpix * SUB, LANES)
+                rows = kpix * SUB
                 pix_dev = [jax.device_put(
-                    pix_full[bounds[di] * SUB:bounds[di + 1] * SUB], d)
+                    pix_full[bounds[di] * rows:bounds[di + 1] * rows], d)
                     for di, d in enumerate(devices[:n_dev])]
             dev_cache[perm_key] = (perm, grid, bounds, pix_dev)
         else:
@@ -2501,7 +2629,7 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
                          n_dyn, n_box, n_sclus, n_bclus, med_kinds, flags,
                          scene, nx, ny, n_pix, interpret, rr_depth, timers,
                          progress, block, perm, pix_dev, int_kinds,
-                         attr_fields)
+                         attr_fields, kpix)
     except Exception:
         # a TPU worker crash/restart invalidates resident buffers; drop
         # every cached device table so the caller's retry re-uploads to
@@ -2519,7 +2647,7 @@ def _dispatch_chunks(sums, spp, spp_chunk, devices, bounds, dev_args,
                      n_box, n_sclus, n_bclus, med_kinds, flags, scene,
                      nx, ny, n_pix, interpret, rr_depth, timers,
                      progress=None, block=None, perm=None, pix_dev=None,
-                     int_kinds=(), attr_fields=()):
+                     int_kinds=(), attr_fields=(), kpix=1):
     done = 0
     chunk_id = 0
     while done < spp:
@@ -2548,15 +2676,19 @@ def _dispatch_chunks(sums, spp, spp_chunk, devices, bounds, dev_args,
                     nx, ny, g1 - g0, interpret, rr_depth,
                     scene.perlin_seed, None if perm is not None else block,
                     False, pix_dev[di] if perm is not None else None,
-                    dev_args[di][8], int_kinds, attr_fields))
+                    dev_args[di][8], int_kinds, attr_fields,
+                    kpix if perm is not None else 1))
             # all device dispatches are in flight; gather in order
             full = np.concatenate([np.asarray(o) for o in outs], axis=1)
         if perm is not None:
-            # balanced scheduling: lane i rendered pixel perm[i]; the
-            # padding tail (dummy slot) is dropped. perm is a bijection,
-            # so the fancy-index add touches each row once.
+            # balanced scheduling: lane-slot i (tile, bank, sub, lane
+            # row-major) rendered pixel perm[i]; dummy slots (id n_pix,
+            # interleaved into the last tile's banks when kpix > 1) are
+            # dropped. The real slots are a bijection onto pixels, so the
+            # fancy-index add touches each row once.
             lanes = full.transpose(1, 2, 0).reshape(-1, 3)
-            sums[perm] += lanes[:n_pix]
+            valid = perm < n_pix
+            sums[perm[valid]] += lanes[valid]
         elif block is None:
             sums += full.transpose(1, 2, 0).reshape(-1, 3)[:n_pix]
         else:

@@ -62,6 +62,32 @@ def test_kernel_traces_with_rr_and_multitile():
     _trace(builders.cornell_box(), nx=200, ny=200, grid=5, rr_depth=6)
 
 
+def test_kernel_traces_multipixel_banks():
+    """kpix > 1: per-lane pixel banks, bank-masked accumulators, and the
+    (kpix·SUB)-row output block must trace (the balanced path's layout
+    at production image sizes)."""
+    scene = builders.PRESETS["final_scene"].build()
+    (rec, kinds, groups, dyn, n_dyn, box, n_box, sclus, n_sclus, bclus,
+     n_bclus, med, med_kinds, flags, img, attr, attr_fields, int_rec,
+     int_kinds) = pt.build_scene_record(scene)
+    cam = np.zeros(pt.CAMREC, np.float32)
+    params = jnp.zeros(4, jnp.int32)
+    grid, kpix = 3, 4
+    pix = jnp.zeros((grid * kpix * pt.SUB, pt.LANES), jnp.int32)
+    out = jax.eval_shape(
+        lambda r, d, b, sc, bc, m, c, p, im, at, ir, px: pt._trace_call(
+            r, d, b, sc, bc, m, c, p, im, at, kinds, groups, n_dyn, n_box,
+            n_sclus, n_bclus, med_kinds, flags, scene.background,
+            400, 400, grid, False, None, scene.perlin_seed, None,
+            False, px, ir, int_kinds, attr_fields, kpix),
+        jnp.asarray(rec), jnp.asarray(dyn), jnp.asarray(box),
+        jnp.asarray(sclus), jnp.asarray(bclus), jnp.asarray(med),
+        jnp.asarray(cam), params, jnp.asarray(img), jnp.asarray(attr),
+        jnp.asarray(int_rec), pix)
+    assert out.shape == (3, grid * kpix * pt.SUB, pt.LANES)
+    assert out.dtype == jnp.float32
+
+
 def test_kernel_traces_textured_dynamic_prims():
     """No preset puts checker/noise/image textures or movers in the
     DYNAMIC loop (their textured prims are unrolled heroes), so the
@@ -107,7 +133,7 @@ def test_render_pallas_host_path_cpu_interpret():
                    interpret=False, rr_depth=None, perlin_seed=0,
                    block=None, stats=False, pix=None,
                    int_rec=None, int_kinds=(),
-                   attr_fields=()):
+                   attr_fields=(), kpix=1):
         spp = int(params[1])
         return jnp.full((3, grid * pt.SUB, pt.LANES), 0.25 * spp,
                         jnp.float32)
@@ -141,7 +167,7 @@ def test_block_mapping_assembly_bijection():
                    interpret=False, rr_depth=None, perlin_seed=0,
                    block=None, stats=False, pix=None,
                    int_rec=None, int_kinds=(),
-                   attr_fields=()):
+                   attr_fields=(), kpix=1):
         assert block is not None
         bxw, byh = block
         assert bxw * byh == pt.TILE
@@ -188,7 +214,7 @@ def test_balanced_scheduling_assembly_bijection():
                    interpret=False, rr_depth=None, perlin_seed=0,
                    block=None, stats=False, pix=None,
                    int_rec=None, int_kinds=(),
-                   attr_fields=()):
+                   attr_fields=(), kpix=1):
         if stats:
             out = np.zeros((7, grid * pt.SUB, pt.LANES), np.float32)
             # arbitrary deterministic cost pattern → some permutation
@@ -196,10 +222,13 @@ def test_balanced_scheduling_assembly_bijection():
                 .reshape(grid * pt.SUB, pt.LANES) % 97
             return jnp.asarray(out)
         assert pix is not None and block is None
+        # multi-pixel banks: the out block mirrors the pix table's
+        # (kpix·SUB) rows per tile, dummy slots included
+        assert pix.shape == (grid * kpix * pt.SUB, pt.LANES)
         p = np.minimum(np.asarray(pix), n_pix - 1).astype(np.float32)
         # the real kernel banks the SUM over the chunk's spp samples
         out = np.broadcast_to(p / (4.0 * n_pix) * int(params[1]),
-                              (3, grid * pt.SUB, pt.LANES))
+                              (3,) + p.shape)
         return jnp.asarray(out)
 
     pt._trace_call = fake_trace
@@ -209,6 +238,8 @@ def test_balanced_scheduling_assembly_bijection():
                                balance=True)
     finally:
         pt._trace_call = real
+    # 200×90 engages kpix = min(KPIX, n_pix // TILE) ≥ 2 when RT_KPIX
+    # allows, covering the snake striping + interleaved-dummy scatter
     expect = np.sqrt(np.arange(n_pix, dtype=np.float32)
                      / (4.0 * n_pix)).reshape(ny, nx)
     np.testing.assert_allclose(img[..., 1], expect, atol=1e-6)

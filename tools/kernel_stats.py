@@ -51,6 +51,7 @@ def run(name: str, nx=400, ny=400, spp=32, max_depth=50,
                            np.asarray([7, spp, max_depth, 0], np.int32),
                            img, attr), dev)
     pix = None
+    kpix = 1
     if balance:
         dev_args0 = jax.device_put((rec, dyn, box, sclus, bclus, med,
                                     img, attr, int_rec), dev)
@@ -59,28 +60,37 @@ def run(name: str, nx=400, ny=400, spp=32, max_depth=50,
                                     n_bclus, med_kinds, flags, scene,
                                     nx, ny, block, None, int_kinds,
                                     attr_fields)
-        grid = -(-nx * ny // pt.TILE)
-        pix_full = np.full(grid * pt.TILE, nx * ny, np.int32)
-        pix_full[:nx * ny] = perm
-        pix = jax.device_put(pix_full.reshape(grid * pt.SUB, pt.LANES),
+        # same lane→pixel layout render_pallas builds (snake-striped
+        # kpix banks per lane)
+        kpix = max(1, min(pt.KPIX, nx * ny // pt.TILE))
+        grid = -(-nx * ny // (pt.TILE * kpix))
+        ids = np.full(grid * kpix * pt.TILE, nx * ny, np.int32)
+        ids[:nx * ny] = perm
+        ids = ids.reshape(grid, kpix, pt.TILE)
+        ids[:, 1::2] = ids[:, 1::2, ::-1].copy()
+        pix = jax.device_put(ids.reshape(grid * kpix * pt.SUB, pt.LANES),
                              dev)
         block = None
-        print(f"{name} [balanced]:")
+        print(f"{name} [balanced, kpix={kpix}]:")
     out = np.asarray(pt._trace_call(
         *args, kinds, groups, n_dyn, n_box, n_sclus, n_bclus, med_kinds,
         flags, scene.background, nx, ny, grid, False, None,
         scene.perlin_seed, block, True, pix, jax.device_put(int_rec, dev),
-        int_kinds, attr_fields))
-    steps = out[3]          # per-lane wavefront steps (same within a tile)
-    mem_s, mem_b = out[4], out[5]
-    busy = out[6]           # per-lane alive steps
-    per_tile = steps.reshape(grid, -1)[:, 0]
+        int_kinds, attr_fields, kpix))
+    # stats counters live in bank-0 rows (banks > 0 are zero-padded)
+    rows = kpix * pt.SUB
+    steps = out[3].reshape(grid, rows, pt.LANES)[:, :pt.SUB]
+    mem_s = out[4].reshape(grid, rows, pt.LANES)[:, :pt.SUB]
+    mem_b = out[5].reshape(grid, rows, pt.LANES)[:, :pt.SUB]
+    busy = out[6].reshape(grid, rows, pt.LANES)[:, :pt.SUB]
+    per_tile = steps[:, 0, 0]
     tot_steps = float(per_tile.sum())
     print(f"{name}: grid={grid} n_dyn={n_dyn} n_box={n_box} "
           f"sclus={n_sclus} bclus={n_bclus}")
     print(f"  steps/tile: mean={per_tile.mean():.0f} "
           f"min={per_tile.min():.0f} max={per_tile.max():.0f} "
-          f"(spp={spp}, so {per_tile.mean() / spp:.1f} steps/sample)")
+          f"(spp={spp}, so {per_tile.mean() / (spp * kpix):.1f} "
+          f"steps/sample)")
     occ = busy.sum() / (steps.sum() + 1e-9)
     print(f"  lane occupancy: {100 * occ:.1f}% "
           f"(mean busy steps / tile steps; the rest is drain tail)")

@@ -134,13 +134,17 @@ def main() -> int:
     scene = preset.build()
     cam = preset.camera()
     spp_b = 64 if quick else 256
-    a = _with_retry(lambda: render_pallas(scene, cam, 64, 64, spp_b,
+    # 192×192 (> 4·TILE pixels) engages the full kpix=4 multi-pixel-bank
+    # layout — per-lane pixel banks, snake striping, interleaved-dummy
+    # scatter — not just the permutation (64×64 would fall back to
+    # kpix=1 and leave the bank machinery uncovered on hardware)
+    a = _with_retry(lambda: render_pallas(scene, cam, 192, 192, spp_b,
                                           seed=5, max_depth=10,
                                           balance=True))
-    b = _with_retry(lambda: render_pallas(scene, cam, 64, 64, spp_b,
+    b = _with_retry(lambda: render_pallas(scene, cam, 192, 192, spp_b,
                                           seed=6, max_depth=10,
                                           balance=False))
-    base = _with_retry(lambda: render_pallas(scene, cam, 64, 64, spp_b,
+    base = _with_retry(lambda: render_pallas(scene, cam, 192, 192, spp_b,
                                              seed=7, max_depth=10,
                                              balance=False))
     # self-calibrating: two unbalanced renders with different seeds set
