@@ -2,12 +2,17 @@
 (cornell_box 800×800 @ 500 spp).
 
 The reference publishes no performance numbers at all (BASELINE.md: README is
-3 lines, no benchmarks dir). `vs_baseline` is therefore computed against a
-documented order-of-magnitude estimate of the reference's single-threaded CPU
-renderer: ~2e5 primary rays/s for a depth-50 recursive f64 tracer over an
-18-object Cornell scene (the class of renderer in tests/test.rs:55-85). This
-constant is a stand-in, not a measurement — the reference cannot run here
-(no Rust toolchain) and publishes nothing.
+3 lines, no benchmarks dir) and Rust cannot run here, so `vs_baseline` is
+computed against a MEASUREMENT of `native/ref_tracer.cpp` — a faithful
+single-thread scalar f64 C++ mirror of the reference's hot loop (same
+recursion, same rejection-sampled RNG draws, same virtual-dispatch object
+model, same linear HittableList scan; reference tests/test.rs:55-85 +
+src/color.rs:6-23) — on the same cornell_box camera/geometry at depth 50.
+The mirror is re-timed live at bench time when the native toolchain is
+available (`reference_measure`); otherwise the recorded measurement in
+`native/ref_baseline.json` (written by tools/bench_reference.py, host CPU
+documented there) is used. The old 2e5 rays/s estimate survives only as the
+last-resort fallback and is labeled as such in `baseline_source`.
 
 Metric definition: primary rays per wall-clock second on one chip =
 nx·ny·spp / t. Each primary ray carries its full bounce tree (up to 51
@@ -19,9 +24,60 @@ of `create_image` would measure.
 from __future__ import annotations
 
 import json
+import os
 import time
 
-REFERENCE_EST_RAYS_PER_SEC = 2.0e5  # documented estimate, see module docstring
+REFERENCE_EST_RAYS_PER_SEC = 2.0e5  # last-resort fallback only
+REF_BASELINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "native", "ref_baseline.json")
+
+
+def reference_measure(spp: int = 2):
+    """Time the C++ reference mirror once on the headline cornell_box config
+    (800×800, depth 50) at a reduced spp — per-primary-ray cost is
+    spp-independent, so the throughput transfers to any spp. Returns
+    {rays_per_sec, wall_seconds, config} or None if the native toolchain is
+    unavailable."""
+    from . import native
+    from .models.builders import PRESETS
+
+    p = PRESETS["cornell_box"]
+    nx, ny = p.nx, p.ny
+    r = native.ref_trace(0, nx, ny, spp, p.look_from, p.look_at, p.vfov,
+                         vup=p.view_up, aperture=p.aperture,
+                         focus_dist=p.focus_dist, time0=p.time0,
+                         time1=p.time1, max_depth=50, seed=1234,
+                         background=0)
+    if r is None:
+        return None
+    _, secs = r
+    return {
+        "rays_per_sec": nx * ny * spp / secs,
+        "wall_seconds": secs,
+        "config": f"cornell_box {nx}x{ny} {spp}spp depth50 f64 1-thread",
+    }
+
+
+def reference_baseline():
+    """(rays_per_sec, source) for the vs_baseline denominator: live
+    measurement of the C++ mirror (best of 2), else the recorded
+    measurement from tools/bench_reference.py, else the documented
+    estimate."""
+    try:
+        runs = [reference_measure() for _ in range(2)]
+        runs = [r for r in runs if r is not None]
+        if runs:
+            return (max(r["rays_per_sec"] for r in runs),
+                    "measured (native/ref_tracer.cpp, live)")
+    except Exception:
+        pass
+    try:
+        with open(REF_BASELINE_PATH) as f:
+            rec = json.load(f)
+        return (float(rec["rays_per_sec"]),
+                f"measured (recorded {rec.get('date')}, {rec.get('cpu')})")
+    except Exception:
+        return (REFERENCE_EST_RAYS_PER_SEC, "estimate (fallback)")
 
 
 def run(scene: str = "cornell_box_baseline", spp: int | None = None,
@@ -82,11 +138,14 @@ def run(scene: str = "cornell_box_baseline", spp: int | None = None,
             dt = min(dt, time.perf_counter() - t0)
 
     rays_per_sec = nx * ny * spp / dt
+    base_rays, base_source = reference_baseline()
     return {
         "metric": f"primary rays/sec/chip ({scene} {nx}x{ny} {spp}spp)",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
-        "vs_baseline": round(rays_per_sec / REFERENCE_EST_RAYS_PER_SEC, 2),
+        "vs_baseline": round(rays_per_sec / base_rays, 2),
+        "baseline_rays_per_sec": round(base_rays, 1),
+        "baseline_source": base_source,
         "wall_seconds": round(dt, 2),
         "engine": "pallas" if use_pallas else "xla",
         "grad_fd_max_abs_err": _with_retry(lambda: grad_fd_err(tables)),

@@ -317,8 +317,57 @@ class SceneBuilder:
         self._mmat.append(self.isotropic(tex))
         self._mxf.append(int(xform))
 
+    def _dedup_coincident(self):
+        """Drop coincident-geometry duplicates the reference tie-break makes
+        unreachable.
+
+        The reference resolves equal-t ties by scan order, and the order
+        depends on the primitive: Rect::hit accepts t == t_max
+        (src/rect.rs:45-47 uses `t > t_max`), so in the HittableList scan
+        (src/hittable.rs:37-47) the LAST coincident rect replaces every
+        earlier one; Sphere::hit is strict (`t < t_max`, src/sphere.rs:47),
+        so the FIRST coincident sphere wins. cornell_box pushes its floor
+        twice — flipped then unflipped (tests/test.rs:268-295) — and renders
+        the UNFLIPPED (+y) one. Our closest-hit is an order-free
+        min-reduction whose argmin would pick the flipped copy; since a
+        shadowed duplicate can never win in the reference, delete it at
+        build time instead of paying for tie-aware reductions in the
+        kernels. Keyed on hit-t geometry only (type, axes, data, resolved
+        transform) — flip sign and material belong to the surviving copy.
+        """
+        n = len(self._ptype)
+        keep = [True] * n
+
+        def key(i):
+            xf = self._xf[self._pxf[i]]
+            return (self._ptype[i], self._paxis[i], self._pdata[i].tobytes(),
+                    xf.offset.tobytes(), xf.axis, xf.sin, xf.cos)
+
+        seen = {}
+        for i in range(n - 1, -1, -1):  # backward: keep the LAST rect
+            if self._ptype[i] != PRIM_RECT:
+                continue
+            k = key(i)
+            if k in seen:
+                keep[i] = False
+            seen[k] = i
+        seen = {}
+        for i in range(n):  # forward: keep the FIRST sphere
+            if self._ptype[i] == PRIM_RECT:
+                continue
+            k = key(i)
+            if k in seen:
+                keep[i] = False
+            seen[k] = i
+        if all(keep):
+            return
+        for name in ("_ptype", "_pdata", "_paxis", "_pflip", "_pmat", "_pxf"):
+            setattr(self, name,
+                    [v for v, k in zip(getattr(self, name), keep) if k])
+
     # -- finalize -------------------------------------------------------------
     def build(self, dtype=jnp.float32) -> SceneTables:
+        self._dedup_coincident()
         if not self._ptype:  # keep shapes non-empty for jit friendliness
             # radius 0 ⇒ disc = b²−a·|oc|² ≤ 0 (Cauchy–Schwarz): never hits
             self._add_prim(PRIM_SPHERE, [0.0, 0.0, 0.0, 0.0], material=0)

@@ -75,6 +75,61 @@ def build_bvh_arrays(lo: np.ndarray, hi: np.ndarray, leaf_size: int):
             order[:no])
 
 
+_REF_SRC = os.path.join(_DIR, "ref_tracer.cpp")
+_REF_SO = os.path.join(_DIR, "libref_tracer.so")
+_ref_lib = None
+_ref_tried = False
+
+
+def _load_ref():
+    global _ref_lib, _ref_tried
+    if _ref_tried:
+        return _ref_lib
+    _ref_tried = True
+    try:
+        if (not os.path.exists(_REF_SO)
+                or os.path.getmtime(_REF_SO) < os.path.getmtime(_REF_SRC)):
+            subprocess.run(
+                ["g++", "-O2", "-shared", "-fPIC", "-o", _REF_SO, _REF_SRC],
+                check=True, capture_output=True, timeout=120)
+        lib = ctypes.CDLL(_REF_SO)
+        lib.ref_trace.restype = ctypes.c_double
+        _ref_lib = lib
+    except Exception:
+        _ref_lib = None
+    return _ref_lib
+
+
+def ref_trace(scene_id: int, nx: int, ny: int, spp: int,
+              look_from, look_at, vfov: float,
+              vup=(0.0, 1.0, 0.0), aperture: float = 0.1,
+              focus_dist: float = 10.0, time0: float = 0.0,
+              time1: float = 1.0, max_depth: int = 50, seed: int = 1234,
+              background: int = 0):
+    """Render with the faithful scalar C++ mirror of the reference
+    (ref_tracer.cpp — reference tests/test.rs:55-85 + src/color.rs:6-23).
+    Returns (mean_radiance [ny, nx, 3] pre-gamma, render_seconds), or None
+    when the native toolchain is unavailable. scene_id: 0 = cornell_box,
+    1 = oracle_spheres."""
+    lib = _load_ref()
+    if lib is None:
+        return None
+    out = np.empty((ny, nx, 3), np.float64)
+    qsum = ctypes.c_longlong()
+    vec = lambda v: (ctypes.c_double * 3)(*[float(x) for x in v])
+    secs = lib.ref_trace(
+        scene_id, nx, ny, spp, max_depth,
+        ctypes.c_ulonglong(seed), background,
+        vec(look_from), vec(look_at), vec(vup),
+        ctypes.c_double(vfov), ctypes.c_double(aperture),
+        ctypes.c_double(focus_dist), ctypes.c_double(time0),
+        ctypes.c_double(time1),
+        np.ctypeslib.as_ctypes(out.reshape(-1)), ctypes.byref(qsum))
+    if secs < 0:
+        return None
+    return out, float(secs)
+
+
 def encode_ppm(img: np.ndarray) -> str | None:
     """Native P3 encoding of a gamma-corrected [ny, nx, 3] float image,
     byte-identical to utils.image_io.to_ppm; None when unavailable."""

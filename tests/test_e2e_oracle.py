@@ -1,0 +1,88 @@
+"""End-to-end absolute correctness vs an INDEPENDENT scalar implementation.
+
+`native/ref_tracer.cpp` is a faithful f64 single-thread C++ mirror of the
+reference renderer (tests/test.rs:55-85 + src/color.rs:6-23) — a separate
+implementation sharing no code with the JAX tiers. Rendering the same scene
+with both and comparing converged Monte-Carlo means closes the loop that
+self-recorded regression bands (test_scene_stats.py) cannot: it pins the
+framework to the reference's absolute radiometry, not to its own history.
+
+This is how the duplicated-cornell-floor tie-break bug was found (the JAX
+argmin picked the flipped floor copy; the mirror, like the reference,
+renders the unflipped one — bottom-half luminance 0.093 vs 0.176).
+"""
+
+import numpy as np
+import pytest
+
+from raytracing_rust_tpu import native
+from raytracing_rust_tpu.models.builders import PRESETS
+from raytracing_rust_tpu.models.scene import BG_SKY, SceneBuilder
+from raytracing_rust_tpu.ops.camera import make_camera
+from raytracing_rust_tpu.render import render
+
+if native._load_ref() is None:  # pragma: no cover
+    pytest.skip("native toolchain unavailable", allow_module_level=True)
+
+
+def _stderr_of_mean(img, spp):
+    # MC samples are independent across pixels and spp; the image mean of
+    # nx*ny*spp samples has stderr ≈ std(pixel means)/sqrt(nx*ny) which is
+    # itself an overestimate of the sampling error of the mean — use it as
+    # a conservative sigma.
+    return float(np.std(img)) / np.sqrt(img.shape[0] * img.shape[1])
+
+
+def test_oracle_spheres_mean_matches_mirror():
+    """Mixed lambertian/metal/dielectric spheres under the sky background
+    (mirror scene_id 1 — build_oracle_spheres in ref_tracer.cpp)."""
+    nx, ny, spp = 64, 36, 64
+    look_from, look_at, vfov = (0.0, 2.0, 8.0), (0.0, 1.0, 0.0), 35.0
+
+    b = SceneBuilder(background=BG_SKY)
+    b.sphere((0, -1000, 0), 1000.0, b.lambertian(b.solid(0.5, 0.5, 0.5)))
+    b.sphere((0, 1, 0), 1.0, b.lambertian(b.solid(0.4, 0.2, 0.1)))
+    b.sphere((2.2, 1, 0), 1.0, b.metal(b.solid(0.7, 0.6, 0.5), 0.2))
+    b.sphere((-2.2, 1, 0), 1.0, b.dielectric(1.5))
+    scene = b.build()
+    cam = make_camera(look_from, look_at, (0, 1, 0), vfov, nx / ny,
+                      0.0, 10.0, 0.0, 1.0)
+    # render() gamma-corrects (sqrt); the mirror reports pre-gamma mean
+    # radiance — compare in linear space
+    ours = np.asarray(render(scene, cam, nx, ny, spp, seed=3,
+                             max_depth=50)) ** 2
+
+    ref_img, _ = native.ref_trace(1, nx, ny, spp, look_from, look_at, vfov,
+                                  aperture=0.0, background=1)
+
+    sigma = np.hypot(_stderr_of_mean(ours, spp), _stderr_of_mean(ref_img, spp))
+    diff = abs(float(ours.mean()) - float(ref_img.mean()))
+    assert diff < max(6 * sigma, 0.01), (
+        f"ours {ours.mean():.4f} vs mirror {ref_img.mean():.4f} "
+        f"(diff {diff:.4f}, 6σ {6 * sigma:.4f})")
+
+
+def test_cornell_box_matches_mirror_per_half():
+    """cornell_box at the reference camera — per-half means catch exactly
+    the class of bug the image mean can hide (the dark-floor tie-break bug
+    lived only in the bottom half)."""
+    nx, ny, spp = 48, 27, 96
+    p = PRESETS["cornell_box"]
+
+    scene = p.build()
+    cam = make_camera(p.look_from, p.look_at, p.view_up, p.vfov, nx / ny,
+                      p.aperture, p.focus_dist, p.time0, p.time1)
+    ours = np.asarray(render(scene, cam, nx, ny, spp, seed=5,
+                             max_depth=50)) ** 2  # linear space (see above)
+
+    ref_img, _ = native.ref_trace(0, nx, ny, spp, p.look_from, p.look_at,
+                                  p.vfov, vup=p.view_up, aperture=p.aperture,
+                                  focus_dist=p.focus_dist, background=0)
+
+    for name, sl in [("top", slice(0, ny // 2)), ("bottom", slice(ny // 2, ny))]:
+        a, r = ours[sl], ref_img[sl]
+        sigma = np.hypot(_stderr_of_mean(a, spp), _stderr_of_mean(r, spp))
+        diff = abs(float(a.mean()) - float(r.mean()))
+        assert diff < max(6 * sigma, 0.012), (
+            f"{name} half: ours {a.mean():.4f} vs mirror {r.mean():.4f} "
+            f"(diff {diff:.4f}, 6σ {6 * sigma:.4f})")

@@ -21,7 +21,7 @@ EXPECTED = {
     "two_perlin_spheres": 0.6185,  # hash-gradient perlin (round 2)
     "earth": 0.7526,
     "simple_light": 0.1005,  # hash-gradient perlin (round 2)
-    "cornell_box": 0.0876,
+    "cornell_box": 0.1099,  # re-recorded after the duplicate-floor dedup fix
     "cornell_smoke": 0.2290,
     "final_scene": 0.1823,
 }
