@@ -19,6 +19,52 @@ import os
 import sys
 import time
 
+if "--split2" in sys.argv:
+    # --split2 runs on the REAL chip (see split2_main) — don't pin CPU
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    def split2_main():
+        """The one honest wall-clock multi-dispatch datum available on a
+        single chip: time the real multi-device dispatch path
+        (render_pallas devices=[d] vs [d, d] — tile split, per-device
+        seeding, in-flight dispatches, ordered gather) on one chip. A
+        ratio ≈ 1.0 means the dispatch machinery adds no wall overhead;
+        on N real chips each dispatch would own a chip. This does NOT
+        measure multi-chip speedup — no second chip exists here."""
+        import numpy as np
+        import jax
+        from raytracing_rust_tpu.models.builders import PRESETS
+        from raytracing_rust_tpu.ops.pallas_tracer import render_pallas
+
+        dev = [d for d in jax.devices() if d.platform == "tpu"][0]
+        preset = PRESETS["cornell_box"]
+        scene, cam = preset.build(), preset.camera()
+
+        def best_of(devices, reps=3):
+            best = float("inf")
+            for r in range(reps):
+                t0 = time.perf_counter()
+                np.asarray(render_pallas(scene, cam, 400, 400, 256,
+                                         seed=7 + r, devices=devices))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        best_of([dev], reps=1)  # warm both compiles
+        best_of([dev, dev], reps=1)
+        t1, t2 = best_of([dev]), best_of([dev, dev])
+        print(json.dumps({
+            "metric": "same-chip split-2 multi-dispatch wall overhead "
+                      "(cornell_box 400x400 256spp, best-of-3)",
+            "wall_1_dispatch_s": round(t1, 3),
+            "wall_2_dispatch_s": round(t2, 3),
+            "overhead_ratio": round(t2 / t1, 3),
+            "note": "1.0 = dispatch machinery free; NOT a multi-chip "
+                    "speedup measurement (single chip)",
+        }))
+
+    split2_main()
+    sys.exit(0)
+
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
@@ -92,7 +138,10 @@ def main():
         "wall_speedup": {str(n): round(rates[n] / rates[1], 3)
                          for n in sizes},
         "target": 0.85,
-        "pass": bool(part_eff[8] >= 0.85),
+        # named precisely: compiled-FLOPs partitioning met the target.
+        # No wall-clock multi-chip efficiency is measurable here (one
+        # chip); see --split2 for the honest same-chip dispatch datum.
+        "partition_pass": bool(part_eff[8] >= 0.85),
     }))
 
 

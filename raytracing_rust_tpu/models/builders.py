@@ -89,9 +89,13 @@ def two_perlin_spheres() -> SceneTables:
     return b.build()
 
 
-def earth() -> SceneTables:
-    """reference tests/test.rs:200-209"""
-    b = SceneBuilder(background=BG_SKY)
+def earth(compat_uv_bug: bool = False) -> SceneTables:
+    """reference tests/test.rs:200-209. compat_uv_bug=True reproduces the
+    reference's sphere-UV constant bug (FRAC_2_PI = 2/π where the formula
+    wants π/2, src/sphere.rs:13) for a faithful-to-the-letter render —
+    same pattern as final_scene(compat_dead_light) and
+    cornell_smoke(compat_front_wall)."""
+    b = SceneBuilder(background=BG_SKY, compat_uv_bug=compat_uv_bug)
     b.sphere((0, 0, 0), 2.0, b.lambertian(b.image(_earth_pixels())))
     return b.build()
 

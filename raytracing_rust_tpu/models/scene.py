@@ -124,6 +124,11 @@ class SceneTables:
     has_image_tex: bool = field(metadata=dict(static=True), default=False)
     has_moving: bool = field(metadata=dict(static=True), default=False)
     has_xforms: bool = field(metadata=dict(static=True), default=False)
+    # faithful-quirk flag: reproduce the reference's sphere-UV constant bug
+    # (FRAC_2_PI = 2/π where the formula wants π/2, src/sphere.rs:13) —
+    # completes the compat trio with final_scene's dead light and
+    # cornell_smoke's front wall (models/builders.py)
+    compat_uv_bug: bool = field(metadata=dict(static=True), default=False)
 
     @property
     def num_prims(self) -> int:
@@ -151,9 +156,11 @@ class SceneBuilder:
     (reference tests/test.rs:89-523). Python objects in, flat tables out.
     """
 
-    def __init__(self, background: int = BG_BLACK, perlin_seed: int = 0):
+    def __init__(self, background: int = BG_BLACK, perlin_seed: int = 0,
+                 compat_uv_bug: bool = False):
         self.background = background
         self.perlin_seed = perlin_seed
+        self.compat_uv_bug = compat_uv_bug
         self._ptype: List[int] = []
         self._pdata: List[np.ndarray] = []
         self._paxis: List[int] = []
@@ -426,6 +433,7 @@ class SceneBuilder:
             image_hw=i32(image_hw),
             background=self.background,
             perlin_seed=self.perlin_seed,
+            compat_uv_bug=self.compat_uv_bug,
             has_media=M > 0,
             has_noise_tex=TEX_NOISE in self._tex_type,
             has_image_tex=TEX_IMAGE in self._tex_type,

@@ -28,6 +28,7 @@ test (src/rect.rs:39-69).
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 
 import jax
@@ -316,7 +317,10 @@ def hit_attributes(scene: SceneTables, o, d, time, hit: Hit,
     phi = jnp.arctan2(n_obj[:, 2], n_obj[:, 0])
     theta = jnp.arcsin(jnp.clip(n_obj[:, 1], -1.0, 1.0))
     u_sph = 1.0 - (phi + jnp.pi) / (2.0 * jnp.pi)
-    v_sph = (theta + jnp.pi / 2.0) / jnp.pi
+    # compat_uv_bug reproduces the reference's FRAC_2_PI constant
+    # (src/sphere.rs:13) — see SceneTables.compat_uv_bug
+    v_off = (2.0 / math.pi) if scene.compat_uv_bug else (math.pi / 2.0)
+    v_sph = (theta + v_off) / jnp.pi
 
     # rect: u, v from world-frame projections (src/rect.rs:53-60)
     an, bn, kn = g(pack.an), g(pack.bn), g(pack.kn)

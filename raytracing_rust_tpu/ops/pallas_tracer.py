@@ -717,10 +717,12 @@ def build_scene_record(scene: SceneTables):
         if not kinds:  # SMEM inputs need at least one row
             rec = np.zeros((1, REC), np.float32)
 
-    # static kernel property: does the dynamic sphere loop need the
-    # moving-center lerp at all?
+    # static kernel properties: does the dynamic sphere loop need the
+    # moving-center lerp at all? and the sphere-UV compat quirk
+    # (SceneTables.compat_uv_bug, reference src/sphere.rs:13)
     flags = flags + (bool(n_dyn
-                          and np.any(dyn_rec[:n_dyn, R_INV_DT] != 0.0)),)
+                          and np.any(dyn_rec[:n_dyn, R_INV_DT] != 0.0)),
+                     bool(scene.compat_uv_bug))
 
     # ---- dense-medium walk fast path (host analysis) ----
     # A medium whose mean free path is much smaller than its extent
@@ -1118,7 +1120,7 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
     stats mode are NOT representative.
     """
     (has_checker, has_metal, has_diel, has_noise, has_image,
-     dyn_moving) = flags
+     dyn_moving, compat_uv) = flags
     assert kpix == 1 or explicit_pix, \
         "kpix > 1 requires an explicit per-lane pixel table"
     if ABLATE:  # timing diagnostics only (see ABLATE above)
@@ -1890,7 +1892,10 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                 phi = _atan2(nz_b, nx_b)
                 theta = _asin(jnp.clip(ny_b, f(-1.0), f(1.0)))
                 uu = f(1.0) - (phi + f(math.pi)) * f(0.5 / math.pi)
-                vv = (theta + f(math.pi / 2)) * f(1.0 / math.pi)
+                # compat_uv reproduces the reference's FRAC_2_PI constant
+                # (src/sphere.rs:13) — see SceneTables.compat_uv_bug
+                v_off = (2.0 / math.pi) if compat_uv else (math.pi / 2.0)
+                vv = (theta + f(v_off)) * f(1.0 / math.pi)
                 iww_i = iww.astype(jnp.int32)
                 ihh_i = ihh.astype(jnp.int32)
                 ii = jnp.clip((uu * iww).astype(jnp.int32), 0, iww_i - 1)
@@ -2390,6 +2395,17 @@ _SCENE_CACHE: dict = {}
 _CAM_CACHE: dict = {}
 
 
+def _perm_cache_key(cam_np, nx, ny, max_depth, rr_depth, n_dev, kpix):
+    """Cache key for the cost-balance permutation, keyed on the camera
+    record's VALUE (tiny, ~20 floats) — an id(cam) key could be reused by
+    a new camera after GC and silently serve a stale permutation
+    (scheduling degrades; renders stay correct since any bijection
+    scatters correctly). Value-keying also lets two identical cameras
+    share one probe."""
+    return ("perm", bytes(np.asarray(cam_np).tobytes()), nx, ny,
+            max_depth, rr_depth, n_dev, kpix)
+
+
 def _identity_cached(cache, obj, build):
     """Cache `build(obj)` under the pytree's identity.
 
@@ -2582,8 +2598,8 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
         # cost ranks (see KPIX); capped so padding never exceeds one
         # tile's worth of dummy slots
         kpix = max(1, min(KPIX, n_pix // TILE))
-        perm_key = ("perm", id(cam), nx, ny, max_depth, rr_depth, n_dev,
-                    kpix)
+        perm_key = _perm_cache_key(cam_np, nx, ny, max_depth, rr_depth,
+                                   n_dev, kpix)
         cached = dev_cache.get(perm_key)
         if cached is None:
             with timers.phase("balance_probe"):

@@ -204,3 +204,30 @@ def test_negative_radius_hollow_sphere():
     np.testing.assert_allclose(t[0], 1.5, rtol=1e-5)   # |r| sphere surface
     # outward point, but normal points INWARD because r < 0
     np.testing.assert_allclose(nrm[0], [0, 0, 1], atol=1e-5)
+
+
+def test_sphere_uv_compat_bug_flag():
+    """compat_uv_bug=True reproduces the reference's FRAC_2_PI sphere-UV
+    constant (src/sphere.rs:13); default uses the canonical π/2. Both are
+    pinned against the scalar oracle (oracle.sphere_uv)."""
+    o, _ = _rays(32)
+    c = np.array([0.3, -0.2, 0.1])
+    d = c - o + RT.normal(0, 0.15, o.shape)  # aim at the sphere, jittered
+    for compat in (False, True):
+        b = SceneBuilder(compat_uv_bug=compat)
+        b.sphere((0.3, -0.2, 0.1), 1.2, b.lambertian(b.solid(1, 1, 1)))
+        scene = b.build()
+        t, idx, mask, p, nrm, u, v = _closest(scene, o, d)
+        checked = 0
+        for i in range(len(o)):
+            if not mask[i]:
+                continue
+            ref = oracle.sphere_hit((0.3, -0.2, 0.1), 1.2, o[i], d[i],
+                                    1e-3, np.inf)
+            assert ref is not None
+            _, _, n_ref, _, _ = ref
+            u_ref, v_ref = oracle.sphere_uv(n_ref, compat_bug=compat)
+            np.testing.assert_allclose(u[i], u_ref, atol=2e-5)
+            np.testing.assert_allclose(v[i], v_ref, atol=2e-5)
+            checked += 1
+        assert checked >= 8

@@ -30,7 +30,7 @@ def test_cornell_record():
     assert sorted(sum((list(g) for g in groups), [])) == list(range(17))
     assert len(groups) == 9
     assert n_dyn == 0 and med_kinds == ()
-    assert flags == (False, False, False, False, False, False)  # checker/metal/diel/noise/image/dyn_moving
+    assert flags == (False,) * 7  # checker/metal/diel/noise/image/dyn_moving/compat_uv
     # light rect (index 2) emits 15
     np.testing.assert_allclose(rec[2, pt.R_EMIT:pt.R_EMIT + 3], 15.0)
     # green wall flip carried
@@ -49,7 +49,7 @@ def test_random_spheres_partition():
     assert kinds == ("sphere",) * 4
     assert n_dyn == scene.num_prims - 4
     (has_checker, has_metal, has_diel, has_noise, has_image,
-     dyn_moving) = flags
+     dyn_moving, compat_uv) = flags
     assert has_checker and has_metal and has_diel and not has_noise
     # random_spheres' ~330 movers exceed the unroll budget, so the thin
     # dynamic loop keeps the moving-center lerp for this scene
@@ -104,7 +104,7 @@ def test_final_scene_partition():
     # the subsurface blue sphere is walk-dense (mfp 5 vs diameter 140)
     # AND sealed by the coincident glass hero; the global mist is not
     assert med_kinds == (("msphere", True), ("msphere", False))
-    assert flags == (False, True, True, True, True, False)
+    assert flags == (False, True, True, True, True, False, False)
     # compact attribute table: the dyn/box prims (white spheres + green
     # ground boxes, all lambertian) carry no moving centers, metal/diel
     # params, checker, noise, or image fields, so exactly 16 fields
@@ -189,7 +189,7 @@ def test_noise_scene_record():
     (rec, kinds, groups, dyn, n_dyn, box, n_box, sclus, n_sclus, bclus,
      n_bclus, med, med_kinds, flags, img, attr, attr_fields, int_rec,
      int_kinds) = pt.build_scene_record(scene)
-    assert flags == (False, False, False, True, False, False)
+    assert flags == (False, False, False, True, False, False, False)
     np.testing.assert_allclose(rec[:, pt.R_NOISE], 1.0)
     np.testing.assert_allclose(rec[:, pt.R_NSCALE], 4.0)  # test.rs:186
 
@@ -243,3 +243,36 @@ def test_scene_record_cache_invalidation():
     other = builders.two_spheres()
     rec4, _ = pt._cached_scene_record(other)
     assert rec4 is not rec3                       # distinct object
+
+
+def test_perm_cache_key_is_value_keyed():
+    """The cost-balance permutation cache must key on camera VALUES, not
+    id(cam): after GC a new camera can land on a recycled id, and an
+    id-keyed entry would silently serve the old camera's permutation.
+    Two value-distinct cameras — even at the same object id — must get
+    distinct keys; two value-identical cameras must share one."""
+    import gc
+
+    from raytracing_rust_tpu.ops.camera import make_camera
+
+    def rec(look_from):
+        cam = make_camera(look_from, (278, 278, 0), (0, 1, 0), 40.0, 1.0,
+                          0.1, 10.0, 0.0, 1.0)
+        r = pt.build_camera_record(cam)
+        addr = id(cam)
+        del cam
+        gc.collect()
+        return r, addr
+
+    r1, id1 = rec((278, 278, -800))
+    r2, id2 = rec((278, 278, -790))
+    r3, _ = rec((278, 278, -800))
+
+    args = (800, 800, 50, None, 1, 4)
+    k1 = pt._perm_cache_key(r1, *args)
+    k2 = pt._perm_cache_key(r2, *args)
+    k3 = pt._perm_cache_key(r3, *args)
+    assert k1 != k2          # value-distinct cameras: distinct keys,
+    assert k1 == k3          # value-identical cameras share the probe
+    # and nothing in the key depends on object identity at all
+    assert not any(isinstance(x, int) and x in (id1, id2) for x in k1)

@@ -243,3 +243,14 @@ def test_balanced_scheduling_assembly_bijection():
     expect = np.sqrt(np.arange(n_pix, dtype=np.float32)
                      / (4.0 * n_pix)).reshape(ny, nx)
     np.testing.assert_allclose(img[..., 1], expect, atol=1e-6)
+
+
+def test_kernel_traces_earth_compat_uv():
+    """The sphere-UV compat quirk (SceneTables.compat_uv_bug) is a static
+    kernel variant — it must trace like any other."""
+    scene = builders.earth(compat_uv_bug=True)
+    (rec, kinds, groups, dyn, n_dyn, box, n_box, sclus, n_sclus, bclus,
+     n_bclus, med, med_kinds, flags, img, attr, attr_fields, int_rec,
+     int_kinds) = pt.build_scene_record(scene)
+    assert flags[-1]  # compat_uv reaches the kernel's static flags
+    _trace(scene, nx=256, ny=128, grid=4)
