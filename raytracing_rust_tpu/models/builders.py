@@ -244,6 +244,54 @@ class ScenePreset:
 
 
 # Reference configs (tests/test.rs:525-838); BASELINE.json upgrades noted.
+def lattice_scene() -> SceneTables:
+    """Synthetic feature-lattice scene — NOT a reference preset.
+
+    Exercises every legal texture/material/prim combination the reference
+    allows but no reference scene uses (DiffuseLight is texture-generic,
+    src/material.rs:133-151; image textures go on any hittable,
+    src/texture.rs:73-108; Isotropic medium albedo is texture-generic,
+    src/material.rs:153-173): emissive checker/noise/image, image on
+    rotated/plain/flipped rects and flipped spheres, and checker/noise/
+    image medium albedo. Used by tests/test_pallas_tripwire.py (trace)
+    and tools/tpu_parity.py (kernel-vs-XLA hardware parity).
+    """
+    rng = np.random.default_rng(3)
+
+    def texels(seed, h=8, w=16):
+        r = np.random.default_rng(seed)
+        return (np.rint(r.uniform(26, 230, (h, w, 3))).astype(np.float32)
+                / 255.0).astype(np.float32)
+
+    b = SceneBuilder(background=BG_BLACK)
+    white = b.lambertian(b.solid(0.73, 0.73, 0.73))
+    b.rect("zx", -6, -6, 6, 6, 0.0, white)                      # floor
+    # emissive checker / noise / image lights
+    b.rect("zx", -2, -2, 2, 2, 8.0,
+           b.diffuse_light(b.checker(b.solid(4, 0.5, 0.5),
+                                     b.solid(0.5, 4, 0.5))), flip=True)
+    b.sphere((-4, 1.5, 0), 0.8, b.diffuse_light(b.noise(2.0)))
+    # (reference ImageTexture is u8-backed — emission is capped at 1.0)
+    b.sphere((4, 1.5, 0), 0.8, b.diffuse_light(b.image(texels(5))))
+    # image texture on rects: rotated frame, plain, flipped
+    img = b.lambertian(b.image(texels(7)))
+    xf = b.transform(offset=(0, 1, -3), rotate_axis="y", angle_deg=30.0)
+    b.rect("xy", -1, 0, 1, 2, 0.0, img, xform=xf)
+    b.sphere((0, 1, 3), 0.9, img)
+    b.rect("xy", -1, 0, 1, 2, 4.0, img, flip=True)
+    # flipped image sphere (pre-flip normal must drive the UV)
+    flipped = b.lambertian(b.image(texels(9)))
+    b.rect("yz", 0, -1, 2, 1, -5.0, flipped)
+    b.sphere((2, 1, -3), 0.7, flipped)
+    b._pflip[-1] = -1.0
+    # textured media: checker, noise, and image (u=v=0) albedo
+    b.medium_sphere((0, 3, 0), 1.0, 0.4,
+                    b.checker(b.solid(1, 0, 0), b.solid(0, 0, 1)))
+    b.medium_box((-5, 0, -5), (-3, 1, -3), 0.3, b.noise(1.5))
+    b.medium_sphere((3, 3, 3), 0.8, 0.3, b.image(texels(11)))
+    return b.build()
+
+
 PRESETS = {
     "random_spheres": ScenePreset(random_spheres, 1280, 720, 100,
                                   look_from=(13, 2, 3)),

@@ -123,8 +123,21 @@ M_DATA = 0        # sphere: cx,cy,cz,r2 | box: pmin3, pmax3
 M_INV_RHO = 6     # 1/density
 M_ROT = 7        # 7..15 world→object rotation R₋ row-major
 M_OFF = 16        # 16..18 translate offset
-M_ALB = 19        # 19..21 isotropic phase-function albedo
-MEDREC = 22
+M_ALB = 19        # 19..21 isotropic albedo (checker: even color)
+# non-solid isotropic albedo (reference Isotropic is texture-generic,
+# src/material.rs:153-173; medium hits carry u=v=0, src/medium.rs:44-50):
+# a medium scatter event overwrites the winner's texture state with these
+# fields, and the shared checker/noise/image blocks evaluate at the
+# scatter point (med_tex static flag)
+M_ALB_ODD = 22    # 22..24 checker odd color
+M_CHK = 25
+M_NOISE = 26
+M_NSCALE = 27
+M_IMG = 28
+M_IMG_BASE = 29
+M_IMG_H = 30
+M_IMG_W = 31
+MEDREC = 32
 
 # transposed attribute table for the thin hit path: fields along
 # SUBLANES, primitives along LANES (f32[32, P_pad]), so one 128-block
@@ -245,6 +258,11 @@ def _merge_boxes(rec, kinds):
         # identical material/shading fields across the run
         if not np.allclose(rec[run, R_FLIP:REC], rec[p, R_FLIP:REC],
                            atol=0.0):
+            p += 1
+            continue
+        # image-textured faces need per-rect UV frames the box row drops
+        # (a box winner resolves with no rect frame) — stay unrolled
+        if rec[p, R_IMG] != 0.0:
             p += 1
             continue
         faces = {}   # k-axis -> [plane offsets]; plus world bounds check
@@ -497,6 +515,7 @@ def build_scene_record(scene: SceneTables):
 
     rec = np.zeros((P, REC), np.float32)
     kinds = []
+    has_emissive_tex = False  # any DiffuseLight with a non-solid texture
     for p in range(P):
         if ptype[p] == PRIM_RECT:
             k = "rect"
@@ -533,6 +552,11 @@ def build_scene_record(scene: SceneTables):
         rec[p, R_PARAM] = mat_param[m]
         tx = mat_tex[m]
         tt = int(tex_type[tx])
+        # DiffuseLight is texture-generic in the reference (emitted() =
+        # texture.value, src/material.rs:133-151): non-solid textures fill
+        # the same albedo/texture fields as scattering materials and the
+        # kernel's emission fixup adds the evaluated value for light
+        # winners (emis_tex flag); solid lights keep the cheap R_EMIT path.
         if tt == TEX_SOLID:
             color = tex_color[tx]
             if mt == MAT_DIFFUSE_LIGHT:
@@ -541,34 +565,30 @@ def build_scene_record(scene: SceneTables):
                 rec[p, R_ALB_EVEN:R_ALB_EVEN + 3] = color
         elif tt == TEX_CHECKER:
             odd, even = tex_child[tx]
-            if (tex_type[odd] != TEX_SOLID or tex_type[even] != TEX_SOLID
-                    or mt == MAT_DIFFUSE_LIGHT):
-                raise UnsupportedScene("nested/emissive checker")
+            if tex_type[odd] != TEX_SOLID or tex_type[even] != TEX_SOLID:
+                raise UnsupportedScene("nested checker")
             rec[p, R_ALB_ODD:R_ALB_ODD + 3] = tex_color[odd]
             rec[p, R_ALB_EVEN:R_ALB_EVEN + 3] = tex_color[even]
             rec[p, R_CHECKER] = 1.0
         elif tt == TEX_NOISE:
             # marble albedo, evaluated in-kernel (reference
             # src/texture.rs:66-70)
-            if mt == MAT_DIFFUSE_LIGHT:
-                raise UnsupportedScene("emissive noise texture")
             rec[p, R_NOISE] = 1.0
             rec[p, R_NSCALE] = np.asarray(scene.tex_scale)[tx]
         elif tt == TEX_IMAGE:
             # nearest-texel image albedo, fetched in-kernel from the packed
             # u8 atlas (reference src/texture.rs:73-108). Sphere UV comes
-            # from the post-flip world normal, so only unflipped, unrotated
-            # spheres qualify (the reference's earth is exactly that).
-            if mt == MAT_DIFFUSE_LIGHT:
-                raise UnsupportedScene("emissive image texture")
-            if k == "rect":
-                raise UnsupportedScene("image texture on a rect")
-            if float(np.asarray(scene.prim_flip)[p]) != 1.0:
-                raise UnsupportedScene("image texture on a flipped prim")
+            # from the winner's world normal (pre-flip via the carried flip
+            # when img_flip is set); rect UV is computed at selection time
+            # from the world-frame projections (valid for rotated rects —
+            # the frame is world-space, matching ops/intersect.py
+            # hit_attributes). Rotated image SPHERES would need the
+            # per-prim R₋ for the object normal — XLA tier only.
             xf = int(np.asarray(scene.prim_xform)[p])
-            if (float(np.asarray(scene.xf_sin)[xf]) != 0.0
-                    or float(np.asarray(scene.xf_cos)[xf]) != 1.0):
-                raise UnsupportedScene("image texture on a rotated prim")
+            if (k != "rect"
+                    and (float(np.asarray(scene.xf_sin)[xf]) != 0.0
+                         or float(np.asarray(scene.xf_cos)[xf]) != 1.0)):
+                raise UnsupportedScene("image texture on a rotated sphere")
             img_id = int(np.asarray(scene.tex_image)[tx])
             image_hw = np.asarray(scene.image_hw)
             rec[p, R_IMG] = 1.0
@@ -577,6 +597,8 @@ def build_scene_record(scene: SceneTables):
             rec[p, R_IMG_W] = float(image_hw[img_id, 1])
         else:
             raise UnsupportedScene(f"texture type {tt} needs the XLA tier")
+        if mt == MAT_DIFFUSE_LIGHT and tt != TEX_SOLID:
+            has_emissive_tex = True
 
     # ---- media (reference src/medium.rs; ConstantMedium w/ convex
     # analytic boundary, possibly Traslate∘Rotate-wrapped) ----
@@ -617,15 +639,40 @@ def build_scene_record(scene: SceneTables):
         med_rec[i, M_ROT:M_ROT + 9] = R.reshape(-1)
         med_rec[i, M_OFF:M_OFF + 3] = xf_off[xf]
         iso_tex = mat_tex[med_material[m]]
-        if int(tex_type[iso_tex]) != TEX_SOLID:
-            raise UnsupportedScene("non-solid medium albedo")
-        med_rec[i, M_ALB:M_ALB + 3] = tex_color[iso_tex]
+        itt = int(tex_type[iso_tex])
+        if itt == TEX_SOLID:
+            med_rec[i, M_ALB:M_ALB + 3] = tex_color[iso_tex]
+        elif itt == TEX_CHECKER:
+            odd, even = tex_child[iso_tex]
+            if tex_type[odd] != TEX_SOLID or tex_type[even] != TEX_SOLID:
+                raise UnsupportedScene("nested checker (medium albedo)")
+            med_rec[i, M_ALB:M_ALB + 3] = tex_color[even]
+            med_rec[i, M_ALB_ODD:M_ALB_ODD + 3] = tex_color[odd]
+            med_rec[i, M_CHK] = 1.0
+        elif itt == TEX_NOISE:
+            med_rec[i, M_NOISE] = 1.0
+            med_rec[i, M_NSCALE] = np.asarray(scene.tex_scale)[iso_tex]
+        elif itt == TEX_IMAGE:
+            img_id = int(np.asarray(scene.tex_image)[iso_tex])
+            image_hw = np.asarray(scene.image_hw)
+            med_rec[i, M_IMG] = 1.0
+            med_rec[i, M_IMG_BASE] = float(img_id * scene.images.shape[1])
+            med_rec[i, M_IMG_H] = float(image_hw[img_id, 0])
+            med_rec[i, M_IMG_W] = float(image_hw[img_id, 1])
+        else:
+            raise UnsupportedScene(
+                f"medium albedo texture {itt} needs the XLA tier")
 
-    flags = (bool(np.any(rec[:, R_CHECKER] > 0)),
+    has_med_tex = bool(len(live_media)
+                       and np.any(med_rec[:, (M_CHK, M_NOISE, M_IMG)] > 0))
+    flags = (bool(np.any(rec[:, R_CHECKER] > 0)
+                  or np.any(med_rec[:, M_CHK] > 0)),
              bool(np.any(rec[:, R_MAT] == MAT_METAL)),
              bool(np.any(rec[:, R_MAT] == MAT_DIELECTRIC)),
-             bool(np.any(rec[:, R_NOISE] > 0)),
-             bool(np.any(rec[:, R_IMG] > 0)))
+             bool(np.any(rec[:, R_NOISE] > 0)
+                  or np.any(med_rec[:, M_NOISE] > 0)),
+             bool(np.any(rec[:, R_IMG] > 0)
+                  or np.any(med_rec[:, M_IMG] > 0)))
 
     # ---- packed image atlas: one int32 (r<<16 | g<<8 | b) per texel so
     # the in-kernel 2D gather runs once instead of three times. The
@@ -718,11 +765,23 @@ def build_scene_record(scene: SceneTables):
             rec = np.zeros((1, REC), np.float32)
 
     # static kernel properties: does the dynamic sphere loop need the
-    # moving-center lerp at all? and the sphere-UV compat quirk
-    # (SceneTables.compat_uv_bug, reference src/sphere.rs:13)
+    # moving-center lerp at all? the sphere-UV compat quirk
+    # (SceneTables.compat_uv_bug, reference src/sphere.rs:13), and the
+    # feature-lattice corners (emissive textures, selection-time rect UV /
+    # medium-image UV carry, pre-flip image normals, textured media)
+    all_rows = [rec] + ([dyn_rec[:n_dyn]] if n_dyn else []) \
+        + ([box_rec[:n_box]] if n_box else [])
+    all_rows = np.concatenate(all_rows, axis=0)
+    uv_carry = bool(
+        any(k == "rect" and rec[i, R_IMG] > 0 for i, k in enumerate(kinds))
+        or np.any(med_rec[:, M_IMG] > 0))
+    img_flip = bool(np.any((all_rows[:, R_IMG] > 0)
+                           & (all_rows[:, R_FLIP] < 0)))
     flags = flags + (bool(n_dyn
                           and np.any(dyn_rec[:n_dyn, R_INV_DT] != 0.0)),
-                     bool(scene.compat_uv_bug))
+                     bool(scene.compat_uv_bug),
+                     bool(has_emissive_tex), uv_carry, img_flip,
+                     bool(has_med_tex))
 
     # ---- dense-medium walk fast path (host analysis) ----
     # A medium whose mean free path is much smaller than its extent
@@ -770,6 +829,12 @@ def build_scene_record(scene: SceneTables):
             for a in (0, 1) for b in (0, 1) for c_ in (0, 1)])
         med_aabbs.append((corners.min(0), corners.max(0)))
         med_dense.append(bool(4.0 * med_rec[i, M_INV_RHO] < extent))
+    if has_med_tex:
+        # the walk multiplies throughput by the event medium's SOLID
+        # albedo (media_events M_ALB); per-event texture evaluation
+        # inside the walk is not worth kernel space — textured-media
+        # scenes take the plain event path (correct, just slower)
+        med_dense = [False] * len(med_dense)
 
     int_rows, int_kinds = [], []
     if any(med_dense):
@@ -1120,7 +1185,8 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
     stats mode are NOT representative.
     """
     (has_checker, has_metal, has_diel, has_noise, has_image,
-     dyn_moving, compat_uv) = flags
+     dyn_moving, compat_uv, emis_tex, uv_carry, img_flip,
+     med_tex) = flags
     assert kpix == 1 or explicit_pix, \
         "kpix > 1 requires an explicit per-lane pixel table"
     if ABLATE:  # timing diagnostics only (see ABLATE above)
@@ -1145,6 +1211,11 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
         extra_fields += [R_NOISE, R_NSCALE]
     if has_image:
         extra_fields += [R_IMG, R_IMG_BASE, R_IMG_H, R_IMG_W]
+    # computed (non-record) carries appended after the record fields:
+    # winner flip (pre-flip image normals) and selection-time UV
+    # (image-on-rect world-frame projections / medium-image u=v=0)
+    n_special = (1 if img_flip else 0) + (3 if uv_carry else 0)
+    SPECIAL_BASE = 12 + len(extra_fields)
 
     def kernel(rec_ref, dyn_ref, box_ref, sclus_ref, bclus_ref, med_ref,
                cam_ref, params_ref, img_ref, attr_ref, int_ref, *rest):
@@ -1222,12 +1293,17 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
         def media_events(ox, oy, oz, dx, dy, dz, a_dd, inv_a, t_cap,
                          skip):
             """Nearest ConstantMedium scatter event on [T_MIN, t_cap]:
-            (t_med, albedo rgb, dense flag of the winning medium).
-            Shared by the main bounce and the dense-medium walk."""
+            (t_med, albedo rgb, dense flag of the winning medium,
+            [texture fields when med_tex]). Shared by the main bounce
+            and the dense-medium walk (med_tex scenes never walk)."""
             d_len = jnp.sqrt(a_dd)
             inv_dlen = f(1.0) / d_len
             t_med = jnp.full((SUB, LANES), f(BIG))
             mar = mag = mab = mdn = jnp.zeros((SUB, LANES), f)
+            # winning medium's albedo-texture fields (Isotropic is
+            # texture-generic, reference src/material.rs:153-173)
+            mex = [jnp.zeros((SUB, LANES), f)
+                   for _ in range(10)] if med_tex else []
             for i, (mk, dense_i) in enumerate(med_kinds):
                 def mr(k):
                     return med_ref[i, k]
@@ -1301,7 +1377,14 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                 mag = jnp.where(mbetter, mr(M_ALB + 1), mag)
                 mab = jnp.where(mbetter, mr(M_ALB + 2), mab)
                 mdn = jnp.where(mbetter, f(1.0 if dense_i else 0.0), mdn)
-            return t_med, mar, mag, mab, mdn
+                if med_tex:
+                    for j, fld in enumerate((M_ALB_ODD, M_ALB_ODD + 1,
+                                             M_ALB_ODD + 2, M_CHK,
+                                             M_NOISE, M_NSCALE, M_IMG,
+                                             M_IMG_BASE, M_IMG_H,
+                                             M_IMG_W)):
+                        mex[j] = jnp.where(mbetter, mr(fld), mex[j])
+            return t_med, mar, mag, mab, mdn, mex
 
         # ---- persistent wavefront over the sample budget ----
         # One lane = one pixel. Instead of tracing sample k of every lane
@@ -1383,7 +1466,7 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
             a_dd = _dot3(dx, dy, dz, dx, dy, dz)
             inv_a = f(1.0) / a_dd
 
-            def select(r, better, t_p, nxx, nyy, nzz, st):
+            def select(r, better, t_p, nxx, nyy, nzz, st, uvw=None):
                 (t_best, nx_b, ny_b, nz_b, mat_b, par_b,
                  emr, emg, emb, alr, alg, alb_) = st[:12]
                 flip = r(R_FLIP)
@@ -1404,11 +1487,28 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                        emr, emg, emb, alr, alg, alb_]
                 out += [jnp.where(better, r(fid), st[12 + i])
                         for i, fid in enumerate(extra_fields)]
+                sp = SPECIAL_BASE
+                if img_flip:
+                    out.append(jnp.where(better, flip, st[sp]))
+                    sp += 1
+                if uv_carry:
+                    # rect winners carry selection-time UV (the frame
+                    # scalars are in SMEM here, never post-loop); sphere
+                    # winners leave uvf=0 → the image block derives UV
+                    # from the normal
+                    if uvw is None:
+                        uu_p = vv_p = uvf_p = f(0.0)
+                    else:
+                        uu_p, vv_p, uvf_p = uvw
+                    out.append(jnp.where(better, uu_p, st[sp]))
+                    out.append(jnp.where(better, vv_p, st[sp + 1]))
+                    out.append(jnp.where(better, uvf_p, st[sp + 2]))
                 return out
 
             st = [t_best, nx_b, ny_b, nz_b, mat_b, par_b,
                   emr, emg, emb, alr, alg, alb_]
-            st += [jnp.zeros((SUB, LANES), f) for _ in extra_fields]
+            st += [jnp.zeros((SUB, LANES), f)
+                   for _ in range(len(extra_fields) + n_special)]
 
             # spheres / moving spheres (reference src/sphere.rs:37-77,
             # :115-118)
@@ -1483,7 +1583,16 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                           & (xa >= r(R_A0)) & (xa <= r(R_A1))
                           & (yb >= r(R_B0)) & (yb <= r(R_B1)))
                     t_p = jnp.where(ok, t_p, f(BIG))
-                    st = select(r, ok, t_p, nxx, nyy, nzz, st)
+                    uvw = None
+                    if uv_carry:
+                        # world-frame UV exactly like ops/intersect.py
+                        # hit_attributes (reference src/rect.rs:53-60);
+                        # the reciprocals are SMEM scalar math
+                        inv_wa = f(1.0) / (r(R_A1) - r(R_A0))
+                        inv_wb = f(1.0) / (r(R_B1) - r(R_B0))
+                        uvw = ((xa - r(R_A0)) * inv_wa,
+                               (yb - r(R_B0)) * inv_wb, r(R_IMG))
+                    st = select(r, ok, t_p, nxx, nyy, nzz, st, uvw=uvw)
 
             if n_dyn or n_box:
                 # safe reciprocal direction for the slab tests: exact-zero
@@ -1822,6 +1931,16 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                     for i, fid in enumerate(extra_fields):
                         val = flx(fid - 17) if fid - 17 in pos else f(0.0)
                         stt[12 + i] = mg(val, stt[12 + i])
+                    sp = SPECIAL_BASE
+                    if img_flip:
+                        stt[sp] = mg(flipw, stt[sp])
+                        sp += 1
+                    if uv_carry:
+                        # thin winners are spheres/boxes — never
+                        # carried-UV prims (image rects always unroll,
+                        # image cubes never merge)
+                        for k in range(3):
+                            stt[sp + k] = mg(f(0.0), stt[sp + k])
                     return tuple(stt)
 
                 if "resolve" in ABLATE:  # timing diagnostics only
@@ -1845,6 +1964,61 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
             if has_image:
                 imgf, ibase, ihh, iww = st[pos_x:pos_x + 4]
                 pos_x += 4
+            if img_flip:
+                flp_w = st[pos_x]
+                pos_x += 1
+            if uv_carry:
+                uu_c, vv_c, uvf = st[pos_x:pos_x + 3]
+                pos_x += 3
+
+            if med_kinds:
+                # ---- ConstantMedium events (reference src/medium.rs:
+                # 28-56): analytic entry/exit on the infinite line,
+                # clamped to [T_MIN, closest surface], exponential
+                # free flight −(1/ρ)·ln U. skip_med suppresses every
+                # event for lanes whose dense-medium walk already
+                # concluded no-scatter on this segment (re-rolling the
+                # memoryless flight would double the scatter chance).
+                # Runs BEFORE the texture blocks so a medium winner's
+                # albedo texture (med_tex) evaluates at the scatter
+                # point through the same checker/noise/image code ----
+                t_med, mar, mag, mab, mdn, mex = media_events(
+                    ox, oy, oz, dx, dy, dz, a_dd, inv_a, t_best,
+                    skip_med)
+                skip_med = jnp.zeros((SUB, LANES), f)  # consumed
+                med_event = t_med < t_best
+                evt_dense = jnp.where(med_event, mdn, f(0.0))
+                t_best = jnp.where(med_event, t_med, t_best)
+                mat_b = jnp.where(med_event, f(MAT_ISOTROPIC), mat_b)
+                alr = jnp.where(med_event, mar, alr)
+                alg = jnp.where(med_event, mag, alg)
+                alb_ = jnp.where(med_event, mab, alb_)
+                emr = jnp.where(med_event, f(0.0), emr)
+                emg = jnp.where(med_event, f(0.0), emg)
+                emb = jnp.where(med_event, f(0.0), emb)
+                if med_tex:
+                    # a medium winner replaces the occluded surface's
+                    # texture state with its own (zeros for solid media);
+                    # image media sample at u=v=0 (reference
+                    # src/medium.rs:44-50 arbitrary hit attributes)
+                    (m_aor, m_aog, m_aob, m_chk, m_noiz, m_nsc, m_imgf,
+                     m_ibase, m_ihh, m_iww) = mex
+                    if has_checker:
+                        aor = jnp.where(med_event, m_aor, aor)
+                        aog = jnp.where(med_event, m_aog, aog)
+                        aob = jnp.where(med_event, m_aob, aob)
+                        chk = jnp.where(med_event, m_chk, chk)
+                    if has_noise:
+                        noiz = jnp.where(med_event, m_noiz, noiz)
+                        nsc = jnp.where(med_event, m_nsc, nsc)
+                    if has_image:
+                        imgf = jnp.where(med_event, m_imgf, imgf)
+                        ibase = jnp.where(med_event, m_ibase, ibase)
+                        ihh = jnp.where(med_event, m_ihh, ihh)
+                        iww = jnp.where(med_event, m_iww, iww)
+                        uvf = jnp.where(med_event, m_imgf, uvf)
+                        uu_c = jnp.where(med_event, f(0.0), uu_c)
+                        vv_c = jnp.where(med_event, f(0.0), vv_c)
 
             if has_checker:
                 # checker sign at the winning surface hit point
@@ -1883,19 +2057,31 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                 alb_ = jnp.where(use_noise, marble, alb_)
 
             if has_image:
-                # nearest-texel image albedo from the winning sphere's
-                # unit normal (reference src/texture.rs:86-108 +
-                # src/sphere.rs:7-15). Build gates image prims to
-                # unflipped, unrotated spheres, so the post-flip world
-                # normal IS the object normal the XLA tier maps
-                # (ops/intersect.py hit_attributes).
-                phi = _atan2(nz_b, nx_b)
-                theta = _asin(jnp.clip(ny_b, f(-1.0), f(1.0)))
+                # nearest-texel image albedo (reference
+                # src/texture.rs:86-108). Sphere winners map UV from the
+                # unit normal (src/sphere.rs:7-15) — pre-flip object
+                # normal via the carried flip when img_flip (build gates
+                # image spheres to unrotated, so no R₋ is needed); rect
+                # and medium winners use the selection-time carried UV
+                # (uvf > 0) — world-frame rect projections / the
+                # reference's u=v=0 medium attributes.
+                if img_flip:
+                    nux = nx_b * flp_w
+                    nuy = ny_b * flp_w
+                    nuz = nz_b * flp_w
+                else:
+                    nux, nuy, nuz = nx_b, ny_b, nz_b
+                phi = _atan2(nuz, nux)
+                theta = _asin(jnp.clip(nuy, f(-1.0), f(1.0)))
                 uu = f(1.0) - (phi + f(math.pi)) * f(0.5 / math.pi)
                 # compat_uv reproduces the reference's FRAC_2_PI constant
                 # (src/sphere.rs:13) — see SceneTables.compat_uv_bug
                 v_off = (2.0 / math.pi) if compat_uv else (math.pi / 2.0)
                 vv = (theta + f(v_off)) * f(1.0 / math.pi)
+                if uv_carry:
+                    use_uvc = uvf > f(0.0)
+                    uu = jnp.where(use_uvc, uu_c, uu)
+                    vv = jnp.where(use_uvc, vv_c, vv)
                 iww_i = iww.astype(jnp.int32)
                 ihh_i = ihh.astype(jnp.int32)
                 ii = jnp.clip((uu * iww).astype(jnp.int32), 0, iww_i - 1)
@@ -1926,28 +2112,17 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                 alg = jnp.where(use_img, tg, alg)
                 alb_ = jnp.where(use_img, tb, alb_)
 
-            if med_kinds:
-                # ---- ConstantMedium events (reference src/medium.rs:
-                # 28-56): analytic entry/exit on the infinite line,
-                # clamped to [T_MIN, closest surface], exponential
-                # free flight −(1/ρ)·ln U. skip_med suppresses every
-                # event for lanes whose dense-medium walk already
-                # concluded no-scatter on this segment (re-rolling the
-                # memoryless flight would double the scatter chance) ----
-                t_med, mar, mag, mab, mdn = media_events(
-                    ox, oy, oz, dx, dy, dz, a_dd, inv_a, t_best,
-                    skip_med)
-                skip_med = jnp.zeros((SUB, LANES), f)  # consumed
-                med_event = t_med < t_best
-                evt_dense = jnp.where(med_event, mdn, f(0.0))
-                t_best = jnp.where(med_event, t_med, t_best)
-                mat_b = jnp.where(med_event, f(MAT_ISOTROPIC), mat_b)
-                alr = jnp.where(med_event, mar, alr)
-                alg = jnp.where(med_event, mag, alg)
-                alb_ = jnp.where(med_event, mab, alb_)
-                emr = jnp.where(med_event, f(0.0), emr)
-                emg = jnp.where(med_event, f(0.0), emg)
-                emb = jnp.where(med_event, f(0.0), emb)
+            if emis_tex:
+                # texture-generic DiffuseLight (reference
+                # src/material.rs:133-151): a light winner's emission is
+                # its evaluated texture value, which the blocks above
+                # left in the albedo registers (textured lights carry
+                # R_EMIT = 0; solid lights carry albedo 0, so the add is
+                # exact for both). Medium winners are ISOTROPIC → 0.
+                is_light = (mat_b == f(MAT_DIFFUSE_LIGHT)).astype(f)
+                emr = emr + is_light * alr
+                emg = emg + is_light * alg
+                emb = emb + is_light * alb_
 
             hit = (t_best < f(BIG)).astype(f) * alive
 
@@ -2227,7 +2402,7 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                         t_s = jnp.minimum(t_s, jnp.where(ok2, t_p,
                                                          f(BIG)))
 
-                    t_m2, ma_r, ma_g, ma_b, mdn2 = media_events(
+                    t_m2, ma_r, ma_g, ma_b, mdn2, _ = media_events(
                         wox, woy, woz, wdx, wdy, wdz, a2, ia2, t_s,
                         jnp.zeros((SUB, LANES), f))
                     evt = t_m2 < f(BIG)

@@ -30,7 +30,7 @@ def test_cornell_record():
     assert sorted(sum((list(g) for g in groups), [])) == list(range(17))
     assert len(groups) == 9
     assert n_dyn == 0 and med_kinds == ()
-    assert flags == (False,) * 7  # checker/metal/diel/noise/image/dyn_moving/compat_uv
+    assert flags == (False,) * 11  # checker/metal/diel/noise/image/dyn_moving/compat_uv/emis_tex/uv_carry/img_flip/med_tex
     # light rect (index 2) emits 15
     np.testing.assert_allclose(rec[2, pt.R_EMIT:pt.R_EMIT + 3], 15.0)
     # green wall flip carried
@@ -49,7 +49,7 @@ def test_random_spheres_partition():
     assert kinds == ("sphere",) * 4
     assert n_dyn == scene.num_prims - 4
     (has_checker, has_metal, has_diel, has_noise, has_image,
-     dyn_moving, compat_uv) = flags
+     dyn_moving, compat_uv, emis_tex, uv_carry, img_flip, med_tex) = flags
     assert has_checker and has_metal and has_diel and not has_noise
     # random_spheres' ~330 movers exceed the unroll budget, so the thin
     # dynamic loop keeps the moving-center lerp for this scene
@@ -104,7 +104,7 @@ def test_final_scene_partition():
     # the subsurface blue sphere is walk-dense (mfp 5 vs diameter 140)
     # AND sealed by the coincident glass hero; the global mist is not
     assert med_kinds == (("msphere", True), ("msphere", False))
-    assert flags == (False, True, True, True, True, False, False)
+    assert flags == (False, True, True, True, True, False) + (False,) * 5
     # compact attribute table: the dyn/box prims (white spheres + green
     # ground boxes, all lambertian) carry no moving centers, metal/diel
     # params, checker, noise, or image fields, so exactly 16 fields
@@ -189,7 +189,7 @@ def test_noise_scene_record():
     (rec, kinds, groups, dyn, n_dyn, box, n_box, sclus, n_sclus, bclus,
      n_bclus, med, med_kinds, flags, img, attr, attr_fields, int_rec,
      int_kinds) = pt.build_scene_record(scene)
-    assert flags == (False, False, False, True, False, False, False)
+    assert flags == (False, False, False, True, False, False) + (False,) * 5
     np.testing.assert_allclose(rec[:, pt.R_NOISE], 1.0)
     np.testing.assert_allclose(rec[:, pt.R_NSCALE], 4.0)  # test.rs:186
 

@@ -252,5 +252,136 @@ def test_kernel_traces_earth_compat_uv():
     (rec, kinds, groups, dyn, n_dyn, box, n_box, sclus, n_sclus, bclus,
      n_bclus, med, med_kinds, flags, img, attr, attr_fields, int_rec,
      int_kinds) = pt.build_scene_record(scene)
-    assert flags[-1]  # compat_uv reaches the kernel's static flags
+    assert flags[6]  # compat_uv reaches the kernel's static flags
     _trace(scene, nx=256, ny=128, grid=4)
+
+
+# ---- feature-lattice corners (VERDICT r2 task 4) ----------------------------
+# Legal reference scenes the megakernel previously refused: DiffuseLight is
+# texture-generic (reference src/material.rs:133-151), image textures go on
+# any hittable (src/texture.rs:73-108), and Isotropic medium albedo is
+# texture-generic (src/material.rs:153-173). Each former hole gets a
+# synthetic scene that must build a record and trace; hardware parity for
+# the combined lattice scene runs in tools/tpu_parity.py.
+
+def _texels(seed=3, h=8, w=16):
+    rng = np.random.default_rng(seed)
+    return (np.rint(rng.uniform(26, 230, (h, w, 3))).astype(np.float32)
+            / 255.0).astype(np.float32)
+
+
+def lattice_scene():
+    return builders.lattice_scene()
+
+
+def test_lattice_record_flags():
+    scene = lattice_scene()
+    (rec, kinds, groups, dyn, n_dyn, box, n_box, sclus, n_sclus, bclus,
+     n_bclus, med, med_kinds, flags, img, attr, attr_fields, int_rec,
+     int_kinds) = pt.build_scene_record(scene)
+    (has_checker, has_metal, has_diel, has_noise, has_image, dyn_moving,
+     compat_uv, emis_tex, uv_carry, img_flip, med_tex) = flags
+    assert has_checker and has_noise and has_image
+    assert emis_tex and uv_carry and img_flip and med_tex
+    assert len(med_kinds) == 3
+    # textured media never take the dense-walk fast path
+    assert all(not dense for _, dense in med_kinds)
+    # medium records carry their albedo-texture fields
+    med = np.asarray(med).reshape(-1, pt.MEDREC)
+    assert (med[:, pt.M_CHK] > 0).sum() == 1
+    assert (med[:, pt.M_NOISE] > 0).sum() == 1
+    assert (med[:, pt.M_IMG] > 0).sum() == 1
+
+
+def test_kernel_traces_lattice():
+    _trace(lattice_scene(), nx=128, ny=128, grid=2)
+
+
+@pytest.mark.parametrize("hole", [
+    "emissive_checker", "emissive_noise", "emissive_image",
+    "image_rect", "image_flipped_sphere",
+    "medium_checker", "medium_noise", "medium_image"])
+def test_kernel_traces_each_former_hole(hole):
+    from raytracing_rust_tpu.models.scene import SceneBuilder, BG_BLACK
+    b = SceneBuilder(background=BG_BLACK)
+    white = b.lambertian(b.solid(0.5, 0.5, 0.5))
+    b.sphere((0, -100, 0), 99.0, white)
+    if hole == "emissive_checker":
+        b.rect("zx", -1, -1, 1, 1, 3.0,
+               b.diffuse_light(b.checker(b.solid(4, 4, 4),
+                                         b.solid(1, 1, 1))), flip=True)
+    elif hole == "emissive_noise":
+        b.sphere((0, 2, 0), 0.5, b.diffuse_light(b.noise(3.0)))
+    elif hole == "emissive_image":
+        b.sphere((0, 2, 0), 0.5, b.diffuse_light(b.image(_texels())))
+    elif hole == "image_rect":
+        b.rect("xy", -1, 0, 1, 2, -2.0, b.lambertian(b.image(_texels())))
+    elif hole == "image_flipped_sphere":
+        b.sphere((0, 1, 0), 0.8, b.lambertian(b.image(_texels())))
+        # make the flip live on the image prim
+        b._pflip[-1] = -1.0
+    elif hole == "medium_checker":
+        b.medium_sphere((0, 1, 0), 1.0, 0.5,
+                        b.checker(b.solid(1, 0, 0), b.solid(0, 1, 0)))
+    elif hole == "medium_noise":
+        b.medium_box((-1, 0, -1), (1, 1, 1), 0.5, b.noise(2.0))
+    elif hole == "medium_image":
+        b.medium_sphere((0, 1, 0), 1.0, 0.5, b.image(_texels()))
+    _trace(b.build(), nx=64, ny=64, grid=1)
+
+
+def test_remaining_holes_fall_back_exactly():
+    """The two combinations still not worth kernel space are pinned: they
+    raise UnsupportedScene (render() falls back to the XLA tier, which
+    handles both generically)."""
+    from raytracing_rust_tpu.models.scene import SceneBuilder
+
+    # nested checker (checker child of a checker, reference
+    # src/texture.rs:27-48 is recursive)
+    b = SceneBuilder()
+    inner = b.checker(b.solid(1, 0, 0), b.solid(0, 1, 0))
+    b.sphere((0, 0, 0), 1.0,
+             b.lambertian(b.checker(inner, b.solid(1, 1, 1))))
+    with pytest.raises(pt.UnsupportedScene, match="nested checker"):
+        pt.build_scene_record(b.build())
+
+    # image texture on a ROTATED sphere (object normal needs the per-prim
+    # R₋ the record does not carry; rotated image RECTS are supported —
+    # their world-frame UV is rotation-aware)
+    b = SceneBuilder()
+    xf = b.transform(rotate_axis="y", angle_deg=30.0)
+    b.sphere((0, 0, 0), 1.0,
+             b.lambertian(b.image(_texels())), xform=xf)
+    with pytest.raises(pt.UnsupportedScene, match="rotated sphere"):
+        pt.build_scene_record(b.build())
+
+
+def test_rotated_image_rect_is_supported():
+    from raytracing_rust_tpu.models.scene import SceneBuilder
+    b = SceneBuilder()
+    xf = b.transform(offset=(0, 0, 1), rotate_axis="y", angle_deg=45.0)
+    b.rect("xy", -1, -1, 1, 1, 0.0,
+           b.lambertian(b.image(_texels())), xform=xf)
+    _trace(b.build(), nx=64, ny=64, grid=1)
+
+
+def test_image_cube_stays_unrolled():
+    """Image-textured cube faces must NOT merge into a box row (a box
+    winner has no rect UV frame); they render as 6 unrolled rects."""
+    from raytracing_rust_tpu.models.scene import SceneBuilder
+    rng = np.random.default_rng(0)
+    b = SceneBuilder()
+    img = b.lambertian(b.image(_texels()))
+    plain = b.lambertian(b.solid(0.5, 0.5, 0.5))
+    for i in range(20):  # push past UNROLL_BUDGET so merging is live
+        c = rng.uniform(-20, 20, 3)
+        b.cube(c, c + 1.0, plain)
+    for i in range(120):
+        c = rng.uniform(-20, 20, 3)
+        b.sphere(c, 0.3, plain)
+    b.cube((30, 0, 0), (31, 1, 1), img)
+    scene = b.build()
+    (rec, kinds, groups, dyn, n_dyn, box, n_box, *_rest
+     ) = pt.build_scene_record(scene)
+    assert n_box == 20        # plain cubes merged
+    assert kinds.count("rect") >= 6   # the image cube's faces unrolled

@@ -111,6 +111,41 @@ def main() -> int:
               f" rel={rel:.3f} tol={tol} {'OK' if ok else 'FAIL'}")
         failures += 0 if ok else 1
 
+    # feature-lattice scene (VERDICT r2 task 4): every legal combination
+    # no reference scene uses — emissive checker/noise/image, image on
+    # rotated/flipped rects and flipped spheres, textured medium albedo —
+    # kernel vs XLA on hardware (the CPU suite can only trace it)
+    from raytracing_rust_tpu.models.builders import lattice_scene
+    from raytracing_rust_tpu.ops.camera import make_camera
+    scene = lattice_scene()
+    lnx, lny, lspp = 96, 54, 64 if quick else 128
+    cam = make_camera((0, 4, 14), (0, 1.5, 0), (0, 1, 0), 45.0,
+                      lnx / lny, 0.0, 10.0, 0.0, 1.0)
+    t0 = time.time()
+    a = _with_retry(lambda: render_pallas(scene, cam, lnx, lny, lspp,
+                                          seed=0, max_depth=16))
+    tp = time.time() - t0
+    t0 = time.time()
+    b = _with_retry(lambda: render(scene, cam, lnx, lny, lspp, seed=1,
+                                   max_depth=16))
+    tx = time.time() - t0
+    ma, mb = float(a.mean()), float(b.mean())
+    rel = abs(ma - mb) / max(mb, 1e-6)
+    # the lattice's features are small on screen, so ALSO compare
+    # per-pixel against a same-tier different-seed MC-noise yardstick —
+    # a localized UV/emission bug would blow past it where the image
+    # mean would dilute it (measured ratio 0.999 on v5e at 128 spp)
+    b2 = _with_retry(lambda: render(scene, cam, lnx, lny, lspp, seed=2,
+                                    max_depth=16))
+    mad = float(np.abs(np.asarray(a) - np.asarray(b)).mean())
+    mad0 = float(np.abs(np.asarray(b2) - np.asarray(b)).mean())
+    ok = (np.isfinite(a).all() and rel < 0.04
+          and mad < 1.3 * max(mad0, 1e-6))
+    print(f"lattice: pallas={ma:.4f} ({tp:.0f}s) xla={mb:.4f} ({tx:.0f}s)"
+          f" rel={rel:.3f} tol=0.04 mean|Δpx|={mad:.4f} "
+          f"noise={mad0:.4f} {'OK' if ok else 'FAIL'}")
+    failures += 0 if ok else 1
+
     for name, expected in XLA_BANDS.items():
         preset = PRESETS[name]
         scene = preset.build()
