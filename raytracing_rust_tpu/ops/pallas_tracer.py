@@ -196,6 +196,9 @@ BOX_LEAF = int(os.environ.get("RT_BOX_LEAF", "8"))   # box leaf size
 #   leaf — leaf guards only (no super level)
 #   flat — no guards at all (pure member scan)
 CULL = os.environ.get("RT_CULL", "wide")
+# grid-specialized ground-box strip pass (A/B: RT_GRID=0 restores the
+# generic culled box loop on grid scenes)
+GRID = os.environ.get("RT_GRID", "1") == "1"
 
 # gate the winner-attribute resolution pass behind any(winner)? The gate
 # skips a ~600-op gather on winnerless steps, but its fori carries the
@@ -461,6 +464,92 @@ def _cluster_rows(rows, lo, hi, leaf):
             np.asarray(table, np.float32) if table
             else np.zeros((1, 8), np.float32),
             len(clusters), len(supers))
+
+
+def _grid_cluster_rows(box_rows):
+    """Detect a regular NI×NJ ground-box grid and build strip clusters.
+
+    final_scene's 400 ground boxes (reference tests/test.rs:424-438) are a
+    20×20 grid: shared y_lo, x/z bounds on one pitch w, only heights vary.
+    The kernel's grid strip pass (see the `grid_spec` branch in
+    _make_kernel) exploits that structure: the y_lo plane is hoisted per
+    step, the x-slab per strip, and each member pays only its y_hi plane
+    and z-slab — roughly half the generic box slab test, on the scene's
+    dominant cost (~2/3 of its ~600 member tests/step).
+
+    Returns (rows strip-ordered (x-major, z-ascending), cluster table
+    [NI leaf strips + supers, 8], n_leaf, n_sup, NI, NJ) or None when the
+    boxes are not a grid. Leaf row i is strip i's AABB
+    [x_i, x_i+w] × [y_lo, max_j h_ij] × [z_0, z_0+NJ·w] with
+    (start=i·NJ, count=NJ); supers group SUP_FANOUT strips for the root
+    fold. The layout is a valid generic cluster table too, so non-"wide"
+    cull modes and the CPU tripwire run the same rows unspecialized.
+    """
+    B = len(box_rows)
+    if B < 16:
+        return None  # not worth a specialized pass
+    lo = box_rows[:, R_C0:R_C0 + 3]
+    hi = box_rows[:, R_DC:R_DC + 3]
+    ylo = lo[0, 1]
+    if not np.all(lo[:, 1] == ylo):
+        return None
+    xs = np.unique(lo[:, 0])
+    zs = np.unique(lo[:, 2])
+    ni, nj = len(xs), len(zs)
+    if ni < 2 or nj < 2 or ni * nj != B:
+        return None
+    w = float(xs[1] - xs[0])
+    if w <= 0:
+        return None
+    tol = 1e-4 * w
+    if not (np.allclose(np.diff(xs), w, rtol=0, atol=tol)
+            and np.allclose(np.diff(zs), w, rtol=0, atol=tol)
+            and np.allclose(hi[:, 0] - lo[:, 0], w, rtol=0, atol=tol)
+            and np.allclose(hi[:, 2] - lo[:, 2], w, rtol=0, atol=tol)):
+        return None
+    i_idx = np.rint((lo[:, 0] - xs[0]) / w).astype(int)
+    j_idx = np.rint((lo[:, 2] - zs[0]) / w).astype(int)
+    cells = i_idx * nj + j_idx
+    if len(np.unique(cells)) != B:
+        return None
+    order = np.argsort(cells)
+    rows = np.ascontiguousarray(box_rows[order])
+    # the kernel's incremental z-exit assumes hi_z = lo_z + w with ONE
+    # shared f32 pitch; require that exactly so tz1 = tz0 + w·inv_dz is
+    # the same plane the resolve pass recomputes (up to one rounding)
+    w32 = np.float32(rows[0, R_DC + 2] - rows[0, R_C0 + 2])
+    if not np.all((rows[:, R_DC + 2] - rows[:, R_C0 + 2]) == w32):
+        return None
+    leaves = []
+    for i in range(ni):
+        strip = rows[i * nj:(i + 1) * nj]
+        # the strip x-slab must be BIT-identical to every member's own
+        # x planes (the attribute resolve matches faces by exact t
+        # equality, so the hoisted (lo_x − ox)·inv_dx must equal the
+        # per-box recomputation)
+        if (not np.all(strip[:, R_C0] == strip[0, R_C0])
+                or not np.all(strip[:, R_DC] == strip[0, R_DC])):
+            return None
+        # leaves are BOX_LEAF-member z-SEGMENTS of the strip, not whole
+        # strips: a full-z strip AABB is too coarse a cull (measured
+        # +20% box member tests/step on final_scene, which ate the
+        # cheap test's savings); segments restore the generic leaves'
+        # granularity while every member keeps the grid-form test
+        for s in range(0, nj, BOX_LEAF):
+            seg = strip[s:s + BOX_LEAF]
+            leaves.append(np.concatenate([
+                [strip[0, R_C0], ylo, seg[0, R_C0 + 2]],
+                [strip[0, R_DC], seg[:, R_DC + 1].max(),
+                 seg[-1, R_DC + 2]],
+                [i * nj + s, len(seg)]]))
+    supers = []
+    for s in range(0, len(leaves), SUP_FANOUT):
+        grp = np.stack(leaves[s:s + SUP_FANOUT])
+        supers.append(np.concatenate([
+            grp[:, 0:3].min(0), grp[:, 3:6].max(0),
+            [s, len(grp)]]))
+    table = np.asarray(leaves + supers, np.float32)
+    return rows, table, len(leaves), len(supers), ni, nj
 
 
 def build_scene_record(scene: SceneTables):
@@ -755,10 +844,18 @@ def build_scene_record(scene: SceneTables):
             n_sclus = tuple(n_sclus)
         n_box = len(box_rows)
         if n_box:
-            box_rec, bclus, *n_bclus = _cluster_rows(
-                box_rows, box_rows[:, R_C0:R_C0 + 3],
-                box_rows[:, R_DC:R_DC + 3], BOX_LEAF)
-            n_bclus = tuple(n_bclus)
+            g = _grid_cluster_rows(box_rows) if GRID else None
+            if g is not None:
+                # regular grid: strip-major rows + strip clusters; the
+                # 4-tuple n_bclus carries (NI, NJ) to the kernel's
+                # grid strip pass (see build_scene_record docstring)
+                box_rec, bclus, *n_bclus = g
+                n_bclus = tuple(n_bclus)
+            else:
+                box_rec, bclus, *n_bclus = _cluster_rows(
+                    box_rows, box_rows[:, R_C0:R_C0 + 3],
+                    box_rows[:, R_DC:R_DC + 3], BOX_LEAF)
+                n_bclus = tuple(n_bclus)
         rec = np.ascontiguousarray(rec[keep])
         kinds = [k for i, k in enumerate(kinds) if keep[i]]
         if not kinds:  # SMEM inputs need at least one row
@@ -1645,10 +1742,13 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                                              inner, tuple(st))
 
                 def _culled_loop(clus_ref, counts, member_body, thin0,
-                                 n_mem):
+                                 n_mem, leaf_fn=None):
                     # dispatch a dynamic member loop under the configured
-                    # cull strategy (see CULL above)
-                    n_leaf, n_sup = counts
+                    # cull strategy (see CULL above). leaf_fn(c, bit, st),
+                    # when given, replaces the wide path's generic
+                    # per-leaf member fori — the grid strip pass uses it
+                    # to hoist per-strip work outside its member loop
+                    n_leaf, n_sup = counts[:2]
 
                     def leaf_body(c, st2):
                         return _clus_guard(clus_ref, c, st2, member_body)
@@ -1706,6 +1806,8 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                             # coherent step's time on final_scene
                             def leaf_body(c, st3):
                                 b = _word_bit(words, c)
+                                if leaf_fn is not None:
+                                    return leaf_fn(c, b, tuple(st3))
                                 start = clus_ref[c, 6].astype(jnp.int32)
                                 cnt = clus_ref[c, 7].astype(jnp.int32)
                                 return jax.lax.fori_loop(
@@ -1790,8 +1892,69 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                         + ((st2[2] + f(1.0),) if stats else ())
 
                 thin1 = (t_thin, widx) + ((s_mem_b,) if stats else ())
-                out1 = _culled_loop(bclus_ref, n_bclus, box_thin, thin1,
-                                    n_box)
+                grid_spec = n_bclus[2:] if len(n_bclus) == 4 else None
+                strip_leaf = None
+                if grid_spec is not None and CULL == "wide":
+                    # ---- grid strip pass (regular NI×NJ ground-box
+                    # grid, _grid_cluster_rows): the shared y_lo plane
+                    # is hoisted per step and the x-slab per strip;
+                    # each member pays only its y_hi plane, its exact
+                    # z entry, an incremental z exit (one shared f32
+                    # pitch, host-verified), and the interval fold —
+                    # ~2/3 of the generic slab test's vector ops on
+                    # final_scene's dominant member population. The
+                    # hoisted planes reuse the members' own bit
+                    # patterns (leaf lo_x/hi_x == member lo_x/hi_x,
+                    # host-verified), so the attribute resolve's exact
+                    # t-match face classification is unchanged; an
+                    # inexact incremental z EXIT can only win for
+                    # inside-the-box starts, where the z face is the
+                    # classification fallthrough anyway. ----
+                    ylo_g = box_ref[0, R_C0 + 1]
+                    w_g = box_ref[0, R_DC + 2] - box_ref[0, R_C0 + 2]
+                    t_ylo = (ylo_g - oy) * inv_dy
+                    dwz = w_g * inv_dz
+
+                    def strip_leaf(c, bit, st2):
+                        def run(_, st3):
+                            tx0 = (bclus_ref[c, 0] - ox) * inv_dx
+                            tx1 = (bclus_ref[c, 3] - ox) * inv_dx
+                            txmn = jnp.minimum(tx0, tx1)
+                            txmx = jnp.maximum(tx0, tx1)
+                            start = bclus_ref[c, 6].astype(jnp.int32)
+                            cnt = bclus_ref[c, 7].astype(jnp.int32)
+
+                            def member(p, st4):
+                                t_b, wi = st4[:2]
+                                pf = p.astype(f)
+                                th = (box_ref[p, R_DC + 1] - oy) * inv_dy
+                                tz0 = (box_ref[p, R_C0 + 2] - oz) * inv_dz
+                                tz1 = tz0 + dwz
+                                tmn = jnp.maximum(
+                                    jnp.maximum(jnp.minimum(t_ylo, th),
+                                                txmn),
+                                    jnp.minimum(tz0, tz1))
+                                tmx = jnp.minimum(
+                                    jnp.minimum(jnp.maximum(t_ylo, th),
+                                                txmx),
+                                    jnp.maximum(tz0, tz1))
+                                t_p = jnp.where(tmn > f(T_MIN), tmn, tmx)
+                                ok = ((tmx > tmn) & (t_p > f(T_MIN))
+                                      & (t_p < t_b))
+                                return (jnp.where(ok, t_p, t_b),
+                                        jnp.where(ok, f(n_dyn) + pf, wi)) \
+                                    + ((st4[2] + f(1.0),) if stats else ())
+
+                            return jax.lax.fori_loop(start, start + cnt,
+                                                     member, tuple(st3))
+
+                        # zero-trip gate on the strip's wide-mask bit —
+                        # the x hoist itself is skipped for masked strips
+                        return jax.lax.fori_loop(
+                            0, jnp.where(bit > 0, 1, 0), run, tuple(st2))
+
+                out1 = _culled_loop(bclus_ref, n_bclus[:2], box_thin,
+                                    thin1, n_box, leaf_fn=strip_leaf)
                 t_thin, widx = out1[:2]
                 if stats:
                     s_mem_b = out1[2]

@@ -130,8 +130,19 @@ def test_final_scene_partition():
                                rtol=1e-6)
     # leaf clusters tile their member tables exactly; superclusters tile
     # the leaf rows exactly (two-level cull layout: leaves then supers)
-    for clus, (n_leaf, n_sup), rows in ((sclus, n_sclus, dyn),
-                                        (bclus, n_bclus, box)):
+    # final_scene's 400 ground boxes are the reference's 20x20 grid
+    # (tests/test.rs:424-438): the box clusters are 60 z-segment strip
+    # leaves (20 strips x 3 BOX_LEAF segments) + 8 supers, and n_bclus
+    # carries (NI, NJ) for the kernel's grid strip pass
+    assert n_bclus == (60, 8, 20, 20)
+    # strip-major ordering: lo_x constant within each 20-member strip,
+    # lo_z ascending by the shared pitch
+    for i in range(20):
+        strip = box[i * 20:(i + 1) * 20]
+        assert (strip[:, pt.R_C0] == strip[0, pt.R_C0]).all()
+        assert (np.diff(strip[:, pt.R_C0 + 2]) > 0).all()
+    for clus, (n_leaf, n_sup), rows in ((sclus, n_sclus[:2], dyn),
+                                        (bclus, n_bclus[:2], box)):
         assert len(clus) == n_leaf + n_sup and n_sup >= 1
         for part, total in ((clus[:n_leaf], len(rows)),
                             (clus[n_leaf:], n_leaf)):
