@@ -1,22 +1,52 @@
 #!/usr/bin/env python
-"""Inverse rendering demo: recover a wall albedo by gradient descent.
+"""Inverse rendering at production scale: recover scene parameters by
+gradient descent through the full path tracer.
 
-Renders a target image of a cornell-style box, perturbs the tall box's
-albedo, and optimizes it back with Adam on an L2 photometric loss —
-gradients flow through the full path tracer (`trace(differentiable=True)`,
-rematerialized bounce scan). This is the capability the reference renderer
-fundamentally lacks: its scene parameters are opaque to any optimizer.
+A 200×200 target image of a cornell-style box is optimized against with
+Adam on an L2 photometric loss over random pixel blocks (spp 64 per step,
+`parallel.sharding.train_step_sharded` on a dp×sp device mesh — GSPMD
+psum-reduces the parameter gradients, the ray-tracing analogue of DP
+gradient sync). TWO parameter groups are recovered simultaneously: the
+tall box's albedo (3 channels) and the ceiling light's emission (scalar) —
+wall pixels pin the emission, box pixels then pin the albedo. Gradients
+flow through `trace(differentiable=True)`'s rematerialized bounce scan.
+This is the capability the reference renderer fundamentally lacks: its
+scene parameters are opaque to any optimizer.
 
-Runs anywhere (CPU included):  python examples/inverse_render.py
+The per-step target radiance is rendered with the SAME pixel block, lane
+layout, and RNG key as the candidate: an L2 between two INDEPENDENT MC
+estimates would reward variance reduction (darker albedo = less noise)
+over matching the mean; path-matched draws cancel that bias.
+
+Runs on the 8-device virtual CPU mesh (as the CPU test suite does) —
+platform pinning happens below because the axon sitecustomize pins
+JAX_PLATFORMS before user code; env vars alone do not stick:
+    python examples/inverse_render.py
+`--quick` runs the original small single-device demo (8,192 rays);
+`RT_IR_TPU=1` skips the CPU pin and runs on whatever jax.devices() gives
+(one real chip here → a 1x1 mesh: same code path, no sharding).
 """
 
+import argparse
+import dataclasses
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".."))
 
+if os.environ.get("RT_IR_TPU", "0") != "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8").strip()
+
 import jax
+
+if os.environ.get("RT_IR_TPU", "0") != "1":
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 import optax
@@ -25,51 +55,133 @@ from raytracing_rust_tpu.models.scene import SceneBuilder, BG_BLACK
 from raytracing_rust_tpu.ops.camera import make_camera
 from raytracing_rust_tpu.ops.integrator import trace
 
+TRUE_ALBEDO = (0.2, 0.5, 0.8)   # ground-truth blue-ish box
+TRUE_EMIT = 5.0                  # ground-truth light emission
 
-def build_scene(box_albedo=(0.73, 0.73, 0.73)):
+
+def build_scene(box_albedo=(0.73, 0.73, 0.73), emit=TRUE_EMIT):
     b = SceneBuilder(background=BG_BLACK)
     white = b.lambertian(b.solid(0.73, 0.73, 0.73))
     b.rect("zx", -3, -3, 3, 3, 0.0, white)                       # floor
     b.rect("yz", 0, -3, 6, 3, -3.0, b.lambertian(b.solid(0.65, 0.05, 0.05)))
     b.rect("yz", 0, -3, 6, 3, 3.0, b.lambertian(b.solid(0.12, 0.45, 0.15)),
            flip=True)
-    b.rect("zx", -2, -2, 2, 2, 5.9, b.diffuse_light(b.solid(5, 5, 5)),
+    b.rect("zx", -2, -2, 2, 2, 5.9, b.diffuse_light(b.solid(emit, emit, emit)),
            flip=True)
     box_mat = b.lambertian(b.solid(*box_albedo))
     b.cube((-1.0, 0.0, -1.0), (1.0, 2.5, 1.0), box_mat)
     return b.build()
 
 
+def main_sharded(steps: int, nx: int = 200, ny: int = 200, spp: int = 64,
+                 block: int = 4096, max_depth: int = 6) -> int:
+    from raytracing_rust_tpu.parallel.sharding import (
+        make_mesh, render_block_sharded, train_step_sharded)
+
+    devs = jax.devices()
+    sp = 2 if len(devs) % 2 == 0 and len(devs) > 1 else 1
+    mesh = make_mesh(devs, dp=len(devs) // sp, sp=sp)
+    print(f"mesh: dp={mesh.shape['dp']} sp={mesh.shape['sp']} "
+          f"({devs[0].platform}), image {nx}x{ny}, spp {spp}/step, "
+          f"block {block} pixels, depth {max_depth}")
+
+    target_scene = build_scene(TRUE_ALBEDO, TRUE_EMIT)
+    scene = build_scene((0.5, 0.5, 0.5), 3.0)  # start grey, dim light
+    # texture rows: light solid and box solid (in push order)
+    light_tex = int(np.asarray(scene.mat_texture)[3])
+    box_tex = int(np.asarray(scene.mat_texture)[-1])
+
+    step_fn = jax.jit(train_step_sharded,
+                      static_argnames=("nx", "ny", "spp", "max_depth",
+                                       "mesh"))
+
+    params = {"albedo": jnp.asarray([0.5, 0.5, 0.5]),
+              "emit": jnp.asarray(3.0)}
+    # per-group lr: Adam steps ≈ lr, and emission must travel ~2.0 in
+    # `steps` updates while albedo travels ≤0.3 — one lr cannot serve both.
+    # Cosine decay damps the momentum overshoot once each group arrives.
+    sched = lambda lr: optax.cosine_decay_schedule(lr, steps, alpha=0.1)
+    opt = optax.multi_transform(
+        {"albedo": optax.adam(sched(0.05)), "emit": optax.adam(sched(0.25))},
+        {"albedo": "albedo", "emit": "emit"})
+    state = opt.init(params)
+    rng = np.random.default_rng(0)
+    base = jax.random.key(0)
+    n_pix = nx * ny
+
+    print(f"target: albedo [{TRUE_ALBEDO[0]:.2f} {TRUE_ALBEDO[1]:.2f} "
+          f"{TRUE_ALBEDO[2]:.2f}], emission {TRUE_EMIT:.2f}; "
+          f"start: albedo [0.50 0.50 0.50], emission 3.00")
+
+    wall = []
+    for step in range(steps):
+        pix = jnp.asarray(rng.choice(n_pix, size=block, replace=False)
+                          .astype(np.int32))
+        k = jax.random.fold_in(base, step)
+        t0 = time.perf_counter()
+        # path-matched target radiance for this block (same key/layout)
+        target = render_block_sharded(target_scene, cam, pix, k, nx, ny,
+                                      spp, max_depth, mesh) / spp
+        s2 = dataclasses.replace(
+            scene, tex_color=scene.tex_color
+            .at[box_tex].set(params["albedo"])
+            .at[light_tex].set(jnp.broadcast_to(params["emit"], (3,))))
+        loss, grads = step_fn(s2, cam, pix, k, target, nx=nx, ny=ny,
+                              spp=spp, max_depth=max_depth, mesh=mesh)
+        g = {"albedo": grads.tex_color[box_tex],
+             "emit": grads.tex_color[light_tex].sum()}
+        updates, state = opt.update(g, state)
+        params = optax.apply_updates(params, updates)
+        params["albedo"] = jnp.clip(params["albedo"], 0.0, 1.0)
+        params["emit"] = jnp.clip(params["emit"], 0.0, 20.0)
+        jax.block_until_ready(params)
+        wall.append(time.perf_counter() - t0)
+        if step % 5 == 0 or step == steps - 1:
+            a = np.asarray(params["albedo"])
+            print(f"step {step:3d}  loss {float(loss):.5f}  "
+                  f"albedo [{a[0]:.3f} {a[1]:.3f} {a[2]:.3f}]  "
+                  f"emit {float(params['emit']):.3f}  "
+                  f"({wall[-1]:.2f}s)")
+
+    a = np.asarray(params["albedo"])
+    e = float(params["emit"])
+    err_a = np.abs(a - np.asarray(TRUE_ALBEDO)).max()
+    err_e = abs(e - TRUE_EMIT)
+    # steady-state step time (first steps pay jit)
+    steady = float(np.median(wall[2:])) if len(wall) > 4 else float(wall[-1])
+    rays = block * spp
+    print(f"recovered albedo [{a[0]:.3f} {a[1]:.3f} {a[2]:.3f}] "
+          f"(max abs err {err_a:.3f}), emission {e:.3f} (err {err_e:.3f})")
+    print(f"step time: {steady:.2f}s median "
+          f"({rays / 1e6:.2f}M target + {rays / 1e6:.2f}M candidate "
+          f"sample-paths/step fwd+bwd, depth {max_depth})")
+    return 0 if (err_a < 0.1 and err_e < 0.5) else 1
+
+
 def rays(n, key):
     o = jnp.tile(jnp.asarray([[0.0, 3.0, 9.0]]), (n, 1))
-    cam = make_camera((0, 3, 9), (0, 1.5, 0), (0, 1, 0), 45.0, 1.0, 0.0, 9.0)
     u = jax.random.uniform(key, (n, 2))
     s, t = u[:, 0], u[:, 1]
     from raytracing_rust_tpu.ops.camera import get_rays
     return get_rays(cam, s, t, jnp.zeros((n, 3)))
 
 
-def main():
+def main_quick() -> int:
+    """The original small single-device demo (albedo only, 8,192 rays)."""
     n = 8192
     key = jax.random.key(0)
-    o, d, time = rays(n, jax.random.fold_in(key, 1))
+    o, d, time_ = rays(n, jax.random.fold_in(key, 1))
 
-    target_scene = build_scene((0.2, 0.5, 0.8))  # ground-truth blue-ish box
-
-    scene = build_scene((0.5, 0.5, 0.5))  # start grey
-    # the box material's texture is the last solid added before the cube
+    target_scene = build_scene(TRUE_ALBEDO)
+    scene = build_scene((0.5, 0.5, 0.5))
     box_tex = int(np.asarray(scene.mat_texture)[-1])
 
     def loss_fn(albedo, k):
-        # target and candidate share the SAME sample paths per step:
-        # an L2 between two INDEPENDENT MC estimates would reward variance
-        # reduction (darker albedo = less noise) over matching the mean
-        target = trace(target_scene, o, d, time, k, max_depth=6,
+        target = trace(target_scene, o, d, time_, k, max_depth=6,
                        differentiable=True)
-        s2 = type(scene)(**{**scene.__dict__,
-                            "tex_color": scene.tex_color.at[box_tex]
-                            .set(albedo)})
-        rad = trace(s2, o, d, time, k, max_depth=6, differentiable=True)
+        s2 = dataclasses.replace(
+            scene, tex_color=scene.tex_color.at[box_tex].set(albedo))
+        rad = trace(s2, o, d, time_, k, max_depth=6, differentiable=True)
         return jnp.mean((rad - jax.lax.stop_gradient(target)) ** 2)
 
     albedo = jnp.asarray([0.5, 0.5, 0.5])
@@ -89,11 +201,23 @@ def main():
                   f"albedo [{a[0]:.3f} {a[1]:.3f} {a[2]:.3f}]")
 
     a = np.asarray(albedo)
-    err = np.abs(a - np.array([0.2, 0.5, 0.8])).max()
+    err = np.abs(a - np.array(TRUE_ALBEDO)).max()
     print(f"recovered albedo [{a[0]:.3f} {a[1]:.3f} {a[2]:.3f}] "
           f"(max abs err {err:.3f})")
     return 0 if err < 0.08 else 1
 
 
+cam = make_camera((0, 3, 9), (0, 1.5, 0), (0, 1, 0), 45.0, 1.0, 0.0, 9.0)
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="original small single-device demo")
+    ap.add_argument("--steps", type=int, default=40)
+    ap.add_argument("--spp", type=int, default=64)
+    ap.add_argument("--block", type=int, default=4096)
+    args = ap.parse_args()
+    if args.quick:
+        sys.exit(main_quick())
+    sys.exit(main_sharded(args.steps, spp=args.spp, block=args.block))
