@@ -136,6 +136,8 @@ def main_sharded(steps: int, nx: int = 200, ny: int = 200, spp: int = 64,
         params["emit"] = jnp.clip(params["emit"], 0.0, 20.0)
         jax.block_until_ready(params)
         wall.append(time.perf_counter() - t0)
+        if step == 0:
+            t_loop = time.perf_counter()  # steady-state clock (post-compile)
         if step % 5 == 0 or step == steps - 1:
             a = np.asarray(params["albedo"])
             print(f"step {step:3d}  loss {float(loss):.5f}  "
@@ -143,16 +145,18 @@ def main_sharded(steps: int, nx: int = 200, ny: int = 200, spp: int = 64,
                   f"emit {float(params['emit']):.3f}  "
                   f"({wall[-1]:.2f}s)")
 
+    # materialize on host BEFORE stopping the clock: under the axon TPU
+    # tunnel block_until_ready does not block, so per-step timings can
+    # measure enqueue; the aggregate below always covers real completion.
     a = np.asarray(params["albedo"])
     e = float(params["emit"])
+    steady = (time.perf_counter() - t_loop) / max(steps - 1, 1)
     err_a = np.abs(a - np.asarray(TRUE_ALBEDO)).max()
     err_e = abs(e - TRUE_EMIT)
-    # steady-state step time (first steps pay jit)
-    steady = float(np.median(wall[2:])) if len(wall) > 4 else float(wall[-1])
     rays = block * spp
     print(f"recovered albedo [{a[0]:.3f} {a[1]:.3f} {a[2]:.3f}] "
           f"(max abs err {err_a:.3f}), emission {e:.3f} (err {err_e:.3f})")
-    print(f"step time: {steady:.2f}s median "
+    print(f"step time: {steady:.2f}s steady-state avg "
           f"({rays / 1e6:.2f}M target + {rays / 1e6:.2f}M candidate "
           f"sample-paths/step fwd+bwd, depth {max_depth})")
     return 0 if (err_a < 0.1 and err_e < 0.5) else 1
