@@ -118,12 +118,16 @@ def run(scene: str = "cornell_box_baseline", spp: int | None = None,
                 raise
             use_pallas = False
 
-    # best-of-5: device dispatch goes through a remote tunnel whose latency
-    # jitter can double a single-shot wall time
-    reps = 5 if use_pallas else 1
+    # best-of-8, spaced: device dispatch goes through a remote tunnel whose
+    # latency jitter comes in minutes-scale windows (interleaved A/B runs
+    # show the same binary swinging 305-404M rays/s) — back-to-back reps all
+    # land in one window, so sleep between reps to sample several
+    reps = 8 if use_pallas else 1
     dt = float("inf")
     for r in range(reps):
         if use_pallas:
+            if r:
+                time.sleep(15)
             t0 = time.perf_counter()
             _with_retry(lambda: render_pallas(tables, cam, nx, ny, spp,
                                               seed=seed + r))
