@@ -114,6 +114,7 @@ def main_sharded(steps: int, nx: int = 200, ny: int = 200, spp: int = 64,
           f"start: albedo [0.50 0.50 0.50], emission 3.00")
 
     wall = []
+    t_loop = time.perf_counter()
     for step in range(steps):
         pix = jnp.asarray(rng.choice(n_pix, size=block, replace=False)
                           .astype(np.int32))

@@ -256,8 +256,6 @@ def lattice_scene() -> SceneTables:
     image medium albedo. Used by tests/test_pallas_tripwire.py (trace)
     and tools/tpu_parity.py (kernel-vs-XLA hardware parity).
     """
-    rng = np.random.default_rng(3)
-
     def texels(seed, h=8, w=16):
         r = np.random.default_rng(seed)
         return (np.rint(r.uniform(26, 230, (h, w, 3))).astype(np.float32)

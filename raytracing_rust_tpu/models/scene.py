@@ -341,6 +341,12 @@ class SceneBuilder:
         build time instead of paying for tie-aware reductions in the
         kernels. Keyed on hit-t geometry only (type, axes, data, resolved
         transform) — flip sign and material belong to the surviving copy.
+
+        Scope: BIT-IDENTICAL duplicate geometry only. Equal-t ties between
+        non-identical prims (partially overlapping coplanar rects,
+        rect/sphere tangencies) still resolve by argmin, not scan order —
+        no shipped reference scene has one, and the general case would
+        need tie-aware reductions in every tier.
         """
         n = len(self._ptype)
         keep = [True] * n

@@ -2159,26 +2159,40 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                 emr = jnp.where(med_event, f(0.0), emr)
                 emg = jnp.where(med_event, f(0.0), emg)
                 emb = jnp.where(med_event, f(0.0), emb)
+                # a medium winner replaces the occluded surface's texture
+                # state with its own (med_tex; image media sample at
+                # u=v=0 — reference src/medium.rs:44-50 arbitrary hit
+                # attributes) or, for solid-albedo media, CLEARS the
+                # carried flags — since this block moved ahead of the
+                # texture blocks, a stale chk/noiz/imgf would shade the
+                # medium with the occluded surface's texture evaluated
+                # at the scatter point
                 if med_tex:
-                    # a medium winner replaces the occluded surface's
-                    # texture state with its own (zeros for solid media);
-                    # image media sample at u=v=0 (reference
-                    # src/medium.rs:44-50 arbitrary hit attributes)
                     (m_aor, m_aog, m_aob, m_chk, m_noiz, m_nsc, m_imgf,
                      m_ibase, m_ihh, m_iww) = mex
-                    if has_checker:
+                else:
+                    m_chk = m_noiz = m_imgf = f(0.0)
+                if has_checker:
+                    chk = jnp.where(med_event, m_chk, chk)
+                    if med_tex:
                         aor = jnp.where(med_event, m_aor, aor)
                         aog = jnp.where(med_event, m_aog, aog)
                         aob = jnp.where(med_event, m_aob, aob)
-                        chk = jnp.where(med_event, m_chk, chk)
-                    if has_noise:
-                        noiz = jnp.where(med_event, m_noiz, noiz)
+                if has_noise:
+                    noiz = jnp.where(med_event, m_noiz, noiz)
+                    if med_tex:
                         nsc = jnp.where(med_event, m_nsc, nsc)
-                    if has_image:
-                        imgf = jnp.where(med_event, m_imgf, imgf)
+                if has_image:
+                    imgf = jnp.where(med_event, m_imgf, imgf)
+                    if med_tex:
                         ibase = jnp.where(med_event, m_ibase, ibase)
                         ihh = jnp.where(med_event, m_ihh, ihh)
                         iww = jnp.where(med_event, m_iww, iww)
+                    # uv_carry, not has_image: the carried-UV registers
+                    # exist only for image rects / image media (a
+                    # checker- or noise-albedo medium beside an image
+                    # sphere has has_image without uv_carry)
+                    if uv_carry:
                         uvf = jnp.where(med_event, m_imgf, uvf)
                         uu_c = jnp.where(med_event, f(0.0), uu_c)
                         vv_c = jnp.where(med_event, f(0.0), vv_c)

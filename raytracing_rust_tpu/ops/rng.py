@@ -27,7 +27,14 @@ def in_unit_sphere(u: jnp.ndarray) -> jnp.ndarray:
     cos_t = 2.0 * u[..., 0] - 1.0
     sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
     phi = (2.0 * jnp.pi) * u[..., 1]
-    r = jnp.cbrt(u[..., 2])
+    # radius from 1-u, not u: jax.random.uniform is [0,1), and u=0 (one
+    # draw in 2^24) would return the EXACT zero vector — an isotropic
+    # scatter with a zero direction misses everything and the sky
+    # background's normalize emits NaN (observed: one poisoned pixel per
+    # ~10M paths). 1-u is uniform on (0,1] — same distribution, no zero.
+    # The reference's rejection loop (src/util.rs:4-13) strictly excludes
+    # the boundary and returns the origin with probability ~0 in f64.
+    r = jnp.cbrt(1.0 - u[..., 2])
     return r[..., None] * jnp.stack(
         [sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t], axis=-1)
 

@@ -330,6 +330,25 @@ def test_kernel_traces_each_former_hole(hole):
     _trace(b.build(), nx=64, ny=64, grid=1)
 
 
+def test_kernel_traces_textured_medium_beside_image_sphere():
+    """med_tex=True + has_image=True + uv_carry=False: a checker-albedo
+    medium next to an image SPHERE (no image rect / image medium, so no
+    carried-UV registers exist). Regression: the med-event image reset
+    referenced the carried-UV registers under `if has_image:` and died
+    with UnboundLocalError at trace time."""
+    from raytracing_rust_tpu.models.scene import SceneBuilder, BG_BLACK
+    b = SceneBuilder(background=BG_BLACK)
+    b.sphere((0, -100, 0), 99.0, b.lambertian(b.solid(0.5, 0.5, 0.5)))
+    b.sphere((0, 1.5, 0), 0.7, b.lambertian(b.image(_texels())))
+    b.medium_sphere((0, 1, 0), 2.5, 0.3,
+                    b.checker(b.solid(1, 0, 0), b.solid(0, 1, 0)))
+    scene = b.build()
+    flags = pt.build_scene_record(scene)[13]
+    has_image, uv_carry, med_tex = flags[4], flags[8], flags[10]
+    assert has_image and med_tex and not uv_carry
+    _trace(scene, nx=64, ny=64, grid=1)
+
+
 def test_remaining_holes_fall_back_exactly():
     """The two combinations still not worth kernel space are pinned: they
     raise UnsupportedScene (render() falls back to the XLA tier, which

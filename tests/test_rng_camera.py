@@ -34,6 +34,20 @@ def test_unit_sphere_distribution():
     np.testing.assert_allclose(var, var.mean(), rtol=2e-2)
 
 
+def test_unit_sphere_never_zero():
+    """Regression: u[...,2]=0 (one uniform draw in 2^24) must NOT produce
+    the exact zero vector — an isotropic scatter with a zero direction
+    misses every primitive and the sky background's normalize turns the
+    miss into a NaN pixel (observed once per ~10M paths on hardware).
+    The radius draws from 1-u, uniform on (0,1]."""
+    corners = jnp.asarray([[0.0, 0.0, 0.0], [0.5, 0.5, 0.0],
+                           [1.0 - 2 ** -24, 0.25, 0.0],
+                           [0.0, 0.0, 1.0 - 2 ** -24]], jnp.float32)
+    s = np.asarray(rng.in_unit_sphere(corners))
+    assert np.isfinite(s).all()
+    assert (np.linalg.norm(s, axis=-1) > 1e-4).all()
+
+
 def test_unit_disk_distribution():
     s = np.asarray(rng.in_unit_disk(_u((N, 2), seed=1)))
     assert np.all(s[:, 2] == 0.0)

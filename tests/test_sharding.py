@@ -66,8 +66,12 @@ def test_sharded_train_step():
     tables, grads are deterministic."""
     scene, cam, nx, ny = _setup()
     mesh = make_mesh(dp=4, sp=2)
-    # center-of-image pixels (the top-left corner is black at low depth/spp)
-    pix = 400 * 800 + 384 + jnp.arange(32, dtype=jnp.int32)
+    # pixels ON the ceiling light (row 100, center columns — probed
+    # nonzero): first-hit emission makes the radiance nonzero
+    # DETERMINISTICALLY — mid-image pixels at spp=4/depth=4 can miss the
+    # light entirely for an unlucky RNG stream (observed when the
+    # ball-sampler mapping changed), turning this test vacuous (loss 0)
+    pix = 100 * 800 + 384 + jnp.arange(32, dtype=jnp.int32)
     key = jax.random.key(2)
     target = jnp.zeros((32, 3))
     step = jax.jit(train_step_sharded,

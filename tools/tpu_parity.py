@@ -146,6 +146,46 @@ def main() -> int:
           f"noise={mad0:.4f} {'OK' if ok else 'FAIL'}")
     failures += 0 if ok else 1
 
+    # solid-albedo medium OVER textured surfaces (med_tex=False with
+    # has_noise/has_image=True — final_scene's flag combo, isolated):
+    # a medium winner must CLEAR the occluded surface's carried texture
+    # flags or the fog shades with marble/image albedo evaluated at the
+    # scatter point (regression found by review in round 3; the fog here
+    # is dense enough that the bug shifts the mean far beyond MC noise)
+    from raytracing_rust_tpu.models.scene import SceneBuilder, BG_SKY
+    bld = SceneBuilder(background=BG_SKY)
+    bld.sphere((0, -1000, 0), 1000.0, bld.lambertian(bld.solid(0.7, 0.7, 0.7)))
+    bld.sphere((-1.2, 1, 0), 1.0, bld.lambertian(bld.noise(3.0)))
+    _tex = (np.arange(8 * 16 * 3, dtype=np.float32).reshape(8, 16, 3)
+            % 256) / 255.0
+    _tex = np.rint(_tex * 255) / np.float32(255.0)  # 8-bit exact
+    bld.sphere((1.2, 1, 0), 1.0, bld.lambertian(bld.image(_tex)))
+    bld.medium_sphere((0, 1, 0), 4.0, 0.4, bld.solid(0.9, 0.9, 0.9))
+    scene = bld.build()
+    cam = make_camera((0, 2, 9), (0, 1, 0), (0, 1, 0), 40.0,
+                      96 / 54, 0.0, 9.0, 0.0, 1.0)
+    fspp = 64 if quick else 128
+    t0 = time.time()
+    a = _with_retry(lambda: render_pallas(scene, cam, 96, 54, fspp,
+                                          seed=0, max_depth=16))
+    tp = time.time() - t0
+    t0 = time.time()
+    b = _with_retry(lambda: render(scene, cam, 96, 54, fspp, seed=1,
+                                   max_depth=16))
+    tx = time.time() - t0
+    b2 = _with_retry(lambda: render(scene, cam, 96, 54, fspp, seed=2,
+                                    max_depth=16))
+    ma, mb = float(a.mean()), float(b.mean())
+    rel = abs(ma - mb) / max(mb, 1e-6)
+    mad = float(np.abs(np.asarray(a) - np.asarray(b)).mean())
+    mad0 = float(np.abs(np.asarray(b2) - np.asarray(b)).mean())
+    ok = (np.isfinite(a).all() and rel < 0.03
+          and mad < 1.3 * max(mad0, 1e-6))
+    print(f"fog over textures: pallas={ma:.4f} ({tp:.0f}s) xla={mb:.4f} "
+          f"({tx:.0f}s) rel={rel:.3f} tol=0.03 mean|Δpx|={mad:.4f} "
+          f"noise={mad0:.4f} {'OK' if ok else 'FAIL'}")
+    failures += 0 if ok else 1
+
     for name, expected in XLA_BANDS.items():
         preset = PRESETS[name]
         scene = preset.build()
