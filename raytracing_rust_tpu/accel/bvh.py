@@ -29,7 +29,7 @@ traverses by recursing into BOTH children of any node whose AABB is hit
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 import jax
@@ -51,6 +51,10 @@ class FlatBVH:
     node_left: jax.Array   # i32[Nn]  child id | first-prim slot (leaf)
     node_count: jax.Array  # i32[Nn]  0 = internal, else leaf prim count
     prim_order: jax.Array  # i32[ceil(P/L)*L] scene prim ids, -1 padding
+    # the leaf width prim_order was padded with at build time; traversal
+    # MUST test this many slots per leaf (a tree built with leaf_size=8
+    # traversed at 4 silently skips half of every leaf's prims)
+    leaf_size: int = field(metadata=dict(static=True), default=LEAF_SIZE)
 
     @property
     def num_nodes(self) -> int:
@@ -152,6 +156,7 @@ def build_bvh(scene: SceneTables, leaf_size: int = LEAF_SIZE,
                     np.stack([left, right], 1).reshape(-1)),
                 node_count=jnp.asarray(count),
                 prim_order=jnp.asarray(order),
+                leaf_size=leaf_size,
             )
 
     centroids = 0.5 * (lo + hi)
@@ -207,6 +212,7 @@ def build_bvh(scene: SceneTables, leaf_size: int = LEAF_SIZE,
             .reshape(-1)),  # interleaved [left, right] pairs
         node_count=jnp.asarray(np.asarray(node_count, np.int32)),
         prim_order=jnp.asarray(np.asarray(order, np.int32)),
+        leaf_size=leaf_size,
     )
 
 
@@ -223,8 +229,13 @@ def _slab(nmin, nmax, o, inv_d, t_min, t_max):
 
 def bvh_closest_hit(scene: SceneTables, bvh: FlatBVH, o, d, time,
                     t_min: float, pack: PrimPack | None = None,
-                    leaf_size: int = LEAF_SIZE) -> Hit:
-    """Closest hit via stacked BVH traversal → same Hit as closest_hit."""
+                    leaf_size: int | None = None) -> Hit:
+    """Closest hit via stacked BVH traversal → same Hit as closest_hit.
+
+    leaf_size defaults to the width the tree was BUILT with (stored on
+    FlatBVH) — a mismatch silently skips prims in every wider leaf."""
+    if leaf_size is None:
+        leaf_size = bvh.leaf_size
     if pack is None:
         pack = pack_prims(scene)
     n = o.shape[0]

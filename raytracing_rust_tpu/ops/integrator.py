@@ -69,7 +69,7 @@ def _bounce(scene: SceneTables, pack, key, max_depth, b, o, d, time, thr,
     med_mat = None
     if scene.has_media:
         u_med = rng.uniforms(key, b, _U_MEDIUM, (n, scene.num_media), o.dtype)
-        t_med, med_mat = media_scatter(scene, o, d, time, T_MIN, hit.t, u_med)
+        t_med, med_mat = media_scatter(scene, o, d, T_MIN, hit.t, u_med)
         med_event = t_med < hit.t
         t_ev = jnp.where(med_event, t_med, hit.t)
 

@@ -296,7 +296,14 @@ def hit_attributes(scene: SceneTables, o, d, time, hit: Hit,
         pack = pack_prims(scene)
     idx = jnp.maximum(hit.idx, 0)
     g = lambda x: x[idx]
-    t = hit.t
+    # double-where discipline: miss lanes carry t = BIG, and BIG·d
+    # overflows to inf for |d| > ~1.13 (camera directions are
+    # UNNORMALIZED, |d| ~ 10). The forward pass masks the junk, but in
+    # reverse mode a 0-cotangent times a NaN from a downstream
+    # texture transcendental (marble's sin at p = inf) is NaN, and it
+    # flows unmasked through p into o/d and every upstream parameter —
+    # one escaping ray poisons the whole gradient pytree.
+    t = jnp.where(hit.t < BIG, hit.t, 0.0)
     p = o + t[:, None] * d
 
     # sphere: world normal = (p − c'(time)) / r. Identical to the reference's
@@ -337,9 +344,14 @@ def hit_attributes(scene: SceneTables, o, d, time, hit: Hit,
     return p, normal, u, v, scene.prim_material[idx]
 
 
-def media_scatter(scene: SceneTables, o, d, time, t_min: float,
+def media_scatter(scene: SceneTables, o, d, t_min: float,
                   t_surface: jnp.ndarray, u_med: jnp.ndarray):
     """Closed-form ConstantMedium sampling (reference src/medium.rs:28-56).
+
+    Medium boundaries are STATIC (SceneBuilder gates ConstantMedium to
+    sphere/box boundaries without motion) — no `time` parameter, by
+    contract, so a future moving-boundary caller fails loudly instead of
+    silently getting time-frozen media.
 
     For each medium: entry/exit of the ray *line* against the convex boundary
     (sphere roots, or box slab — equivalent to the reference's two

@@ -86,7 +86,10 @@ def scatter(scene: SceneTables, d_in, p, normal, u, v, mat_id,
     metal_ok = _dot(refl, normal) > 0.0
 
     # -- dielectric (src/material.rs:105-126)
-    ref_idx = param
+    # double-where: non-dielectric rows carry param 0, and the backward
+    # of 1/ref_idx at 0 is -inf — a masked-out branch must still be
+    # NaN-free or 0·inf poisons the mat_param gradient row
+    ref_idx = jnp.where(mtype == MAT_DIELECTRIC, param, 1.0)
     d_dot_n = _dot(d_in, normal)
     d_len = jnp.linalg.norm(d_in, axis=-1)
     exiting = d_dot_n > 0.0

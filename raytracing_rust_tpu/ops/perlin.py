@@ -33,6 +33,8 @@ from __future__ import annotations
 
 import math
 
+import jax
+
 import jax.numpy as jnp
 
 # hash constants (distinct large odd 32-bit multipliers; murmur3 finalizers)
@@ -66,6 +68,17 @@ def _gradient(ci, cj, ck, seed: int):
     return sz * jnp.cos(phi), sz * jnp.sin(phi), cz
 
 
+# the 8 lattice-cell corners as a trailing vector axis: one vectorized
+# _gradient/dot/weight evaluation instead of 8 unrolled copies. Python-
+# unrolled corners+octaves made the op graph so large that XLA's CPU
+# backend took 20+ s to compile jax.grad(turb) alone — and minutes-to-
+# never inside the rematerialized bounce scan of trace(differentiable=
+# True) on noise scenes. Same math, ~8x fewer HLO nodes.
+_DI = jnp.asarray([0, 0, 0, 0, 1, 1, 1, 1], jnp.int32)
+_DJ = jnp.asarray([0, 0, 1, 1, 0, 0, 1, 1], jnp.int32)
+_DK = jnp.asarray([0, 1, 0, 1, 0, 1, 0, 1], jnp.int32)
+
+
 def noise(p: jnp.ndarray, seed: int = 0) -> jnp.ndarray:
     """Gradient noise for points p[..., 3] (reference src/perlin.rs:58-97)."""
     pf = jnp.floor(p)
@@ -75,29 +88,32 @@ def noise(p: jnp.ndarray, seed: int = 0) -> jnp.ndarray:
     # Hermite smoothing (reference src/perlin.rs:39-41)
     s = uvw * uvw * (3.0 - 2.0 * uvw)
 
-    accum = jnp.zeros(p.shape[:-1], p.dtype)
-    for di in (0, 1):
-        for dj in (0, 1):
-            for dk in (0, 1):
-                gx, gy, gz = _gradient((ijk[..., 0] + di) & 255,
-                                       (ijk[..., 1] + dj) & 255,
-                                       (ijk[..., 2] + dk) & 255, seed)
-                dot = (gx * (uvw[..., 0] - di) + gy * (uvw[..., 1] - dj)
-                       + gz * (uvw[..., 2] - dk))
-                wu = di * s[..., 0] + (1 - di) * (1.0 - s[..., 0])
-                wv = dj * s[..., 1] + (1 - dj) * (1.0 - s[..., 1])
-                ww = dk * s[..., 2] + (1 - dk) * (1.0 - s[..., 2])
-                accum = accum + wu * wv * ww * dot
-    return accum
+    gx, gy, gz = _gradient((ijk[..., 0, None] + _DI) & 255,
+                           (ijk[..., 1, None] + _DJ) & 255,
+                           (ijk[..., 2, None] + _DK) & 255, seed)
+    di = _DI.astype(p.dtype)
+    dj = _DJ.astype(p.dtype)
+    dk = _DK.astype(p.dtype)
+    dot = (gx * (uvw[..., 0, None] - di) + gy * (uvw[..., 1, None] - dj)
+           + gz * (uvw[..., 2, None] - dk))
+    wu = di * s[..., 0, None] + (1 - di) * (1.0 - s[..., 0, None])
+    wv = dj * s[..., 1, None] + (1 - dj) * (1.0 - s[..., 1, None])
+    ww = dk * s[..., 2, None] + (1 - dk) * (1.0 - s[..., 2, None])
+    return jnp.sum(wu * wv * ww * dot, axis=-1)
 
 
 def turb(p: jnp.ndarray, depth: int = 7, seed: int = 0) -> jnp.ndarray:
-    """Fractal turbulence |Σ 0.5^k noise(2^k p)| (reference src/perlin.rs:99-109)."""
-    accum = jnp.zeros(p.shape[:-1], p.dtype)
-    weight = 1.0
-    q = p
-    for _ in range(depth):
+    """Fractal turbulence |Σ 0.5^k noise(2^k p)| (reference src/perlin.rs:99-109).
+
+    lax.scan over octaves: the body (one noise evaluation) compiles ONCE
+    instead of `depth` times — see the corner-vectorization note above.
+    """
+
+    def body(carry, _):
+        accum, weight, q = carry
         accum = accum + weight * noise(q, seed)
-        weight *= 0.5
-        q = q * 2.0
+        return (accum, weight * 0.5, q * 2.0), None
+
+    init = (jnp.zeros(p.shape[:-1], p.dtype), jnp.asarray(1.0, p.dtype), p)
+    (accum, _, _), _ = jax.lax.scan(body, init, None, length=depth)
     return jnp.abs(accum)

@@ -15,6 +15,7 @@ Output matches the reference exactly: image row 0 is the top scanline
 
 from __future__ import annotations
 
+import dataclasses
 import hashlib
 import math
 import os
@@ -41,8 +42,15 @@ def _render_digest(scene: SceneTables, cam: Camera, use_bvh: bool) -> int:
     scene_np, cam_np = jax.device_get((scene, cam))  # one batched pull
     for leaf in jax.tree.leaves(scene_np) + jax.tree.leaves(cam_np):
         h.update(np.asarray(leaf).tobytes())
-    h.update(bytes([scene.background, int(use_bvh)]))
-    h.update(int(scene.perlin_seed).to_bytes(8, "little", signed=True))
+    h.update(bytes([int(use_bvh)]))
+    # EVERY static (aux-data) field changes the compiled program and the
+    # image — hash them all by name so a new flag can't be forgotten
+    # (compat_uv_bug was, once: two runs differing only in the sphere-UV
+    # quirk would have merged checkpoints)
+    for fld in dataclasses.fields(scene):
+        if fld.metadata.get("static"):
+            h.update(fld.name.encode())
+            h.update(repr(getattr(scene, fld.name)).encode())
     return int.from_bytes(h.digest()[:8], "little") >> 1
 
 
@@ -115,17 +123,20 @@ def render(scene: SceneTables, cam: Camera, nx: int, ny: int, spp: int,
     """
     if use_bvh:
         # BVH traversal is gather-bound (~100x slower per lane-chain than
-        # the dense scan on TPU); one block renders block_pixels*spp
-        # chains in a single dispatch, and a dispatch that runs minutes
-        # gets killed by the TPU runtime's watchdog. Cap the per-dispatch
-        # chain count so BVH blocks stay ~30s.
+        # the dense scan on TPU), and a dispatch that runs minutes gets
+        # killed by the TPU runtime's watchdog. Cap the per-DISPATCH
+        # chain count (block_pixels·spp_chunk, since BVH blocks dispatch
+        # per chunk below — capping block_pixels alone stops bounding
+        # anything once spp > 2^16/block) so BVH dispatches stay ~30s.
         block_pixels = min(block_pixels, max(256, (1 << 16) // spp))
     block_pixels = min(block_pixels, nx * ny)
     if spp_chunk is None:
         # lane budget per dispatch: big enough to amortize the ~0.5s
         # remote-dispatch latency, small enough for the [lanes, P]
-        # intersection temps (~4 MB/lane-million/prim)
-        budget = max(1, (1 << 22) // block_pixels)
+        # intersection temps (~4 MB/lane-million/prim); for BVH also
+        # small enough for the watchdog (see above)
+        budget = max(1, ((1 << 16) if use_bvh else (1 << 22))
+                     // block_pixels)
         # largest divisor of spp within the lane budget (one jit shape)
         spp_chunk = max(c for c in range(1, min(spp, budget) + 1)
                         if spp % c == 0)
@@ -174,10 +185,23 @@ def render(scene: SceneTables, cam: Camera, nx: int, ny: int, spp: int,
         # returns early through the remote tunnel — utils/timers.py)
         pname = "compile+block0" if blk == start_blk else "dispatch"
         with timers.phase(pname):
-            acc = render_block_multi(scene, cam, pix, blk_key, spp_chunk,
-                                     nx, ny, max_depth, n_chunks, bvh=bvh,
-                                     rr_depth=rr_depth)
-            acc = np.asarray(acc)
+            if use_bvh and n_chunks > 1:
+                # dispatch PER CHUNK: the single-dispatch fori over chunks
+                # would run block_pixels·spp chains under one watchdog
+                # budget regardless of spp_chunk. Identical key folding →
+                # identical image (render_block_multi docstring contract).
+                acc = np.zeros((block_pixels, 3), np.float32)
+                for ch in range(n_chunks):
+                    k = jax.random.fold_in(blk_key, ch)
+                    acc += np.asarray(render_block(
+                        scene, cam, pix, k, spp_chunk, nx, ny, max_depth,
+                        bvh=bvh, rr_depth=rr_depth))
+            else:
+                acc = render_block_multi(scene, cam, pix, blk_key,
+                                         spp_chunk, nx, ny, max_depth,
+                                         n_chunks, bvh=bvh,
+                                         rr_depth=rr_depth)
+                acc = np.asarray(acc)
         done += n_chunks
         if progress is not None:
             progress(done, n_blocks * n_chunks)

@@ -66,3 +66,15 @@ def test_checkpoint_ignored_on_scene_or_camera_change():
         c = render(scene, cam2, 32, 32, 4, seed=7, checkpoint=ck)
         d = render(scene, cam2, 32, 32, 4, seed=7)
         np.testing.assert_array_equal(c, d)
+
+
+def test_digest_covers_static_flags():
+    """Regression (round-3 review): static aux-data flags are not pytree
+    leaves, so the digest must hash them explicitly — compat_uv_bug was
+    missed and two earth renders differing only in the sphere-UV quirk
+    would have merged checkpoints."""
+    from raytracing_rust_tpu.render import _render_digest
+    cam = builders.PRESETS["earth"].camera()
+    a = _render_digest(builders.earth(compat_uv_bug=False), cam, False)
+    b = _render_digest(builders.earth(compat_uv_bug=True), cam, False)
+    assert a != b

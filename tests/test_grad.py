@@ -111,3 +111,45 @@ def test_grad_sky_scene_finite():
     assert np.isfinite(loss)
     g = np.asarray(grads.tex_color)
     assert np.all(np.isfinite(g)) and np.any(g != 0)
+
+
+def test_grad_noise_scene_escaping_rays_finite():
+    """Regression (round-3 review): miss lanes carry t=BIG, and BIG*d
+    overflows to inf for unnormalized camera-scale directions (|d|~10);
+    the marble texture's sin(inf) then NaN'd the WHOLE gradient pytree
+    through the un-guarded p = o + t*d (0-cotangent * NaN = NaN). Also
+    covers the dielectric 1/ref_idx guard for non-dielectric rows: before
+    it, one mat_param row went NaN even with no dielectric in the scene."""
+    b = SceneBuilder(background=BG_SKY)
+    b.sphere((0, -100, 0), 99.0, b.lambertian(b.noise(3.0)))
+    b.sphere((1.5, 1.0, -1.0), 0.8, b.metal(b.solid(0.8, 0.8, 0.8), 0.2))
+    scene = b.build()
+    n = 8
+    o = jnp.tile(jnp.asarray([[0.0, 1.0, 5.0]]), (n, 1))
+    # |d| ~ 10 like real camera rays; half escape upward (sky misses —
+    # the NaN trigger), half hit the noise ground (live tex_scale grad)
+    d = jnp.asarray(np.stack([np.linspace(-3, 3, n),
+                              np.linspace(5.0, -2.0, n),
+                              np.full(n, -8.0)], -1), jnp.float32)
+    loss, grads = jax.value_and_grad(
+        lambda s: jnp.mean(trace(s, o, d, jnp.zeros(n), KEY, max_depth=4,
+                                 differentiable=True)),
+        allow_int=True)(scene)
+    assert np.isfinite(float(loss))
+    for name, leaf in grads.__dict__.items():
+        a = np.asarray(leaf)
+        if a.dtype.kind == "f":
+            assert np.isfinite(a).all(), f"NaN/inf gradient in {name}"
+    # and the noise-scale gradient is live, not just finite
+    assert np.any(np.asarray(grads.tex_scale) != 0)
+
+
+def test_grad_noise_scale_vs_fd():
+    """d loss / d (noise frequency): flows through floor/Hermite/hash
+    lattice — compilable only since the perlin corner-vectorization +
+    octave-scan rewrite."""
+    b = SceneBuilder(background=BG_SKY)
+    b.sphere((0, -100, 0), 99.0, b.lambertian(b.noise(3.0)))
+    scene = b.build()
+    tex = int(np.argmax(np.asarray(scene.tex_scale)))
+    _fd_check(scene, "tex_scale", (tex,), eps=1e-3, rtol=0.1, atol=2e-3)

@@ -22,7 +22,7 @@ def _scatter(scene, o, d, u, t_surface=None):
     n = o.shape[0]
     t_surface = np.full(n, BIG) if t_surface is None else t_surface
     t, mat = media_scatter(scene, jnp.asarray(o, jnp.float32),
-                           jnp.asarray(d, jnp.float32), jnp.zeros(n),
+                           jnp.asarray(d, jnp.float32),
                            1e-3, jnp.asarray(t_surface, jnp.float32),
                            jnp.asarray(u, jnp.float32).reshape(n, -1))
     return np.asarray(t), np.asarray(mat)
