@@ -37,7 +37,9 @@ def _earth_pixels() -> np.ndarray:
 
 
 def random_spheres(seed: int = 0) -> SceneTables:
-    """~441-sphere scene with motion blur (reference tests/test.rs:89-163)."""
+    """~404-sphere scene with motion blur (reference tests/test.rs:89-163:
+    a 20×20 grid of small spheres, some skipped by the center-distance
+    gate, plus 4 fixed spheres)."""
     rng = np.random.default_rng(seed)
     b = SceneBuilder(background=BG_SKY)
     checker = b.checker(b.solid(0.2, 0.3, 0.1), b.solid(0.9, 0.9, 0.9))

@@ -258,9 +258,12 @@ def _merge_boxes(rec, kinds):
         if any(kinds[q] != "rect" for q in run):
             p += 1
             continue
-        # identical material/shading fields across the run
-        if not np.allclose(rec[run, R_FLIP:REC], rec[p, R_FLIP:REC],
-                           atol=0.0):
+        # identical material/shading fields across the run — EXACT:
+        # allclose's default rtol would let fields differing by <1e-5
+        # relative merge and shade all six faces with the first rect's
+        if not np.array_equal(rec[run, R_FLIP:REC],
+                              np.broadcast_to(rec[p, R_FLIP:REC],
+                                              rec[run, R_FLIP:REC].shape)):
             p += 1
             continue
         # image-textured faces need per-rect UV frames the box row drops
@@ -577,9 +580,12 @@ def build_scene_record(scene: SceneTables):
     has_noise, has_image, dyn_moving) tuple that gates whole shading /
     intersection blocks out of scenes that don't use them; img_packed is the
     u8-packed image atlas for the in-kernel texel fetch ((8, 128) zeros
-    when unused). Raises UnsupportedScene for features with no
-    in-kernel path (emissive noise/image, flipped or rotated image
-    prims, non-8-bit images, non-box rects beyond the unroll budget).
+    when unused). Raises UnsupportedScene for the few features with no
+    in-kernel path: nested checker textures, image textures on ROTATED
+    spheres, non-8-bit-exact images, oversized atlases, and non-box
+    rects beyond the unroll budget (emissive textures, flipped image
+    spheres, image rects, and textured media are all in-kernel since
+    round 3 — see lattice_scene).
     """
     # One batched host pull + CPU-backend packing. The scene tables live
     # on the (possibly remote) accelerator; the dozens of per-field and
@@ -1330,6 +1336,32 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
         # reference tests/test.rs:62-64 row order handled via j flip)
         row = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 1)
+
+        def _pix_rowcol(pixf):
+            """Exact pixel→(col, row) for integer-valued f32 pixf < 2^24.
+
+            The raw floor((pix+0.5)·(1/nx)) reciprocal-multiply misreads
+            hundreds of rows at 4K-scale images (measured: 834 bad
+            indices at 3840×2160). pixf and jr·nx are integers < 2^24
+            (exact in f32), so the remainder is exact and a ±1 row fixup
+            makes the division exact (quotient error < 1 for nx ≥ 8:
+            ≲2 ulp on a quotient ≤ 2^21). render_pallas guards
+            nx·ny ≤ 2^24."""
+            jr = jnp.floor((pixf + f(0.5)) * f(1.0 / nx))
+            ic = pixf - jr * f(nx)
+            jr = jnp.where(ic < f(0.0), jr - f(1.0), jr)
+            jr = jnp.where(ic >= f(nx), jr + f(1.0), jr)
+            return pixf - jr * f(nx), jr
+
+        def _safe_inv(dc):
+            """Safe reciprocal direction for slab tests: exact-zero
+            components get a huge signed inverse so parallel rays outside
+            a slab miss and inside-slab rays pass (reference
+            src/aabb.rs:31-44 relies on IEEE inf; Mosaic NaN comparisons
+            make 0·inf unsafe, hence the clamp). Shared by the main
+            bounce's box loop and the dense-medium walk."""
+            sgn = jnp.where(dc >= f(0.0), f(1e30), f(-1e30))
+            return jnp.where(jnp.abs(dc) < f(1e-30), sgn, f(1.0) / dc)
         icol_ks = jflip_ks = None
         if explicit_pix:
             # cost-balanced scheduling: the host hands each lane its
@@ -1344,8 +1376,8 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
             for k in range(kpix):
                 pixk = pix_all[k * SUB:(k + 1) * SUB]
                 pixf = jnp.minimum(pixk, nx * ny - 1).astype(f)
-                jr = jnp.floor((pixf + f(0.5)) * f(1.0 / nx))
-                icol_ks.append(pixf - jr * f(nx))
+                ic, jr = _pix_rowcol(pixf)
+                icol_ks.append(ic)
                 jflip_ks.append(f(ny - 1) - jr)
             icol, jrow = icol_ks[0], f(ny - 1) - jflip_ks[0]
         elif block is not None:
@@ -1370,10 +1402,7 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
         else:
             pix = (grid_base + pid) * TILE + row * LANES + col
             pix = jnp.minimum(pix, nx * ny - 1)
-            # exact int div via f32 (pix < 2^24): floor((pix+.5)/nx)
-            pixf = pix.astype(f)
-            jrow = jnp.floor((pixf + f(0.5)) * f(1.0 / nx))
-            icol = pixf - jrow * f(nx)
+            icol, jrow = _pix_rowcol(pix.astype(f))
         jflip = f(ny - 1) - jrow
 
         def cs(i):  # camera scalar
@@ -1692,17 +1721,8 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                     st = select(r, ok, t_p, nxx, nyy, nzz, st, uvw=uvw)
 
             if n_dyn or n_box:
-                # safe reciprocal direction for the slab tests: exact-zero
-                # components get a huge signed inverse so parallel rays
-                # outside a slab miss and inside-slab rays pass (reference
-                # src/aabb.rs:31-44 relies on IEEE inf; Mosaic NaN
-                # comparisons make 0·inf unsafe, hence the clamp)
-                def _sinv(dc):
-                    sgn = jnp.where(dc >= f(0.0), f(1e30), f(-1e30))
-                    return jnp.where(jnp.abs(dc) < f(1e-30), sgn,
-                                     f(1.0) / dc)
-
-                inv_dx, inv_dy, inv_dz = _sinv(dx), _sinv(dy), _sinv(dz)
+                inv_dx, inv_dy, inv_dz = (_safe_inv(dx), _safe_inv(dy),
+                                          _safe_inv(dz))
 
                 def _slab(lo0, lo1, lo2, hi0, hi1, hi2):
                     t0 = (lo0 - ox) * inv_dx
@@ -2510,14 +2530,8 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                             return int_ref[j, i]
 
                         if k2 == "box":
-                            def wsi(dc):
-                                sgn = jnp.where(dc >= f(0.0), f(1e30),
-                                                f(-1e30))
-                                return jnp.where(
-                                    jnp.abs(dc) < f(1e-30), sgn,
-                                    f(1.0) / dc)
-
-                            iwx, iwy, iwz = wsi(wdx), wsi(wdy), wsi(wdz)
+                            iwx, iwy, iwz = (_safe_inv(wdx), _safe_inv(wdy),
+                                             _safe_inv(wdz))
                             t0 = (r2(R_C0) - wox) * iwx
                             t1 = (r2(R_DC) - wox) * iwx
                             tmn = jnp.minimum(t0, t1)
@@ -2734,9 +2748,11 @@ def _trace_call(rec, dyn_rec, box_rec, sclus, bclus, med_rec, cam_rec,
 
 def tile_bounds(grid: int, n_dev: int) -> list[int]:
     """Contiguous tile-grid split across devices: monotone bounds with
-    bounds[0] = 0, bounds[-1] = grid, per-device spans within one tile of
-    each other. Every grid position is rendered exactly once regardless
-    of device count (tests/test_pallas_record.py pins this)."""
+    bounds[0] = 0, bounds[-1] = grid, ceil-sized spans (the LAST devices
+    may get short or ZERO spans — grid=5 over 4 devices is 2,2,1,0, and
+    _dispatch_chunks skips empty spans; max span is optimal either way).
+    Every grid position is rendered exactly once regardless of device
+    count (tests/test_pallas_record.py pins this)."""
     per = -(-grid // n_dev)
     bounds = [min(i * per, grid) for i in range(n_dev + 1)]
     bounds[-1] = grid
@@ -2747,15 +2763,18 @@ _SCENE_CACHE: dict = {}
 _CAM_CACHE: dict = {}
 
 
-def _perm_cache_key(cam_np, nx, ny, max_depth, rr_depth, n_dev, kpix):
+def _perm_cache_key(cam_np, nx, ny, max_depth, rr_depth, devices, kpix):
     """Cache key for the cost-balance permutation, keyed on the camera
     record's VALUE (tiny, ~20 floats) — an id(cam) key could be reused by
     a new camera after GC and silently serve a stale permutation
     (scheduling degrades; renders stay correct since any bijection
     scatters correctly). Value-keying also lets two identical cameras
-    share one probe."""
+    share one probe. Device IDENTITY (not just count) is part of the key:
+    the cached pix_dev uploads are committed to specific devices, and a
+    hit under a different device list would hand jit operands on the
+    wrong chip."""
     return ("perm", bytes(np.asarray(cam_np).tobytes()), nx, ny,
-            max_depth, rr_depth, n_dev, kpix)
+            max_depth, rr_depth, tuple(str(d) for d in devices), kpix)
 
 
 def _identity_cached(cache, obj, build):
@@ -2843,6 +2862,8 @@ def _cost_permutation(dev_args0, dev, cam_np, max_depth, kinds,
     # contiguous — a box filter borrows the neighbors' samples,
     # multiplying the effective probe spp by the window area.
     k = int(os.environ.get("RT_SMOOTH", "9"))
+    k |= 1  # the k//2-pad integral-image arithmetic below needs odd k;
+    #         an even RT_SMOOTH would crash with a shape mismatch
     pad = np.pad(cost, k // 2, mode="edge")
     ii = np.zeros((pad.shape[0] + 1, pad.shape[1] + 1), np.float64)
     ii[1:, 1:] = pad.cumsum(0).cumsum(1)
@@ -2894,6 +2915,13 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
     2-spp probe amortizes; renders stay deterministic per (seed, config)
     since the probe is. Off disables the probe and uses 2D-block tiles.
     """
+    if nx * ny > 1 << 24:
+        # the in-kernel lane→pixel mapping is exact only for pixel ids
+        # < 2^24 (f32 integer range — see _pix_rowcol); beyond that the
+        # XLA tier renders correctly in pixel blocks
+        raise UnsupportedScene(
+            f"{nx}x{ny} = {nx * ny} pixels exceeds the kernel's exact "
+            "f32 pixel-id range (2^24); use the XLA tier")
     if timers is None:
         from ..utils.timers import Timers
         timers = Timers()  # unobserved sink
@@ -2951,7 +2979,7 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
         # tile's worth of dummy slots
         kpix = max(1, min(KPIX, n_pix // TILE))
         perm_key = _perm_cache_key(cam_np, nx, ny, max_depth, rr_depth,
-                                   n_dev, kpix)
+                                   devices[:n_dev], kpix)
         cached = dev_cache.get(perm_key)
         if cached is None:
             with timers.phase("balance_probe"):

@@ -279,7 +279,9 @@ def test_perm_cache_key_is_value_keyed():
     r2, id2 = rec((278, 278, -790))
     r3, _ = rec((278, 278, -800))
 
-    args = (800, 800, 50, None, 1, 4)
+    import jax
+    devs = jax.devices()
+    args = (800, 800, 50, None, devs[:1], 4)
     k1 = pt._perm_cache_key(r1, *args)
     k2 = pt._perm_cache_key(r2, *args)
     k3 = pt._perm_cache_key(r3, *args)
@@ -287,3 +289,8 @@ def test_perm_cache_key_is_value_keyed():
     assert k1 == k3          # value-identical cameras share the probe
     # and nothing in the key depends on object identity at all
     assert not any(isinstance(x, int) and x in (id1, id2) for x in k1)
+    # device IDENTITY is part of the key (the cached pix_dev uploads are
+    # committed to specific devices — a same-count different-device hit
+    # would hand jit operands on the wrong chip)
+    k4 = pt._perm_cache_key(r1, 800, 800, 50, None, devs[1:2], 4)
+    assert k1 != k4

@@ -404,3 +404,34 @@ def test_image_cube_stays_unrolled():
      ) = pt.build_scene_record(scene)
     assert n_box == 20        # plain cubes merged
     assert kinds.count("rect") >= 6   # the image cube's faces unrolled
+
+
+def test_pix_rowcol_formula_exact_at_4k():
+    """Regression (round-3 review): the kernel's f32 reciprocal-multiply
+    lane→pixel row split (see _pix_rowcol in the kernel) misread ~834
+    rows at 3840×2160 before the ±1 fixup. This mirrors the in-kernel
+    arithmetic bit-for-bit in numpy f32 and checks exactness over every
+    pixel id of a 4K image plus a small-nx worst case."""
+    def rowcol(pix, nx):
+        pixf = pix.astype(np.float32)
+        fnx = np.float32(nx)
+        jr = np.floor((pixf + np.float32(0.5)) * np.float32(1.0 / nx))
+        ic = pixf - jr * fnx
+        jr = np.where(ic < 0, jr - np.float32(1), jr).astype(np.float32)
+        jr = np.where(ic >= fnx, jr + np.float32(1), jr).astype(np.float32)
+        return pixf - jr * fnx, jr
+
+    for nx, n in ((3840, 3840 * 2160), (7, 1 << 24)):
+        pix = np.arange(n, dtype=np.int64)
+        ic, jr = rowcol(pix, nx)
+        assert (jr.astype(np.int64) == pix // nx).all()
+        assert (ic.astype(np.int64) == pix % nx).all()
+
+
+def test_render_pallas_rejects_oversized_images():
+    """Pixel ids beyond 2^24 are not exact in f32 — render_pallas must
+    refuse (the XLA tier renders any size in blocks)."""
+    scene = builders.two_spheres()
+    cam = builders.PRESETS["two_spheres"].camera()
+    with pytest.raises(pt.UnsupportedScene, match="2\\^24"):
+        pt.render_pallas(scene, cam, 8192, 4096, 1)
