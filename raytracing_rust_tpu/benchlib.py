@@ -108,7 +108,12 @@ def run(scene: str = "cornell_box_baseline", spp: int | None = None,
                     raise
                 time.sleep(backoff)
 
-    use_pallas = engine in ("auto", "pallas")
+    # auto requires a real TPU (same guard as cli.py): on a CPU-only host
+    # render_pallas dies with a Mosaic lowering error (prng_seed has no
+    # CPU lowering), NOT UnsupportedScene, and the retry loop would burn
+    # 3 minutes before surfacing it
+    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    use_pallas = engine == "pallas" or (engine == "auto" and on_tpu)
     if use_pallas:
         try:  # warmup doubles as the support check
             _with_retry(lambda: render_pallas(tables, cam, nx, ny, 2,
@@ -133,12 +138,20 @@ def run(scene: str = "cornell_box_baseline", spp: int | None = None,
                                               seed=seed + r))
             dt = min(dt, time.perf_counter() - t0)
         else:
-            warm_spp = min(spp, 4)
-            _with_retry(lambda: render(tables, cam, nx, ny, warm_spp,
-                                       seed=seed, spp_chunk=warm_spp))
+            # warm with the tier's OWN default chunking (same shapes as
+            # the timed run, so the compile is reused) — forcing a tiny
+            # spp_chunk both crashed on spp % chunk != 0 and multiplied
+            # dispatch count ~12x, making the XLA number measure remote-
+            # tunnel latency instead of tracer throughput
+            bp = min(1 << 16, nx * ny)
+            budget = max(1, (1 << 22) // bp)
+            chunk = max(c for c in range(1, min(spp, budget) + 1)
+                        if spp % c == 0)
+            _with_retry(lambda: render(tables, cam, nx, ny, chunk,
+                                       seed=seed, spp_chunk=chunk))
             t0 = time.perf_counter()
             _with_retry(lambda: render(tables, cam, nx, ny, spp, seed=seed,
-                                       spp_chunk=warm_spp))
+                                       spp_chunk=chunk))
             dt = min(dt, time.perf_counter() - t0)
 
     rays_per_sec = nx * ny * spp / dt

@@ -122,10 +122,20 @@ def main(argv=None) -> int:
             from .parallel.sharding import make_mesh, render_sharded
             img = render_sharded(scene, cam, nx, ny, spp, make_mesh(),
                                  seed=args.seed, max_depth=args.max_depth,
-                                 rr_depth=args.rr_depth)
+                                 rr_depth=args.rr_depth, progress=progress,
+                                 timers=timers)
         else:
             img = None
             use_pallas = args.engine == "pallas"
+            if use_pallas:
+                import jax
+                if not any(d.platform == "tpu" for d in jax.devices()):
+                    # fail with one clear line, not a Mosaic lowering
+                    # crash (the core PRNG has no CPU lowering)
+                    print("--engine pallas requires a TPU "
+                          "(the megakernel uses the TPU core PRNG)",
+                          file=sys.stderr)
+                    return 2
             if args.engine == "auto":
                 # the megakernel needs the TPU core PRNG — no CPU lowering
                 import jax

@@ -25,9 +25,9 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.scene import SceneTables
-from ..ops.camera import Camera, get_rays
+from ..ops.camera import Camera
 from ..ops.integrator import trace
-from ..render import _CAM_FOLD
+from ..render import camera_lane_rays
 
 
 def make_mesh(devices=None, dp: int | None = None, sp: int | None = None) -> Mesh:
@@ -57,18 +57,10 @@ def _lane_radiance(scene: SceneTables, cam: Camera, pix, key, nx: int, ny: int,
     splits pixels over dp and samples over sp.
     """
     npix = pix.shape[0]
-    pid = jnp.broadcast_to(pix[:, None], (npix, spp))
-    # fold the sample index into sub-pixel jitter determinism via lane position
-    i = (pid % nx).astype(cam.origin.dtype)
-    j = (ny - 1 - pid // nx).astype(cam.origin.dtype)
-
-    u = jax.random.uniform(jax.random.fold_in(key, _CAM_FOLD),
-                           (npix, spp, 5), cam.origin.dtype)
-    s = (i + u[..., 0]) / nx
-    t = (j + u[..., 1]) / ny
-
-    flat = lambda x: x.reshape(npix * spp, *x.shape[2:])
-    o, d, time = get_rays(cam, flat(s), flat(t), flat(u[..., 2:5]))
+    # flat [npix·spp] lane order (pixel-major) matches render_block's —
+    # the mapping + jitter draws come from the ONE shared implementation
+    pid = jnp.broadcast_to(pix[:, None], (npix, spp)).reshape(-1)
+    o, d, time = camera_lane_rays(cam, pid, key, nx, ny)
     rad = trace(scene, o, d, time, key, max_depth=max_depth,
                 differentiable=differentiable, rr_depth=rr_depth)
     return rad.reshape(npix, spp, 3).sum(axis=1)
@@ -95,26 +87,49 @@ def render_block_sharded(scene: SceneTables, cam: Camera, pix, key,
 def render_sharded(scene: SceneTables, cam: Camera, nx: int, ny: int,
                    spp: int, mesh: Mesh, seed: int = 0, max_depth: int = 50,
                    block_pixels: int | None = None,
-                   rr_depth: int | None = None) -> np.ndarray:
-    """Full sharded render → float32 [ny, nx, 3] (gamma like the reference)."""
+                   rr_depth: int | None = None, progress=None,
+                   timers=None) -> np.ndarray:
+    """Full sharded render → float32 [ny, nx, 3] (gamma like the reference).
+
+    Sample chunking mirrors render(): block_pixels·spp_chunk lanes per
+    dispatch stay under the ~2^22 lane budget (the dense intersect
+    materializes [N, P, 3] temps, and one 65536·spp-lane dispatch at
+    reference spp would OOM and outrun the TPU runtime watchdog).
+    """
     n_pix = nx * ny
     dp = mesh.shape["dp"]
     block_pixels = block_pixels or min(n_pix, 1 << 16)
     block_pixels += (-block_pixels) % dp  # divisible by dp
+    budget = max(1, (1 << 22) // block_pixels)
+    spp_chunk = max(c for c in range(1, min(spp, budget) + 1)
+                    if spp % c == 0)
+    n_chunks = spp // spp_chunk
     base = jax.random.key(seed)
+    if timers is None:
+        from ..utils.timers import Timers
+        timers = Timers()  # unobserved sink
 
     sums = np.zeros((n_pix, 3), np.float32)
     n_blocks = -(-n_pix // block_pixels)
+    done = 0
     for blk in range(n_blocks):
         lo = blk * block_pixels
         hi = min(lo + block_pixels, n_pix)
         ids = np.arange(lo, lo + block_pixels, dtype=np.int32)
         ids[hi - lo:] = n_pix - 1
-        key = jax.random.fold_in(base, blk)
-        out = render_block_sharded(scene, cam, jnp.asarray(ids), key,
-                                   nx, ny, spp, max_depth, mesh,
-                                   rr_depth=rr_depth)
-        sums[lo:hi] += np.asarray(out)[: hi - lo]
+        blk_key = jax.random.fold_in(base, blk)
+        pname = "compile+block0" if blk == 0 else "dispatch"
+        for ch in range(n_chunks):
+            key = jax.random.fold_in(blk_key, ch)
+            with timers.phase(pname):
+                out = render_block_sharded(scene, cam, jnp.asarray(ids),
+                                           key, nx, ny, spp_chunk,
+                                           max_depth, mesh,
+                                           rr_depth=rr_depth)
+                sums[lo:hi] += np.asarray(out)[: hi - lo]
+            done += 1
+            if progress is not None:
+                progress(done, n_blocks * n_chunks)
 
     img = np.sqrt(np.clip(sums / spp, 0.0, None))
     return np.clip(img, 0.0, 1.0).reshape(ny, nx, 3).astype(np.float32)

@@ -88,23 +88,25 @@ def render_block(scene: SceneTables, cam: Camera, pix: jnp.ndarray,
     pix: int32[Nb] flat pixel ids in output order (0 = top-left, row-major).
     """
     nb = pix.shape[0]
-    lanes = nb * spp
-    pid = jnp.repeat(pix, spp)
-
-    i = (pid % nx).astype(cam.origin.dtype)
-    j = (ny - 1 - pid // nx).astype(cam.origin.dtype)  # reference row order
-
-    cam_key = jax.random.fold_in(key, _CAM_FOLD)
-    u = jax.random.uniform(cam_key, (lanes, 5), cam.origin.dtype)
-
-    # sub-pixel jitter (reference tests/test.rs:66-68)
-    s = (i + u[:, 0]) / nx
-    t = (j + u[:, 1]) / ny
-    o, d, time = get_rays(cam, s, t, u[:, 2:5])
-
+    o, d, time = camera_lane_rays(cam, jnp.repeat(pix, spp), key, nx, ny)
     rad = trace(scene, o, d, time, key, max_depth=max_depth,
                 differentiable=differentiable, bvh=bvh, rr_depth=rr_depth)
     return rad.reshape(nb, spp, 3).sum(axis=1)
+
+
+def camera_lane_rays(cam: Camera, pid: jnp.ndarray, key, nx: int, ny: int):
+    """Flat pixel id per lane → (o, d, time) camera rays with the
+    reference's sub-pixel jitter (tests/test.rs:62-68; row 0 = top via
+    the j flip). The ONE pixel-mapping + jitter-draw implementation,
+    shared by render_block (XLA tier) and parallel.sharding's lane grid —
+    a second copy would let the tiers' RNG layouts silently drift."""
+    i = (pid % nx).astype(cam.origin.dtype)
+    j = (ny - 1 - pid // nx).astype(cam.origin.dtype)  # reference row order
+    cam_key = jax.random.fold_in(key, _CAM_FOLD)
+    u = jax.random.uniform(cam_key, (pid.shape[0], 5), cam.origin.dtype)
+    s = (i + u[:, 0]) / nx
+    t = (j + u[:, 1]) / ny
+    return get_rays(cam, s, t, u[:, 2:5])
 
 
 def render(scene: SceneTables, cam: Camera, nx: int, ny: int, spp: int,

@@ -23,7 +23,11 @@ def to_ppm(img: np.ndarray) -> str:
     string join is ~100x slower for full-size renders.
     """
     from .. import native
-    out = native.encode_ppm(np.clip(np.asarray(img), 0.0, 1.0))
+    # clip ONCE for both paths: the Python fallback quantizing an
+    # unclipped image would emit invalid P3 for out-of-range values
+    # (e.g. "-127"), diverging from the native encoder's output
+    img = np.clip(np.asarray(img), 0.0, 1.0)
+    out = native.encode_ppm(img)
     if out is not None:
         return out
     ny, nx, _ = img.shape
