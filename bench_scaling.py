@@ -101,7 +101,9 @@ def measure(n_dev: int, n_pix: int = 4096, spp: int = 8,
                                          max_depth=max_depth, mesh=mesh)
     compiled = lowered.compile()
     flops = compiled.cost_analysis()
-    flops = float(flops.get("flops", float("nan"))) if flops else float("nan")
+    # None (JSON null), not NaN: json.dumps would emit a bare NaN token
+    # no strict parser accepts, silently breaking the one-line contract
+    flops = float(flops["flops"]) if flops and "flops" in flops else None
 
     np.asarray(render_block_sharded(scene, cam, pix, key, preset.nx,
                                     preset.ny, spp, max_depth, mesh))

@@ -164,7 +164,6 @@ def main_sharded(steps: int, nx: int = 200, ny: int = 200, spp: int = 64,
 
 
 def rays(n, key):
-    o = jnp.tile(jnp.asarray([[0.0, 3.0, 9.0]]), (n, 1))
     u = jax.random.uniform(key, (n, 2))
     s, t = u[:, 0], u[:, 1]
     from raytracing_rust_tpu.ops.camera import get_rays

@@ -2763,6 +2763,33 @@ _SCENE_CACHE: dict = {}
 _CAM_CACHE: dict = {}
 
 
+def pick_block(nx: int, ny: int) -> tuple[int, int]:
+    """2D pixel-block tile shape (BX, BY = TILE//BX) minimizing the
+    padded lane count for an nx×ny image (dynamic-loop scenes; edge
+    blocks clamp and are cropped at assembly). Shared with
+    tools/kernel_stats.py so diagnostics measure the renderer's layout."""
+    bx = min((32, 64, 128, 256), key=lambda w: (
+        -(-nx // w) * w * (-(-ny // (TILE // w)) * (TILE // w))))
+    return bx, TILE // bx
+
+
+def balanced_pix_table(order: np.ndarray, n_pix: int, kpix: int):
+    """Snake-striped kpix-bank pixel table from a cost permutation →
+    (perm, grid, pix_table[grid·kpix·SUB, LANES]) — THE lane→pixel
+    layout of the balanced kernel (index n_pix = dummy padding slot).
+    Snake: reverse the within-bank order of odd banks so a lane's kpix
+    pixels sum to ~the tile mean (straight striping would hand lane j
+    the j-th cheapest pixel of EVERY bank — correlated totals, tail
+    preserved). Shared with tools/kernel_stats.py — a hand-kept copy
+    there once drifted (missing kpix under RT_BAL_MODE=spatial)."""
+    grid = -(-n_pix // (TILE * kpix))
+    ids = np.full(grid * kpix * TILE, n_pix, np.int32)
+    ids[:n_pix] = order
+    ids = ids.reshape(grid, kpix, TILE)
+    ids[:, 1::2] = ids[:, 1::2, ::-1].copy()
+    return ids.reshape(-1), grid, ids.reshape(grid * kpix * SUB, LANES)
+
+
 def _perm_cache_key(cam_np, nx, ny, max_depth, rr_depth, devices, kpix):
     """Cache key for the cost-balance permutation, keyed on the camera
     record's VALUE (tiny, ~20 floats) — an id(cam) key could be reused by
@@ -2940,9 +2967,7 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
         # (edge blocks clamp and are cropped at assembly). All-unrolled
         # scenes keep the padding-free linear strips — their kernels
         # have no guards to help.
-        block = min(((32, 64, 128, 256)), key=lambda w: (
-            -(-nx // w) * w * (-(-ny // (TILE // w)) * (TILE // w))))
-        block = (block, TILE // block)
+        block = pick_block(nx, ny)
         grid = -(-nx // block[0]) * (-(-ny // block[1]))
     else:
         block = None
@@ -2988,22 +3013,13 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
                     kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                     med_kinds, flags, scene, nx, ny, block, rr_depth,
                     int_kinds, attr_fields, kpix)
-                grid = -(-n_pix // (TILE * kpix))
-                n_dev = min(n_dev, grid)
-                bounds = tile_bounds(grid, n_dev)
-                ids = np.full(grid * kpix * TILE, n_pix, np.int32)
-                ids[:n_pix] = order
-                ids = ids.reshape(grid, kpix, TILE)
-                # snake: reverse the within-bank order of odd banks so a
-                # lane's kpix pixels sum to ~the tile mean (straight
-                # striping would hand lane j the j-th cheapest pixel of
-                # EVERY bank — correlated totals, tail preserved)
-                ids[:, 1::2] = ids[:, 1::2, ::-1].copy()
                 # perm doubles as the lane-slot → pixel scatter map; its
                 # flat row-major order must equal the kernel's out rows
                 # (tile, bank, sub, lane)
-                perm = ids.reshape(-1)
-                pix_full = ids.reshape(grid * kpix * SUB, LANES)
+                perm, grid, pix_full = balanced_pix_table(order, n_pix,
+                                                          kpix)
+                n_dev = min(n_dev, grid)
+                bounds = tile_bounds(grid, n_dev)
                 rows = kpix * SUB
                 pix_dev = [jax.device_put(
                     pix_full[bounds[di] * rows:bounds[di + 1] * rows], d)

@@ -22,7 +22,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from raytracing_rust_tpu import native
 from raytracing_rust_tpu.benchlib import REF_BASELINE_PATH, reference_measure
 
 

@@ -39,7 +39,10 @@ def main() -> int:
         preset = PRESETS[name]
         scene = preset.build()
         cam = preset.camera()
-        render_pallas(scene, cam, nx, ny, min(spp, 2), seed=9)  # compile
+        # warm at spp>=8 so cost-balanced scheduling engages and the
+        # TIMED reps reuse the balanced kernel's compile (a spp-2 warm
+        # compiles the unbalanced variant the timed run never uses)
+        render_pallas(scene, cam, nx, ny, min(spp, 8), seed=9)  # compile
         best = float("inf")
         for r in range(3):
             t0 = time.perf_counter()

@@ -40,9 +40,7 @@ def run(name: str, nx=400, ny=400, spp=32, max_depth=50,
     cam_np = pt.build_camera_record(cam)
     block = None
     if n_dyn or n_box:
-        block = min((32, 64, 128, 256), key=lambda w: (
-            -(-nx // w) * w * (-(-ny // (pt.TILE // w)) * (pt.TILE // w))))
-        block = (block, pt.TILE // block)
+        block = pt.pick_block(nx, ny)   # the renderer's own layout
         grid = -(-nx // block[0]) * (-(-ny // block[1]))
     else:
         grid = -(-nx * ny // pt.TILE)
@@ -55,21 +53,17 @@ def run(name: str, nx=400, ny=400, spp=32, max_depth=50,
     if balance:
         dev_args0 = jax.device_put((rec, dyn, box, sclus, bclus, med,
                                     img, attr, int_rec), dev)
+        # same lane→pixel layout render_pallas builds: kpix must go into
+        # the probe (RT_BAL_MODE=spatial chunks by kpix·TILE) and the
+        # table comes from the renderer's own builder
+        kpix = max(1, min(pt.KPIX, nx * ny // pt.TILE))
         perm = pt._cost_permutation(dev_args0, dev, cam_np, max_depth,
                                     kinds, groups, n_dyn, n_box, n_sclus,
                                     n_bclus, med_kinds, flags, scene,
                                     nx, ny, block, None, int_kinds,
-                                    attr_fields)
-        # same lane→pixel layout render_pallas builds (snake-striped
-        # kpix banks per lane)
-        kpix = max(1, min(pt.KPIX, nx * ny // pt.TILE))
-        grid = -(-nx * ny // (pt.TILE * kpix))
-        ids = np.full(grid * kpix * pt.TILE, nx * ny, np.int32)
-        ids[:nx * ny] = perm
-        ids = ids.reshape(grid, kpix, pt.TILE)
-        ids[:, 1::2] = ids[:, 1::2, ::-1].copy()
-        pix = jax.device_put(ids.reshape(grid * kpix * pt.SUB, pt.LANES),
-                             dev)
+                                    attr_fields, kpix)
+        _, grid, pix_full = pt.balanced_pix_table(perm, nx * ny, kpix)
+        pix = jax.device_put(pix_full, dev)
         block = None
         print(f"{name} [balanced, kpix={kpix}]:")
     out = np.asarray(pt._trace_call(

@@ -36,7 +36,9 @@ f = jnp.float32
 
 
 def _time(fn, *args):
-    fn(*args)  # compile
+    np.asarray(fn(*args))  # compile + TRUE sync (CLAUDE.md: only a
+    # host pull blocks through the tunnel; an unmaterialized warmup
+    # dispatch would bleed into rep 1's timing)
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
