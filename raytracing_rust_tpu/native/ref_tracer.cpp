@@ -380,8 +380,6 @@ struct Rotate : Hittable {
   }
 };
 
-inline V3 operator-(V3 a) { return {-a.e[0], -a.e[1], -a.e[2]}; }
-
 // ---- camera (src/camera.rs:21-67) -------------------------------------------
 
 struct Camera {

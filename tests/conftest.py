@@ -10,7 +10,11 @@ import os
 # (JAX_PLATFORMS=axon): the suite runs on the virtual 8-device mesh
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
+if "host_platform_device_count=8" not in flags:
+    # strip any OTHER preset count (e.g. =2 left over from a
+    # jax.distributed debug session) — the suite NEEDS 8 devices
+    flags = " ".join(t for t in flags.split()
+                     if "host_platform_device_count" not in t)
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 

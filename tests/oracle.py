@@ -58,6 +58,10 @@ def rect_hit(plane, a0, b0, a1, b1, k, o, d, t_min, t_max):
     """reference src/rect.rs:39-69. Returns (t, p, normal, u, v) or None."""
     ka, aa, ba = _PLANE_AXES[plane]
     if d[ka] == 0:
+        # deviation: the reference computes t = 0/0 = NaN here and the
+        # NaN fails its range checks as a MISS in practice (rect.rs:45-47
+        # comparisons are false for NaN) — returning None is the same
+        # verdict without the NaN round-trip
         return None
     t = (k - o[ka]) / d[ka]
     if t < t_min or t > t_max:

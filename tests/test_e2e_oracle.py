@@ -25,11 +25,10 @@ if native._load_ref() is None:  # pragma: no cover
     pytest.skip("native toolchain unavailable", allow_module_level=True)
 
 
-def _stderr_of_mean(img, spp):
-    # MC samples are independent across pixels and spp; the image mean of
-    # nx*ny*spp samples has stderr ≈ std(pixel means)/sqrt(nx*ny) which is
-    # itself an overestimate of the sampling error of the mean — use it as
-    # a conservative sigma.
+def _stderr_of_mean(img):
+    # the image mean of nx*ny pixel means has stderr ≈
+    # std(pixel means)/sqrt(nx*ny) — a conservative sigma (pixel stds
+    # already reflect the spp averaging).
     return float(np.std(img)) / np.sqrt(img.shape[0] * img.shape[1])
 
 
@@ -55,7 +54,7 @@ def test_oracle_spheres_mean_matches_mirror():
     ref_img, _ = native.ref_trace(1, nx, ny, spp, look_from, look_at, vfov,
                                   aperture=0.0, background=1)
 
-    sigma = np.hypot(_stderr_of_mean(ours, spp), _stderr_of_mean(ref_img, spp))
+    sigma = np.hypot(_stderr_of_mean(ours), _stderr_of_mean(ref_img))
     diff = abs(float(ours.mean()) - float(ref_img.mean()))
     assert diff < max(6 * sigma, 0.01), (
         f"ours {ours.mean():.4f} vs mirror {ref_img.mean():.4f} "
@@ -78,10 +77,18 @@ def test_cornell_box_matches_mirror_per_half():
     ref_img, _ = native.ref_trace(0, nx, ny, spp, p.look_from, p.look_at,
                                   p.vfov, vup=p.view_up, aperture=p.aperture,
                                   focus_dist=p.focus_dist, background=0)
+    # apply render()'s OWN gamma+clamp pipeline to the mirror's pre-gamma
+    # radiance before comparing: the light's direct pixels exceed 1.0 and
+    # render() clamps them (tests/test.rs:72-75), so comparing clamped
+    # ours**2 against UNclamped radiance put a 0.0755 systematic bias on
+    # the top half — 6x the floor this test claims, "passing" only
+    # because the same unclamped pixels inflated sigma (measured; with
+    # this clamp the top-half diff is 0.0046)
+    ref_img = np.clip(np.sqrt(np.clip(ref_img, 0.0, None)), 0.0, 1.0) ** 2
 
     for name, sl in [("top", slice(0, ny // 2)), ("bottom", slice(ny // 2, ny))]:
         a, r = ours[sl], ref_img[sl]
-        sigma = np.hypot(_stderr_of_mean(a, spp), _stderr_of_mean(r, spp))
+        sigma = np.hypot(_stderr_of_mean(a), _stderr_of_mean(r))
         diff = abs(float(a.mean()) - float(r.mean()))
         assert diff < max(6 * sigma, 0.012), (
             f"{name} half: ours {a.mean():.4f} vs mirror {r.mean():.4f} "

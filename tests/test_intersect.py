@@ -6,9 +6,8 @@ import jax.numpy as jnp
 import pytest
 
 import oracle
-from raytracing_rust_tpu.models.scene import SceneBuilder, BG_SKY
-from raytracing_rust_tpu.ops.intersect import (BIG, Hit, closest_hit,
-                                               hit_attributes)
+from raytracing_rust_tpu.models.scene import SceneBuilder
+from raytracing_rust_tpu.ops.intersect import closest_hit, hit_attributes
 
 RT = np.random.default_rng(42)
 

@@ -110,8 +110,10 @@ def test_metal_scatter_and_absorb():
     fuzzy = b.metal(b.solid(1, 1, 1), 1.0)
     b.sphere((0, 0, 0), 1.0, fuzzy)
     scene2 = b.build()
-    # fuzz sample ≈ (0,-1,0): cos_t=0 (u0=.5), phi=3π/2 (u1=.75), r≈1
-    u_down = np.array([[0.5, 0.75, 0.999]])
+    # fuzz sample ≈ (0,-1,0): cos_t=0 (u0=.5), phi=3π/2 (u1=.75), and
+    # r = cbrt(1-u2) ≈ 1 needs u2 ≈ 0 (the radius draws from 1-u so
+    # u=0 cannot produce the exact zero vector — see ops/rng.py)
+    u_down = np.array([[0.5, 0.75, 0.001]])
     new_d, att, ok = _scatter(scene2, np.array([0]),
                               np.array([[1.0, -0.05, 0.0]]),
                               np.array([[0.0, 1.0, 0.0]]), u_down)
