@@ -28,16 +28,15 @@ traverses by recursing into BOTH children of any node whose AABB is hit
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass, field
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..models.scene import (SceneTables, PRIM_SPHERE, PRIM_MOVING_SPHERE,
+from ..models.scene import (SceneTables, PRIM_MOVING_SPHERE,
                             PRIM_RECT)
-from ..ops.intersect import Hit, PrimPack, pack_prims, _candidate_ts, BIG
+from ..ops.intersect import Hit, PrimPack, pack_prims, BIG
 
 LEAF_SIZE = 4
 MAX_STACK = 48  # ≥ 2·tree depth; final_scene (~3.4k prims) needs ~24

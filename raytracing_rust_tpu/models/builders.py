@@ -22,7 +22,7 @@ Documented reference deviations (all SURVEY.md §7 "quirks"):
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
@@ -238,7 +238,6 @@ class ScenePreset:
 
     def camera(self, dtype=None):
         from ..ops.camera import make_camera
-        import jax.numpy as jnp
         kw = {"dtype": dtype} if dtype is not None else {}
         return make_camera(self.look_from, self.look_at, self.view_up,
                            self.vfov, self.nx / self.ny, self.aperture,

@@ -26,10 +26,9 @@ into `prim_data` (geometry), `mat_param`, `tex_color`, and image texels.
 
 from __future__ import annotations
 
-import dataclasses
 import math
 from dataclasses import dataclass, field
-from typing import List, Optional
+from typing import List
 
 import jax
 import numpy as np

@@ -22,7 +22,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..models.scene import (SceneTables, MAT_LAMBERTIAN, MAT_METAL,
-                            MAT_DIELECTRIC, MAT_DIFFUSE_LIGHT, MAT_ISOTROPIC)
+                            MAT_DIELECTRIC, MAT_DIFFUSE_LIGHT)
 from . import rng
 from .textures import eval_texture
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..models.scene import SceneTables, TEX_SOLID, TEX_CHECKER, TEX_NOISE, TEX_IMAGE
+from ..models.scene import SceneTables, TEX_CHECKER, TEX_NOISE, TEX_IMAGE
 from . import perlin
 
 

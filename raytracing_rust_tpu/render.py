@@ -26,7 +26,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from .models.scene import SceneTables
-from .ops import rng
 from .ops.camera import Camera, get_rays
 from .ops.integrator import trace
 

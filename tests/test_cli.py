@@ -1,9 +1,7 @@
 """CLI surface (reference 'CLI' = cargo test; ours is a real one)."""
 
 import os
-import tempfile
 
-import numpy as np
 
 from raytracing_rust_tpu.cli import main
 from raytracing_rust_tpu.utils.image_io import read_ppm

@@ -5,7 +5,7 @@ import numpy as np
 import pytest
 
 from raytracing_rust_tpu import native
-from raytracing_rust_tpu.accel.bvh import build_bvh, prim_aabbs
+from raytracing_rust_tpu.accel.bvh import build_bvh
 from raytracing_rust_tpu.models.scene import SceneBuilder
 from raytracing_rust_tpu.utils import image_io
 
