@@ -110,7 +110,9 @@ def ref_trace(scene_id: int, nx: int, ny: int, spp: int,
     (ref_tracer.cpp — reference tests/test.rs:55-85 + src/color.rs:6-23).
     Returns (mean_radiance [ny, nx, 3] pre-gamma, render_seconds), or None
     when the native toolchain is unavailable. scene_id: 0 = cornell_box,
-    1 = oracle_spheres."""
+    1 = oracle_spheres, 2 = cornell_smoke (fixed back wall, the
+    framework-default geometry), 3 = moving_checker (motion blur +
+    checker ground + metal)."""
     lib = _load_ref()
     if lib is None:
         return None

@@ -14,7 +14,9 @@
 //     FASTER than ChaCha12, so the measured baseline is an upper bound on
 //     the reference's own speed — conservative for our vs_baseline ratio.
 //   * scenes are built from the same literals as tests/test.rs but only the
-//     materials/geometry those scenes need are implemented.
+//     materials/geometry/textures those scenes need are implemented
+//     (solid + checker textures, all five materials, sphere / moving
+//     sphere / rect / cube / translate / rotate / flip / constant medium).
 //
 // Everything is f64 like the reference (nalgebra::Vector3<f64> throughout).
 
@@ -105,6 +107,32 @@ struct Ray {
   V3 at(double t) const { return o + t * d; }  // ray.rs:24-26
 };
 
+// ---- textures (src/texture.rs) ----------------------------------------------
+
+struct Texture {
+  virtual V3 value(double u, double v, const V3& p) const = 0;
+  virtual ~Texture() = default;
+};
+
+// texture.rs:8-25
+struct Solid : Texture {
+  V3 color;
+  explicit Solid(V3 c) : color(c) {}
+  V3 value(double, double, const V3&) const override { return color; }
+};
+
+// texture.rs:27-48 — 3-D checker: sin(10x)·sin(10y)·sin(10z) < 0 ? odd : even
+struct Checker : Texture {
+  const Texture* odd;
+  const Texture* even;
+  Checker(const Texture* o, const Texture* e) : odd(o), even(e) {}
+  V3 value(double u, double v, const V3& p) const override {
+    double s = std::sin(10.0 * p.x()) * std::sin(10.0 * p.y()) *
+               std::sin(10.0 * p.z());
+    return s < 0.0 ? odd->value(u, v, p) : even->value(u, v, p);
+  }
+};
+
 // ---- materials (src/material.rs) --------------------------------------------
 
 struct HitRecord;
@@ -144,15 +172,28 @@ double schlick(double cosine, double ref_idx) {
   return r0 + (1.0 - r0) * std::pow(1.0 - cosine, 5.0);
 }
 
-// material.rs:35-58 (solid texture only — every scene here uses solids)
+// material.rs:35-58 — generic over Texture like the reference
 struct Lambertian : Material {
-  V3 albedo;
-  explicit Lambertian(V3 a) : albedo(a) {}
+  const Texture* albedo;
+  explicit Lambertian(const Texture* a) : albedo(a) {}
   bool scatter(const Ray& ray, const HitRecord& hit, Ray& out,
                V3& att) const override {
     V3 target = hit.p + hit.normal + random_in_unit_sphere();
     out = {hit.p, target - hit.p, ray.time};
-    att = albedo;
+    att = albedo->value(hit.u, hit.v, hit.p);
+    return true;
+  }
+};
+
+// material.rs:153-173 — ConstantMedium's phase function: uniform-ish
+// direction from the same rejection sampler, attenuation = albedo
+struct Isotropic : Material {
+  const Texture* albedo;
+  explicit Isotropic(const Texture* a) : albedo(a) {}
+  bool scatter(const Ray& ray, const HitRecord& hit, Ray& out,
+               V3& att) const override {
+    out = {hit.p, random_in_unit_sphere(), ray.time};
+    att = albedo->value(hit.u, hit.v, hit.p);
     return true;
   }
 };
@@ -245,6 +286,47 @@ struct Sphere : Hittable {
           rec.t = t;
           rec.p = ray.at(t);
           rec.normal = (rec.p - center) / radius;
+          rec.u = rec.v = 0.0;
+          rec.material = material;
+          return true;
+        }
+      }
+    }
+    return false;
+  }
+};
+
+// src/sphere.rs:87-163 — center lerps with ray time (sphere.rs:115-118);
+// hit math identical to Sphere against center(ray.time). UV left at 0 like
+// Sphere above: no mirror scene puts a uv-reading texture on a sphere
+// (Checker reads only p).
+struct MovingSphere : Hittable {
+  V3 center0, center1;
+  double time0, time1, radius;
+  const Material* material;
+  MovingSphere(V3 c0, V3 c1, double t0, double t1, double r,
+               const Material* m)
+      : center0(c0), center1(c1), time0(t0), time1(t1), radius(r),
+        material(m) {}
+  V3 center(double time) const {
+    return center0 +
+           ((time - time0) / (time1 - time0)) * (center1 - center0);
+  }
+  bool hit(const Ray& ray, double t_min, double t_max,
+           HitRecord& rec) const override {
+    V3 c = center(ray.time);
+    V3 oc = ray.o - c;
+    double a = dot(ray.d, ray.d);
+    double b = dot(oc, ray.d);
+    double cc = dot(oc, oc) - radius * radius;
+    double disc = b * b - a * cc;
+    if (disc > 0.0) {
+      double sq = std::sqrt(disc);
+      for (double t : {(-b - sq) / a, (-b + sq) / a}) {
+        if (t < t_max && t > t_min) {
+          rec.t = t;
+          rec.p = ray.at(t);
+          rec.normal = (rec.p - c) / radius;
           rec.u = rec.v = 0.0;
           rec.material = material;
           return true;
@@ -380,6 +462,38 @@ struct Rotate : Hittable {
   }
 };
 
+// src/medium.rs:28-56 — exact mirror of the reference's homogeneous volume:
+// entry hit over (−MAX, MAX), exit hit from entry+1e−4, clamp to [t_min,
+// t_max], free-flight distance −(1/ρ)·ln(U) against the inside span scaled
+// by ‖d‖; a scatter event yields u=v=0, normal (1,0,0), Isotropic phase.
+struct ConstantMedium : Hittable {
+  std::unique_ptr<Hittable> boundary;
+  double density;
+  Isotropic phase;
+  ConstantMedium(std::unique_ptr<Hittable> b, double d, const Texture* tex)
+      : boundary(std::move(b)), density(d), phase(tex) {}
+  bool hit(const Ray& ray, double t_min, double t_max,
+           HitRecord& rec) const override {
+    constexpr double kMax = std::numeric_limits<double>::max();
+    HitRecord hit1, hit2;
+    if (!boundary->hit(ray, -kMax, kMax, hit1)) return false;
+    if (!boundary->hit(ray, hit1.t + 0.0001, kMax, hit2)) return false;
+    if (hit1.t < t_min) hit1.t = t_min;       // medium.rs:32-37
+    if (hit2.t > t_max) hit2.t = t_max;
+    if (hit1.t >= hit2.t) return false;
+    double dlen = magnitude(ray.d);
+    double dist_inside = (hit2.t - hit1.t) * dlen;       // medium.rs:39
+    double hit_dist = -(1.0 / density) * std::log(g_rng->uniform());
+    if (hit_dist >= dist_inside) return false;           // medium.rs:41
+    rec.t = hit1.t + hit_dist / dlen;                    // medium.rs:43
+    rec.u = rec.v = 0.0;
+    rec.p = ray.at(rec.t);
+    rec.normal = {1.0, 0.0, 0.0};  // "choose arbitrary" (medium.rs:49)
+    rec.material = &phase;
+    return true;
+  }
+};
+
 // ---- camera (src/camera.rs:21-67) -------------------------------------------
 
 struct Camera {
@@ -441,19 +555,28 @@ V3 color(const Ray& ray, const Hittable& world, int depth, int max_depth,
 struct Scene {
   HittableList world;
   std::vector<std::unique_ptr<Material>> mats;
+  std::vector<std::unique_ptr<Texture>> texs;
   template <class M, class... A>
   const Material* mat(A&&... a) {
     mats.push_back(std::make_unique<M>(std::forward<A>(a)...));
     return mats.back().get();
+  }
+  template <class T, class... A>
+  const Texture* tex(A&&... a) {
+    texs.push_back(std::make_unique<T>(std::forward<A>(a)...));
+    return texs.back().get();
+  }
+  const Material* lamb(V3 albedo) {
+    return mat<Lambertian>(tex<Solid>(albedo));
   }
 };
 
 // tests/test.rs:242-323 — exact literals, including the duplicated floor
 // (ZX k=0 pushed both flipped and unflipped) and the XY k=555 back wall.
 void build_cornell_box(Scene& s) {
-  const Material* red = s.mat<Lambertian>(V3{0.65, 0.05, 0.05});
-  const Material* white = s.mat<Lambertian>(V3{0.73, 0.73, 0.73});
-  const Material* green = s.mat<Lambertian>(V3{0.12, 0.45, 0.15});
+  const Material* red = s.lamb(V3{0.65, 0.05, 0.05});
+  const Material* white = s.lamb(V3{0.73, 0.73, 0.73});
+  const Material* green = s.lamb(V3{0.12, 0.45, 0.15});
   const Material* light = s.mat<DiffuseLight>(V3{15.0, 15.0, 15.0});
   auto& w = s.world;
   w.push(std::make_unique<FlipNormals>(
@@ -483,20 +606,81 @@ void build_cornell_box(Scene& s) {
 void build_oracle_spheres(Scene& s) {
   auto& w = s.world;
   w.push(std::make_unique<Sphere>(V3{0, -1000, 0}, 1000.0,
-                                  s.mat<Lambertian>(V3{0.5, 0.5, 0.5})));
+                                  s.lamb(V3{0.5, 0.5, 0.5})));
   w.push(std::make_unique<Sphere>(V3{0, 1, 0}, 1.0,
-                                  s.mat<Lambertian>(V3{0.4, 0.2, 0.1})));
+                                  s.lamb(V3{0.4, 0.2, 0.1})));
   w.push(std::make_unique<Sphere>(V3{2.2, 1, 0}, 1.0,
                                   s.mat<Metal>(V3{0.7, 0.6, 0.5}, 0.2)));
   w.push(std::make_unique<Sphere>(V3{-2.2, 1, 0}, 1.0,
                                   s.mat<Dielectric>(1.5)));
 }
 
+// tests/test.rs:325-417 — exact literals EXCEPT the white wall the
+// reference places at XY k=0 between the camera (z=−800) and the box
+// (its own golden PPM is all black); like the framework's default
+// (models/builders.py cornell_smoke), the oracle uses the book's back
+// wall at k=555 so the comparison carries signal. Everything else is
+// faithful: light ZX(127,113→432,443, k=554, emit 7), flipped floor,
+// unflipped ceiling, the two rotated boxes wrapped in ConstantMedium
+// densities 0.01 with albedos (1,1,1) and (0,0,0).
+void build_cornell_smoke(Scene& s) {
+  const Material* red = s.lamb(V3{0.65, 0.05, 0.05});
+  const Material* white = s.lamb(V3{0.73, 0.73, 0.73});
+  const Material* green = s.lamb(V3{0.12, 0.45, 0.15});
+  const Material* light = s.mat<DiffuseLight>(V3{7.0, 7.0, 7.0});
+  auto& w = s.world;
+  w.push(std::make_unique<FlipNormals>(
+      std::make_unique<Rect>(0, 0.0, 0.0, 555.0, 555.0, 555.0, green)));
+  w.push(std::make_unique<Rect>(0, 0.0, 0.0, 555.0, 555.0, 0.0, red));
+  w.push(std::make_unique<Rect>(1, 127.0, 113.0, 432.0, 443.0, 554.0, light));
+  w.push(std::make_unique<FlipNormals>(
+      std::make_unique<Rect>(1, 0.0, 0.0, 555.0, 555.0, 0.0, white)));
+  w.push(std::make_unique<Rect>(1, 0.0, 0.0, 555.0, 555.0, 555.0, white));
+  w.push(std::make_unique<FlipNormals>(
+      std::make_unique<Rect>(2, 0.0, 0.0, 555.0, 555.0, 555.0, white)));
+  auto box1 = std::make_unique<Translate>(
+      std::make_unique<Rotate>(1,
+          std::make_unique<Cube>(V3{0, 0, 0}, V3{165, 165, 165}, white),
+          -18.0),
+      V3{130, 0, 65});
+  auto box2 = std::make_unique<Translate>(
+      std::make_unique<Rotate>(1,
+          std::make_unique<Cube>(V3{0, 0, 0}, V3{165, 330, 165}, white),
+          15.0),
+      V3{265, 0, 295});
+  w.push(std::make_unique<ConstantMedium>(std::move(box1), 0.01,
+                                          s.tex<Solid>(V3{1.0, 1.0, 1.0})));
+  w.push(std::make_unique<ConstantMedium>(std::move(box2), 0.01,
+                                          s.tex<Solid>(V3{0.0, 0.0, 0.0})));
+}
+
+// Motion-blur + checker oracle scene: the random_scene ground checker
+// (tests/test.rs:93-101 literals) under a MovingSphere with the hero
+// lambertian albedo (test.rs:148) rising 0.5 over t∈[0,1] exactly like the
+// grid spheres (test.rs:117: center + (0, 0.5·U, 0), with U fixed at 1 for
+// a deterministic endpoint), plus the hero metal sphere (test.rs:155-160).
+// Sky background. The JAX side builds the identical scene in
+// tests/test_e2e_oracle.py.
+void build_moving_checker(Scene& s) {
+  auto& w = s.world;
+  const Texture* checker =
+      s.tex<Checker>(s.tex<Solid>(V3{0.2, 0.3, 0.1}),
+                     s.tex<Solid>(V3{0.9, 0.9, 0.9}));
+  w.push(std::make_unique<Sphere>(V3{0, -1000, 0}, 1000.0,
+                                  s.mat<Lambertian>(checker)));
+  w.push(std::make_unique<MovingSphere>(V3{0, 1, 0}, V3{0, 1.5, 0}, 0.0,
+                                        1.0, 1.0,
+                                        s.lamb(V3{0.4, 0.2, 0.1})));
+  w.push(std::make_unique<Sphere>(V3{2.2, 1, 0}, 1.0,
+                                  s.mat<Metal>(V3{0.7, 0.6, 0.5}, 0.0)));
+}
+
 }  // namespace
 
 extern "C" {
 
-// Renders scene_id (0 = cornell_box, 1 = oracle_spheres) with the
+// Renders scene_id (0 = cornell_box, 1 = oracle_spheres, 2 = cornell_smoke
+// with the fixed back wall, 3 = moving_checker) with the
 // reference's create_image loop (tests/test.rs:55-85): rows j = ny-1..0,
 // ns jittered samples per pixel, recursive color(), gamma sqrt + clamp +
 // (255.99*c) quantize. Writes the PRE-gamma per-pixel mean radiance to
@@ -513,6 +697,8 @@ double ref_trace(int scene_id, int nx, int ny, int ns, int max_depth,
   Scene scene;
   if (scene_id == 0) build_cornell_box(scene);
   else if (scene_id == 1) build_oracle_spheres(scene);
+  else if (scene_id == 2) build_cornell_smoke(scene);
+  else if (scene_id == 3) build_moving_checker(scene);
   else return -1.0;
 
   Camera cam({look_from[0], look_from[1], look_from[2]},

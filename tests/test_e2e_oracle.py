@@ -93,3 +93,68 @@ def test_cornell_box_matches_mirror_per_half():
         assert diff < max(6 * sigma, 0.012), (
             f"{name} half: ours {a.mean():.4f} vs mirror {r.mean():.4f} "
             f"(diff {diff:.4f}, 6σ {6 * sigma:.4f})")
+
+
+def test_cornell_smoke_matches_mirror_per_half():
+    """ConstantMedium free-flight radiometry vs the mirror's exact
+    transcription of medium.rs:28-56 (scene_id 2 — cornell_smoke with the
+    framework's fixed back wall). The JAX tiers sample the medium with a
+    closed-form reparameterization that shares no design with the
+    reference's hit1/hit2 + log(U) loop, so tier-vs-tier parity cannot
+    catch a shared semantic bias here — only this absolute check can."""
+    nx, ny, spp = 48, 27, 96
+    p = PRESETS["cornell_smoke"]
+
+    scene = p.build()
+    cam = make_camera(p.look_from, p.look_at, p.view_up, p.vfov, nx / ny,
+                      p.aperture, p.focus_dist, p.time0, p.time1)
+    ours = np.asarray(render(scene, cam, nx, ny, spp, seed=7,
+                             max_depth=50)) ** 2
+
+    ref_img, _ = native.ref_trace(2, nx, ny, spp, p.look_from, p.look_at,
+                                  p.vfov, vup=p.view_up, aperture=p.aperture,
+                                  focus_dist=p.focus_dist, background=0)
+    # same clamped-linear comparison space as the cornell test above (the
+    # light's direct pixels exceed 1.0 and render() clamps them)
+    ref_img = np.clip(np.sqrt(np.clip(ref_img, 0.0, None)), 0.0, 1.0) ** 2
+
+    for name, sl in [("top", slice(0, ny // 2)), ("bottom", slice(ny // 2, ny))]:
+        a, r = ours[sl], ref_img[sl]
+        sigma = np.hypot(_stderr_of_mean(a), _stderr_of_mean(r))
+        diff = abs(float(a.mean()) - float(r.mean()))
+        assert diff < max(6 * sigma, 0.012), (
+            f"{name} half: ours {a.mean():.4f} vs mirror {r.mean():.4f} "
+            f"(diff {diff:.4f}, 6σ {6 * sigma:.4f})")
+
+
+def test_moving_checker_matches_mirror_per_half():
+    """Motion-blur lerp (sphere.rs:115-118) and the 3-D checker
+    (texture.rs:40-47) vs the mirror (scene_id 3): checker ground, a
+    MovingSphere rising 0.5 over the shutter, a sharp metal hero, sky
+    background. Per-half means localize a bias to the sky/sphere (top)
+    vs ground (bottom)."""
+    nx, ny, spp = 64, 36, 64
+    look_from, look_at, vfov = (0.0, 2.0, 8.0), (0.0, 1.0, 0.0), 35.0
+
+    b = SceneBuilder(background=BG_SKY)
+    checker = b.checker(b.solid(0.2, 0.3, 0.1), b.solid(0.9, 0.9, 0.9))
+    b.sphere((0, -1000, 0), 1000.0, b.lambertian(checker))
+    b.moving_sphere((0, 1, 0), (0, 1.5, 0), 0.0, 1.0, 1.0,
+                    b.lambertian(b.solid(0.4, 0.2, 0.1)))
+    b.sphere((2.2, 1, 0), 1.0, b.metal(b.solid(0.7, 0.6, 0.5), 0.0))
+    scene = b.build()
+    cam = make_camera(look_from, look_at, (0, 1, 0), vfov, nx / ny,
+                      0.0, 10.0, 0.0, 1.0)
+    ours = np.asarray(render(scene, cam, nx, ny, spp, seed=9,
+                             max_depth=50)) ** 2
+
+    ref_img, _ = native.ref_trace(3, nx, ny, spp, look_from, look_at, vfov,
+                                  aperture=0.0, background=1)
+
+    for name, sl in [("top", slice(0, ny // 2)), ("bottom", slice(ny // 2, ny))]:
+        a, r = ours[sl], ref_img[sl]
+        sigma = np.hypot(_stderr_of_mean(a), _stderr_of_mean(r))
+        diff = abs(float(a.mean()) - float(r.mean()))
+        assert diff < max(6 * sigma, 0.01), (
+            f"{name} half: ours {a.mean():.4f} vs mirror {r.mean():.4f} "
+            f"(diff {diff:.4f}, 6σ {6 * sigma:.4f})")
