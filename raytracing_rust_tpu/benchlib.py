@@ -126,8 +126,12 @@ def run(scene: str = "cornell_box_baseline", spp: int | None = None,
     # best-of-8, spaced: device dispatch goes through a remote tunnel whose
     # latency jitter comes in minutes-scale windows (interleaved A/B runs
     # show the same binary swinging 305-404M rays/s) — back-to-back reps all
-    # land in one window, so sleep between reps to sample several
+    # land in one window, so sleep between reps to sample several. The JSON
+    # reports best AND median so the artifact itself shows the session's
+    # jitter spread (the median is the honest "expect this" number; the
+    # best is the machine's capability).
     reps = 8 if use_pallas else 1
+    walls = []
     dt = float("inf")
     for r in range(reps):
         if use_pallas:
@@ -136,7 +140,8 @@ def run(scene: str = "cornell_box_baseline", spp: int | None = None,
             t0 = time.perf_counter()
             _with_retry(lambda: render_pallas(tables, cam, nx, ny, spp,
                                               seed=seed + r))
-            dt = min(dt, time.perf_counter() - t0)
+            walls.append(time.perf_counter() - t0)
+            dt = min(dt, walls[-1])
         else:
             # warm with the tier's OWN default chunking (same shapes as
             # the timed run, so the compile is reused) — forcing a tiny
@@ -152,8 +157,10 @@ def run(scene: str = "cornell_box_baseline", spp: int | None = None,
             t0 = time.perf_counter()
             _with_retry(lambda: render(tables, cam, nx, ny, spp, seed=seed,
                                        spp_chunk=chunk))
-            dt = min(dt, time.perf_counter() - t0)
+            walls.append(time.perf_counter() - t0)
+            dt = min(dt, walls[-1])
 
+    dt_med = sorted(walls)[len(walls) // 2]
     rays_per_sec = nx * ny * spp / dt
     base_rays, base_source = reference_baseline()
     grad_worst, grad_per_leaf = _with_retry(
@@ -165,7 +172,9 @@ def run(scene: str = "cornell_box_baseline", spp: int | None = None,
         "vs_baseline": round(rays_per_sec / base_rays, 2),
         "baseline_rays_per_sec": round(base_rays, 1),
         "baseline_source": base_source,
+        "median_rays_per_sec": round(nx * ny * spp / dt_med, 1),
         "wall_seconds": round(dt, 2),
+        "wall_seconds_all_reps": [round(w, 2) for w in walls],
         "engine": "pallas" if use_pallas else "xla",
         "grad_fd_max_abs_err": grad_worst,
         "grad_fd_per_leaf": grad_per_leaf,
