@@ -13,9 +13,15 @@ CPU lowering), so this script is the hardware-side complement to tests/:
   XLA_BANDS keeps a statistical-band hook for any future fallback-only
   scene (tests/test_scene_stats.py pins the CPU-side bands).
 
-Run on a TPU host:  python tools/tpu_parity.py [--quick]
+Run on a TPU host:  python tools/tpu_parity.py [--quick] [--json PATH]
+
+`--json PATH` records every check (per-config tier means, rel error,
+tolerance, pass) as a JSON artifact so "parity-proven" is a checked-in
+file rather than a claim in prose — the driver's BENCH_r*.json analogue
+for hardware parity (PARITY_r*.json at the repo root).
 """
 
+import json
 import os
 import sys
 import time
@@ -80,8 +86,20 @@ def _with_retry(fn, tries=3, backoff=90):
             time.sleep(backoff)
 
 
+RESULTS = []
+
+
+def record(check: str, ok: bool, **fields) -> None:
+    RESULTS.append({"check": check, "pass": bool(ok),
+                    **{k: (float(v) if isinstance(v, (int, float)) else v)
+                       for k, v in fields.items()}})
+
+
 def main() -> int:
     quick = "--quick" in sys.argv
+    json_path = None
+    if "--json" in sys.argv:
+        json_path = sys.argv[sys.argv.index("--json") + 1]
     failures = 0
     for key, cfg in CONFIGS.items():
         name, nx, ny, spp, depth, tol, opts = cfg
@@ -99,6 +117,7 @@ def main() -> int:
             tp = time.time() - t0
         except UnsupportedScene as e:
             print(f"{key}: SKIP ({e})")
+            record(key, True, skipped=True, reason=str(e))
             continue
         t0 = time.time()
         b = _with_retry(lambda: render(scene, cam, nx, ny, spp, seed=1,
@@ -109,6 +128,9 @@ def main() -> int:
         ok = np.isfinite(a).all() and rel < tol
         print(f"{key}: pallas={ma:.4f} ({tp:.0f}s) xla={mb:.4f} ({tx:.0f}s)"
               f" rel={rel:.3f} tol={tol} {'OK' if ok else 'FAIL'}")
+        record(key, ok, pallas_mean=ma, xla_mean=mb, rel=rel, tol=tol,
+               nx=nx, ny=ny, spp=spp, depth=depth,
+               pallas_s=tp, xla_s=tx, opts=opts)
         failures += 0 if ok else 1
 
     # feature-lattice scene (VERDICT r2 task 4): every legal combination
@@ -144,6 +166,8 @@ def main() -> int:
     print(f"lattice: pallas={ma:.4f} ({tp:.0f}s) xla={mb:.4f} ({tx:.0f}s)"
           f" rel={rel:.3f} tol=0.04 mean|Δpx|={mad:.4f} "
           f"noise={mad0:.4f} {'OK' if ok else 'FAIL'}")
+    record("lattice", ok, pallas_mean=ma, xla_mean=mb, rel=rel, tol=0.04,
+           mad=mad, mad_noise=mad0, nx=lnx, ny=lny, spp=lspp)
     failures += 0 if ok else 1
 
     # solid-albedo medium OVER textured surfaces (med_tex=False with
@@ -184,6 +208,8 @@ def main() -> int:
     print(f"fog over textures: pallas={ma:.4f} ({tp:.0f}s) xla={mb:.4f} "
           f"({tx:.0f}s) rel={rel:.3f} tol=0.03 mean|Δpx|={mad:.4f} "
           f"noise={mad0:.4f} {'OK' if ok else 'FAIL'}")
+    record("fog_over_textures", ok, pallas_mean=ma, xla_mean=mb, rel=rel,
+           tol=0.03, mad=mad, mad_noise=mad0, spp=fspp)
     failures += 0 if ok else 1
 
     for name, expected in XLA_BANDS.items():
@@ -199,6 +225,8 @@ def main() -> int:
         print(f"{name} (xla-only): mean={mean:.4f} ({tx:.0f}s) "
               f"band=[{0.8 * expected:.4f}, {1.2 * expected:.4f}] "
               f"{'OK' if ok else 'FAIL'}")
+        record(f"{name}_xla_band", ok, mean=mean, band_lo=0.8 * expected,
+               band_hi=1.2 * expected)
         failures += 0 if ok else 1
 
     # cost-balanced scheduling scatter: balanced and unbalanced renders
@@ -230,6 +258,7 @@ def main() -> int:
     ok = np.isfinite(a).all() and mad < 1.3 * mad0
     print(f"balance scatter (final_scene): mean|Δpx|={mad:.4f} "
           f"noise baseline={mad0:.4f} {'OK' if ok else 'FAIL'}")
+    record("balance_scatter", ok, mad=mad, mad_noise=mad0, spp=spp_b)
     failures += 0 if ok else 1
 
     # dense-medium walk region: compare the two tiers on a window
@@ -251,6 +280,7 @@ def main() -> int:
     ok = rel < 0.15
     print(f"walk window (subsurface, linear): pallas={ma:.4f} "
           f"xla={mb:.4f} rel={rel:.3f} {'OK' if ok else 'FAIL'}")
+    record("walk_window", ok, pallas_mean=ma, xla_mean=mb, rel=rel, tol=0.15)
     failures += 0 if ok else 1
 
     # multi-device dispatch path on one chip: passing the same device
@@ -274,9 +304,17 @@ def main() -> int:
     ok = np.isfinite(two).all() and rel < 0.04
     print(f"split2 (same chip): 1dev={m1:.4f} 2dev={m2:.4f} rel={rel:.3f} "
           f"{'OK' if ok else 'FAIL'}")
+    record("split2", ok, one_dev=m1, two_dev=m2, rel=rel, tol=0.04)
     failures += 0 if ok else 1
 
     print("PARITY PASS" if failures == 0 else f"PARITY FAIL ({failures})")
+    if json_path:
+        art = {"pass": failures == 0, "failures": failures,
+               "quick": quick, "device": str(jax.devices()[0]),
+               "checks": RESULTS}
+        with open(json_path, "w") as f:
+            json.dump(art, f, indent=1)
+        print(f"wrote {json_path}")
     return 1 if failures else 0
 
 
