@@ -73,8 +73,117 @@ def build_scene(box_albedo=(0.73, 0.73, 0.73), emit=TRUE_EMIT):
     return b.build()
 
 
+def make_fused_step(target_scene, scene, cam, box_tex, light_tex,
+                    nx, ny, spp, max_depth, mesh, block, opt):
+    """ONE jitted dispatch per training step.
+
+    The round-3 loop issued per step: two jit dispatches (target render,
+    value_and_grad), plus ~10 EAGER device ops (tex_color updates, grad
+    gathers, the whole optax update, clips) and a host round-trip for the
+    pixel choice. Under the axon tunnel each eager op and host pull costs
+    up to ~0.5 s of latency (CLAUDE.md), so the step was dispatch-bound,
+    not compute-bound — tools/profile_train_step.py measured the
+    host/eager tail at more than half the 0.66 s/step wall. Fusing pixel
+    choice, target render, grad, optimizer, and clipping into one
+    compiled step removes every intermediate host touch; the loop now
+    pulls one scalar loss when it wants to print.
+
+    RNG contract matches the unfused loop: the per-step trace key is
+    fold_in(key(0), step) for BOTH target and candidate (path-matched
+    estimator — see module docstring); the pixel block comes from an
+    independent fold of key(1) (the unfused loop drew it with numpy,
+    statistically equivalent).
+
+    Measured on v5e (tools/diag_fused.py): this program runs in 113 ms
+    when its arguments are fresh, but 1.4 s when params/state FEED BACK
+    from the previous call — under the axon tunnel, consuming a prior
+    dispatch's outputs as inputs costs a ~1.3 s round trip regardless of
+    array size. One-dispatch-per-step is therefore NOT enough; the
+    production loop scans whole step chunks on device (make_scan_steps)
+    so the feedback edge never leaves the chip.
+    """
+    from raytracing_rust_tpu.parallel.sharding import (
+        render_block_sharded, train_step_sharded)
+    n_pix = nx * ny
+
+    @jax.jit
+    def step(params, state, i):
+        k = jax.random.fold_in(jax.random.key(0), i)
+        kp = jax.random.fold_in(jax.random.key(1), i)
+        pix = jax.random.choice(kp, n_pix, (block,),
+                                replace=False).astype(jnp.int32)
+        target = render_block_sharded(target_scene, cam, pix, k, nx, ny,
+                                      spp, max_depth, mesh) / spp
+        s2 = dataclasses.replace(
+            scene, tex_color=scene.tex_color
+            .at[box_tex].set(params["albedo"])
+            .at[light_tex].set(jnp.broadcast_to(params["emit"], (3,))))
+        loss, grads = train_step_sharded(s2, cam, pix, k, target, nx=nx,
+                                         ny=ny, spp=spp, max_depth=max_depth,
+                                         mesh=mesh)
+        g = {"albedo": grads.tex_color[box_tex],
+             "emit": grads.tex_color[light_tex].sum()}
+        updates, state = opt.update(g, state)
+        params = optax.apply_updates(params, updates)
+        params = {"albedo": jnp.clip(params["albedo"], 0.0, 1.0),
+                  "emit": jnp.clip(params["emit"], 0.0, 20.0)}
+        return params, state, loss
+
+    return step
+
+
+def make_scan_steps(target_scene, scene, cam, box_tex, light_tex,
+                    nx, ny, spp, max_depth, mesh, block, opt, chunk):
+    """`chunk` training steps as ONE dispatch: lax.scan over step indices.
+
+    The per-step feedback edge (params/state out → in) costs ~1.3 s under
+    the axon tunnel (see make_fused_step); scanning keeps it on device, so
+    a chunk pays ONE dispatch + ONE feedback for `chunk` steps. The body
+    is the same fused step (identical RNG contract: trace key
+    fold_in(key(0), i), pixel block fold_in(key(1), i)); per-step losses
+    come back as the scan ys for host-side printing. Watchdog arithmetic
+    (CLAUDE.md, ~2 min per-dispatch cap): a step is ~0.11 s of compute, so
+    chunks up to ~1000 steps are safe; default 10 keeps progress visible.
+    """
+    from raytracing_rust_tpu.parallel.sharding import (
+        render_block_sharded, train_step_sharded)
+    n_pix = nx * ny
+
+    @jax.jit
+    def run_chunk(params, state, i0):
+        def body(carry, i):
+            params, state = carry
+            k = jax.random.fold_in(jax.random.key(0), i)
+            kp = jax.random.fold_in(jax.random.key(1), i)
+            pix = jax.random.choice(kp, n_pix, (block,),
+                                    replace=False).astype(jnp.int32)
+            target = render_block_sharded(target_scene, cam, pix, k, nx,
+                                          ny, spp, max_depth, mesh) / spp
+            s2 = dataclasses.replace(
+                scene, tex_color=scene.tex_color
+                .at[box_tex].set(params["albedo"])
+                .at[light_tex].set(jnp.broadcast_to(params["emit"], (3,))))
+            loss, grads = train_step_sharded(s2, cam, pix, k, target,
+                                             nx=nx, ny=ny, spp=spp,
+                                             max_depth=max_depth, mesh=mesh)
+            g = {"albedo": grads.tex_color[box_tex],
+                 "emit": grads.tex_color[light_tex].sum()}
+            updates, state = opt.update(g, state)
+            params = optax.apply_updates(params, updates)
+            params = {"albedo": jnp.clip(params["albedo"], 0.0, 1.0),
+                      "emit": jnp.clip(params["emit"], 0.0, 20.0)}
+            return (params, state), loss
+
+        (params, state), losses = jax.lax.scan(
+            body, (params, state), i0 + jnp.arange(chunk, dtype=jnp.uint32))
+        return params, state, losses
+
+    return run_chunk
+
+
 def main_sharded(steps: int, nx: int = 200, ny: int = 200, spp: int = 64,
-                 block: int = 4096, max_depth: int = 6) -> int:
+                 block: int = 4096, max_depth: int = 6,
+                 fused: bool = True, chunk: int = 10) -> int:
     from raytracing_rust_tpu.parallel.sharding import (
         make_mesh, render_block_sharded, train_step_sharded)
 
@@ -95,8 +204,11 @@ def main_sharded(steps: int, nx: int = 200, ny: int = 200, spp: int = 64,
                       static_argnames=("nx", "ny", "spp", "max_depth",
                                        "mesh"))
 
-    params = {"albedo": jnp.asarray([0.5, 0.5, 0.5]),
-              "emit": jnp.asarray(3.0)}
+    # explicit dtype: jnp.asarray(3.0) is WEAK-typed, and the scan returns
+    # strong f32 — feeding that back would recompile the chunk on call 2
+    # (a 20 s compile observed on v5e before this was pinned).
+    params = {"albedo": jnp.asarray([0.5, 0.5, 0.5], jnp.float32),
+              "emit": jnp.asarray(3.0, jnp.float32)}
     # per-group lr: Adam steps ≈ lr, and emission must travel ~2.0 in
     # `steps` updates while albedo travels ≤0.3 — one lr cannot serve both.
     # Cosine decay damps the momentum overshoot once each group arrives.
@@ -112,6 +224,59 @@ def main_sharded(steps: int, nx: int = 200, ny: int = 200, spp: int = 64,
     print(f"target: albedo [{TRUE_ALBEDO[0]:.2f} {TRUE_ALBEDO[1]:.2f} "
           f"{TRUE_ALBEDO[2]:.2f}], emission {TRUE_EMIT:.2f}; "
           f"start: albedo [0.50 0.50 0.50], emission 3.00")
+
+    if fused:
+        # Chunked on-device loop: lax.scan keeps the params/state feedback
+        # edge on chip (per-step feedback over the axon tunnel costs
+        # ~1.3 s regardless of array size — see make_fused_step).
+        chunk = min(chunk, steps)
+        n_chunks = -(-steps // chunk)
+        total = n_chunks * chunk
+        run_chunk = make_scan_steps(target_scene, scene, cam, box_tex,
+                                    light_tex, nx, ny, spp, max_depth,
+                                    mesh, block, opt, chunk)
+        # pre-place params/state with the sharding the scan RETURNS
+        # (replicated NamedSharding over the mesh): otherwise chunk 0
+        # compiles for unspecified-sharding inputs and chunk 1 — fed
+        # chunk 0's outputs — recompiles the whole program (~20 s on v5e).
+        repl = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        params, state = jax.device_put((params, state), repl)
+        t_start = t0 = time.perf_counter()
+        walls = []
+        for c in range(n_chunks):
+            params, state, losses = run_chunk(
+                params, state, jnp.asarray(c * chunk, jnp.uint32))
+            losses = np.asarray(losses)      # host pull = chunk completion
+            a = np.asarray(params["albedo"])
+            walls.append(time.perf_counter() - t0)
+            done = (c + 1) * chunk
+            print(f"step {done - 1:3d}  loss {losses[-1]:.5f}  "
+                  f"albedo [{a[0]:.3f} {a[1]:.3f} {a[2]:.3f}]  "
+                  f"emit {float(params['emit']):.3f}  "
+                  f"({walls[-1]:.2f}s chunk of {chunk})")
+            t0 = time.perf_counter()
+        a = np.asarray(params["albedo"])
+        e = float(params["emit"])
+        if n_chunks > 1:
+            # median of post-compile chunks: robust to the axon tunnel's
+            # one-off multi-second latency spikes (CLAUDE.md: wall times
+            # jitter up to 3x)
+            steady = float(np.median(walls[1:])) / chunk
+            tag = "median steady chunk"
+        else:
+            steady = walls[0] / total
+            tag = "avg incl. compile (single chunk)"
+        err_a = np.abs(a - np.asarray(TRUE_ALBEDO)).max()
+        err_e = abs(e - TRUE_EMIT)
+        rays = block * spp
+        print(f"recovered albedo [{a[0]:.3f} {a[1]:.3f} {a[2]:.3f}] "
+              f"(max abs err {err_a:.3f}), emission {e:.3f} "
+              f"(err {err_e:.3f})")
+        print(f"step time: {steady:.3f}s {tag} (on-device scan, "
+              f"{chunk} steps/dispatch; {rays / 1e6:.2f}M target + "
+              f"{rays / 1e6:.2f}M candidate sample-paths/step fwd+bwd, "
+              f"depth {max_depth})")
+        return 0 if (err_a < 0.1 and err_e < 0.5) else 1
 
     wall = []
     t_loop = time.perf_counter()
@@ -221,7 +386,10 @@ if __name__ == "__main__":
     ap.add_argument("--steps", type=int, default=40)
     ap.add_argument("--spp", type=int, default=64)
     ap.add_argument("--block", type=int, default=4096)
+    ap.add_argument("--unfused", action="store_true",
+                    help="round-3 loop (2 dispatches + eager tail) for A/B")
     args = ap.parse_args()
     if args.quick:
         sys.exit(main_quick())
-    sys.exit(main_sharded(args.steps, spp=args.spp, block=args.block))
+    sys.exit(main_sharded(args.steps, spp=args.spp, block=args.block,
+                          fused=not args.unfused))

@@ -218,7 +218,7 @@ BALANCE = os.environ.get("RT_BALANCE", "1") == "1"
 # per-lane scatter) and the output carries K·SUB rows per tile.
 KPIX = int(os.environ.get("RT_KPIX", "4"))
 
-# RT_ABLATE=members,resolve,media,image,noise,walk — compile kernels
+# RT_ABLATE=members,static,resolve,media,image,noise,walk — compile kernels
 # with whole sections removed, for per-step cost attribution at
 # max_depth=1 (where every sample is exactly one wavefront step, so
 # removing a section cannot change path lengths). Ablated kernels
@@ -1303,6 +1303,13 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
             int_kinds = ()
         if "members" in ABLATE:
             n_dyn = n_box = 0
+        if "static" in ABLATE:
+            # compile out the unrolled static prim loops (cornell-class
+            # scenes: every ray misses, so at depth 1 the removed cost is
+            # exactly the static closest-hit section — used by
+            # tools/kernel_stats.py --mfu for member-fraction attribution)
+            kinds = ()
+            rect_groups = ()
     f = jnp.float32
 
     # optional per-prim record fields threaded through the hit-selection

@@ -30,7 +30,7 @@ from raytracing_rust_tpu.ops import pallas_tracer as pt  # noqa: E402
 
 
 def run(name: str, nx=400, ny=400, spp=32, max_depth=50,
-        balance=False) -> None:
+        balance=False) -> dict:
     preset = PRESETS[name]
     scene = preset.build()
     cam = preset.camera()
@@ -88,19 +88,201 @@ def run(name: str, nx=400, ny=400, spp=32, max_depth=50,
     occ = busy.sum() / (steps.sum() + 1e-9)
     print(f"  lane occupancy: {100 * occ:.1f}% "
           f"(mean busy steps / tile steps; the rest is drain tail)")
+    stats = {"name": name, "nx": nx, "ny": ny, "spp": spp,
+             "max_depth": max_depth, "grid": int(grid),
+             "n_dyn": int(n_dyn), "n_box": int(n_box),
+             "steps_total": tot_steps,
+             "steps_per_sample": float(per_tile.mean() / (spp * kpix)),
+             "occupancy": float(occ), "kinds": kinds, "groups": groups,
+             "mem_s_per_step": 0.0, "mem_b_per_step": 0.0}
     if n_dyn:
         ms = mem_s.reshape(grid, -1)[:, 0]
+        stats["mem_s_per_step"] = float(ms.sum() / tot_steps)
         print(f"  sphere member tests/step: {ms.sum() / tot_steps:.1f} "
               f"of {n_dyn} ({100 * ms.sum() / tot_steps / n_dyn:.1f}%)")
     if n_box:
         mb = mem_b.reshape(grid, -1)[:, 0]
+        stats["mem_b_per_step"] = float(mb.sum() / tot_steps)
         print(f"  box member tests/step: {mb.sum() / tot_steps:.1f} "
               f"of {n_box} ({100 * mb.sum() / tot_steps / n_box:.1f}%)")
+    return stats
+
+
+def vpu_peak(k: int = 16, iters: int = 2_000_000, add_only: bool = True):
+    """Measured VPU speed-of-light: back-to-back elementwise op issue rate
+    on (8, 1024) f32 tiles — the megakernel's working shape.
+
+    A Pallas loop carries `k` independent accumulators (enough ILP to hide
+    ALU latency) and issues one op per accumulator per iteration; the trip
+    count is a traced SMEM scalar so Mosaic cannot unroll or fold it. Two
+    trip counts are timed and DIFFERENCED, cancelling the ~0.5 s dispatch
+    latency of the axon tunnel (CLAUDE.md) and the kernel's fixed cost.
+
+    add_only=True counts pure adds (one VPU instruction each — the
+    conservative peak for MFU accounting); add_only=False issues mul+add
+    pairs (counted as 2 ops; if the compiler fuses them to FMA the
+    reported rate exceeds the instruction-issue peak, which is why it is
+    not the MFU denominator).
+
+    Returns element-ops/second (elements = 8·1024 per op).
+    """
+    import time as _time
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    f = jnp.float32
+
+    def kernel(n_ref, o_ref):
+        # splat-free init (Mosaic "invalid relayout" trap — CLAUDE.md)
+        zero = (lax.broadcasted_iota(f, (8, 1024), 0)
+                + lax.broadcasted_iota(f, (8, 1024), 1)) * f(0.0)
+        accs = [zero + f(1.0) + f(1e-3) * f(j) for j in range(k)]
+
+        def body(i, accs):
+            if add_only:
+                return [a + f(1e-9) for a in accs]
+            return [a * f(0.9999999) + f(1e-9) for a in accs]
+
+        accs = lax.fori_loop(0, n_ref[0], body, accs)
+        out = accs[0]
+        for a in accs[1:]:
+            out = out + a
+        o_ref[...] = out
+
+    call = jax.jit(lambda n: pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((8, 1024), jnp.float32))(n))
+
+    def wall(n):
+        arg = np.asarray([n], np.int32)
+        best = float("inf")
+        for _ in range(3):
+            t0 = _time.perf_counter()
+            np.asarray(call(arg))          # host pull = real completion
+            best = min(best, _time.perf_counter() - t0)
+        return best
+
+    wall(1000)                             # compile
+    n1, n2 = iters, 3 * iters
+    t1, t2 = wall(n1), wall(n2)
+    ops_per_iter = k * (1 if add_only else 2)
+    rate = (n2 - n1) * ops_per_iter * 8 * 1024 / max(t2 - t1, 1e-9)
+    return rate
+
+
+# Vector-op cost constants from code inspection of ops/pallas_tracer.py
+# (counting every elementwise jnp op on an (8,1024) tile as ONE vector op:
+# arithmetic, compares, boolean masks, selects alike — the same convention
+# as the RT_ABLATE calibration in docs/DESIGN.md). Derivations in
+# DESIGN.md "Speed-of-light accounting".
+OPS = {
+    # static unrolled loops (fat: attribute selects inline, no extras)
+    "sphere_fat": 59,    # oc 3, b 5, c 6, disc 3, sqrt-where 2, roots 5,
+                         # windows 8, t/better 3, normal 9, select ~15
+    "rect_member": 35,   # t 2, xa/yb 6, window 12, where 1, select ~14
+    "rect_group": 36,    # 6 ray·frame dot3 (30), nonpar+inv 3, splats 3
+    # thin dynamic loops (carry only t + winner idx; DESIGN.md ablation
+    # calibrated the sphere test at ~154 ns ≈ ~30 vector ops)
+    "sphere_thin": 30,
+    "box_thin": 12,      # grid strip pass member (generic slab ≈ 19)
+}
+
+V5E_THEORETICAL = 8 * 128 * 4 * 1.5e9   # lanes × ALUs × clock; see DESIGN.md
+
+
+def mfu(name: str, nx=800, ny=800, spp=32, max_depth=50,
+        balance=None) -> dict:
+    """Achieved-vs-peak VPU utilization for one scene (VERDICT r3 task 2).
+
+    achieved element-ops/s =
+        (static member ops/step + measured dyn/box tests/step × thin-test
+         ops) × 8·1024 elements × (stats-run total steps / clean-run wall)
+
+    compared against (a) the MEASURED add-issue peak from `vpu_peak` and
+    (b) the theoretical 8×128 lanes × 4 ALUs × ~1.5 GHz. This counts
+    member-test ops only — the known-dominant section (DESIGN.md ablation:
+    ~60% of a final_scene step); the whole-kernel division is done in
+    DESIGN.md where the section fractions are recorded.
+    """
+    import time as _time
+    preset = PRESETS[name]
+    scene = preset.build()
+    cam = preset.camera()
+    if balance is None:
+        balance = name in ("final_scene", "random_spheres")
+
+    stats = run(name, nx=nx, ny=ny, spp=spp, max_depth=max_depth,
+                balance=balance)
+
+    # clean timed render, same config (counters off; best-of-3)
+    best = float("inf")
+    for _ in range(3):
+        t0 = _time.perf_counter()
+        img = pt.render_pallas(scene, cam, nx, ny, spp, seed=7,
+                               max_depth=max_depth, balance=balance)
+        np.asarray(img)
+        best = min(best, _time.perf_counter() - t0)
+
+    kinds, groups = stats["kinds"], stats["groups"]
+    n_sph_static = sum(1 for k in kinds if k in ("sphere", "moving"))
+    n_rect = sum(len(g) for g in groups)
+    static_ops = (n_sph_static * OPS["sphere_fat"]
+                  + len(groups) * OPS["rect_group"]
+                  + n_rect * OPS["rect_member"])
+    dyn_ops = (stats["mem_s_per_step"] * OPS["sphere_thin"]
+               + stats["mem_b_per_step"] * OPS["box_thin"])
+    ops_per_step = static_ops + dyn_ops
+
+    steps_per_s = stats["steps_total"] / best
+    achieved = ops_per_step * 8 * 1024 * steps_per_s
+    rays_per_s = nx * ny * spp / best
+
+    peak = vpu_peak()
+    print(f"\n{name} MFU @ {nx}x{ny} spp {spp} depth {max_depth} "
+          f"(balance={balance}):")
+    print(f"  wall {best:.2f}s = {rays_per_s / 1e6:.1f}M rays/s, "
+          f"{steps_per_s / 1e3:.0f}k wavefront steps/s")
+    print(f"  member ops/step: {static_ops} static "
+          f"({n_sph_static} spheres, {n_rect} rects in {len(groups)} "
+          f"frame groups) + {dyn_ops:.0f} dynamic "
+          f"({stats['mem_s_per_step']:.0f} sph x {OPS['sphere_thin']} + "
+          f"{stats['mem_b_per_step']:.0f} box x {OPS['box_thin']})")
+    print(f"  achieved member-test rate: {achieved / 1e12:.2f} T "
+          f"element-ops/s")
+    print(f"  measured VPU add-issue peak: {peak / 1e12:.2f} T "
+          f"element-ops/s -> {100 * achieved / peak:.0f}% of measured "
+          f"speed of light")
+    print(f"  theoretical 4-ALU peak: {V5E_THEORETICAL / 1e12:.2f} T "
+          f"-> {100 * achieved / V5E_THEORETICAL:.0f}%")
+    return {"name": name, "wall_s": best, "rays_per_s": rays_per_s,
+            "steps_per_s": steps_per_s, "ops_per_step": ops_per_step,
+            "achieved_ops_per_s": achieved, "measured_peak": peak,
+            "theoretical_peak": V5E_THEORETICAL,
+            "mfu_measured": achieved / peak,
+            "mfu_theoretical": achieved / V5E_THEORETICAL}
 
 
 def main() -> int:
-    argv = [a for a in sys.argv[1:] if a != "--balance"]
+    argv = [a for a in sys.argv[1:]
+            if a not in ("--balance", "--mfu", "--peak")]
     balance = "--balance" in sys.argv
+    if "--peak" in sys.argv:
+        add_rate = vpu_peak(add_only=True)
+        fma_rate = vpu_peak(add_only=False)
+        print(f"VPU peak on (8,1024) f32: add-issue "
+              f"{add_rate / 1e12:.2f} T element-ops/s, mul+add "
+              f"{fma_rate / 1e12:.2f} T (FMA-fused if > add rate); "
+              f"theoretical 4-ALU {V5E_THEORETICAL / 1e12:.2f} T")
+        return 0
+    if "--mfu" in sys.argv:
+        names = argv or ["cornell_box", "final_scene"]
+        for name in names:
+            mfu(name)
+        return 0
     names = argv or ["final_scene", "random_spheres"]
     for name in names:
         run(name, balance=balance)
