@@ -1281,8 +1281,9 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
     spp / max_depth arrive as runtime scalars (params_ref = [seed, spp,
     max_depth]) so one compile serves every sample count.
 
-    stats=True adds three output rows of per-lane diagnostics counters
-    (wavefront steps, sphere member tests, box member tests) used by
+    stats=True adds five output rows of per-lane diagnostics counters
+    (wavefront steps, sphere member tests, box member tests, busy steps,
+    any-lane-crossed box tests — the grid-DDA probe) used by
     tools/kernel_stats.py to measure cluster-cull efficiency on real
     hardware; the counters ride the loop carries, so timings taken in
     stats mode are NOT representative.
@@ -1539,7 +1540,8 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                     accs.append(list(carry[21 + 3 * (k - 1):
                                            21 + 3 * k]))
             if stats:
-                s_steps, s_mem_s, s_mem_b, s_busy = carry[20 + n_extra:]
+                (s_steps, s_mem_s, s_mem_b, s_busy,
+                 s_hit_b) = carry[20 + n_extra:]
                 s_steps = s_steps + f(1.0)
 
             # -- regenerate dead lanes that still owe samples
@@ -1914,11 +1916,23 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                                      r(R_DC), r(R_DC + 1), r(R_DC + 2))
                     t_p = jnp.where(tmn > f(T_MIN), tmn, tmx)
                     ok = (tmx > tmn) & (t_p > f(T_MIN)) & (t_p < t_b)
+                    st_stats = ()
+                    if stats:
+                        # DDA probe (docs/DESIGN.md): would a per-CELL
+                        # gate — any-lane ray-crosses-THIS-member's-AABB
+                        # within its live t window, i.e. exactly the
+                        # visit set of a tile-coherent grid DDA — have
+                        # run this member test anyway?
+                        cross = ((tmx > jnp.maximum(tmn, f(T_MIN)))
+                                 & (tmn < t_b) & (alive > f(0.0)))
+                        hit = jnp.max(jnp.where(cross, f(1.0), f(0.0)))
+                        st_stats = (st2[2] + f(1.0), st2[3] + hit)
                     return (jnp.where(ok, t_p, t_b),
                             jnp.where(ok, f(n_dyn) + p.astype(f), wi)) \
-                        + ((st2[2] + f(1.0),) if stats else ())
+                        + st_stats
 
-                thin1 = (t_thin, widx) + ((s_mem_b,) if stats else ())
+                thin1 = (t_thin, widx) \
+                    + ((s_mem_b, s_hit_b) if stats else ())
                 grid_spec = n_bclus[2:] if len(n_bclus) == 4 else None
                 strip_leaf = None
                 if grid_spec is not None and CULL == "wide":
@@ -1968,9 +1982,19 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                                 t_p = jnp.where(tmn > f(T_MIN), tmn, tmx)
                                 ok = ((tmx > tmn) & (t_p > f(T_MIN))
                                       & (t_p < t_b))
+                                st_stats = ()
+                                if stats:
+                                    # DDA probe — see box_thin
+                                    cross = ((tmx > jnp.maximum(
+                                        tmn, f(T_MIN)))
+                                        & (tmn < t_b) & (alive > f(0.0)))
+                                    hit = jnp.max(jnp.where(
+                                        cross, f(1.0), f(0.0)))
+                                    st_stats = (st4[2] + f(1.0),
+                                                st4[3] + hit)
                                 return (jnp.where(ok, t_p, t_b),
                                         jnp.where(ok, f(n_dyn) + pf, wi)) \
-                                    + ((st4[2] + f(1.0),) if stats else ())
+                                    + st_stats
 
                             return jax.lax.fori_loop(start, start + cnt,
                                                      member, tuple(st3))
@@ -1984,7 +2008,7 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                                     thin1, n_box, leaf_fn=strip_leaf)
                 t_thin, widx = out1[:2]
                 if stats:
-                    s_mem_b = out1[2]
+                    s_mem_b, s_hit_b = out1[2], out1[3]
 
             if n_dyn:
                 # dynamic spheres (random_spheres' 397, final_scene's
@@ -2654,7 +2678,8 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
             return (ox, oy, oz, dx, dy, dz, time,
                     thr_r, thr_g, thr_b, rad_r, rad_g, rad_b, cont,
                     bcnt, scnt, acc_r, acc_g, acc_b, skip_med) + extra \
-                + ((s_steps, s_mem_s, s_mem_b, s_busy) if stats else ())
+                + ((s_steps, s_mem_s, s_mem_b, s_busy, s_hit_b)
+                   if stats else ())
 
         def unfinished(carry):
             alive, scnt = carry[13], carry[15]
@@ -2675,7 +2700,7 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
         if kpix > 1:
             st = st + (zero_c,) * n_extra
         if stats:
-            st = st + (zero_c, zero_c, zero_c, zero_c)
+            st = st + (zero_c, zero_c, zero_c, zero_c, zero_c)
         st = jax.lax.while_loop(unfinished, step, st)
 
         if kpix > 1:
@@ -2701,6 +2726,7 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
             out_ref[4] = srow(st[21 + n_extra])   # sphere member tests
             out_ref[5] = srow(st[22 + n_extra])   # box member tests
             out_ref[6] = srow(st[23 + n_extra])   # per-lane busy steps
+            out_ref[7] = srow(st[24 + n_extra])   # DDA-crossed box tests
 
     return kernel
 
@@ -2724,7 +2750,7 @@ def _trace_call(rec, dyn_rec, box_rec, sclus, bclus, med_rec, cam_rec,
                           explicit_pix=pix is not None,
                           int_kinds=int_kinds, attr_fields=attr_fields,
                           kpix=kpix)
-    n_rows = 7 if stats else 3
+    n_rows = 8 if stats else 3
     if int_rec is None:
         int_rec = jnp.zeros((1, REC), jnp.float32)
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 8 + [

@@ -12,6 +12,8 @@ argmin picked the flipped floor copy; the mirror, like the reference,
 renders the unflipped one — bottom-half luminance 0.093 vs 0.176).
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -24,6 +26,18 @@ from raytracing_rust_tpu.render import render
 if native._load_ref() is None:  # pragma: no cover
     pytest.skip("native toolchain unavailable", allow_module_level=True)
 
+# Nightly knob: RT_ORACLE_SPP_MULT=16 multiplies every spp and shrinks the
+# absolute floors by sqrt(mult). The default floors (0.01/0.012 luminance)
+# mean a systematic bias below the floor passes forever at CI spp; the
+# multiplied config converges the MC means enough to catch it (takes
+# minutes, not CI material — run manually; last result recorded in
+# docs/DESIGN.md "Oracle floors").
+_MULT = max(1, int(os.environ.get("RT_ORACLE_SPP_MULT", "1")))
+
+
+def _floor(base: float) -> float:
+    return base / np.sqrt(_MULT)
+
 
 def _stderr_of_mean(img):
     # the image mean of nx*ny pixel means has stderr ≈
@@ -35,7 +49,7 @@ def _stderr_of_mean(img):
 def test_oracle_spheres_mean_matches_mirror():
     """Mixed lambertian/metal/dielectric spheres under the sky background
     (mirror scene_id 1 — build_oracle_spheres in ref_tracer.cpp)."""
-    nx, ny, spp = 64, 36, 64
+    nx, ny, spp = 64, 36, 64 * _MULT
     look_from, look_at, vfov = (0.0, 2.0, 8.0), (0.0, 1.0, 0.0), 35.0
 
     b = SceneBuilder(background=BG_SKY)
@@ -56,7 +70,7 @@ def test_oracle_spheres_mean_matches_mirror():
 
     sigma = np.hypot(_stderr_of_mean(ours), _stderr_of_mean(ref_img))
     diff = abs(float(ours.mean()) - float(ref_img.mean()))
-    assert diff < max(6 * sigma, 0.01), (
+    assert diff < max(6 * sigma, _floor(0.01)), (
         f"ours {ours.mean():.4f} vs mirror {ref_img.mean():.4f} "
         f"(diff {diff:.4f}, 6σ {6 * sigma:.4f})")
 
@@ -65,7 +79,7 @@ def test_cornell_box_matches_mirror_per_half():
     """cornell_box at the reference camera — per-half means catch exactly
     the class of bug the image mean can hide (the dark-floor tie-break bug
     lived only in the bottom half)."""
-    nx, ny, spp = 48, 27, 96
+    nx, ny, spp = 48, 27, 96 * _MULT
     p = PRESETS["cornell_box"]
 
     scene = p.build()
@@ -90,7 +104,7 @@ def test_cornell_box_matches_mirror_per_half():
         a, r = ours[sl], ref_img[sl]
         sigma = np.hypot(_stderr_of_mean(a), _stderr_of_mean(r))
         diff = abs(float(a.mean()) - float(r.mean()))
-        assert diff < max(6 * sigma, 0.012), (
+        assert diff < max(6 * sigma, _floor(0.012)), (
             f"{name} half: ours {a.mean():.4f} vs mirror {r.mean():.4f} "
             f"(diff {diff:.4f}, 6σ {6 * sigma:.4f})")
 
@@ -102,7 +116,7 @@ def test_cornell_smoke_matches_mirror_per_half():
     closed-form reparameterization that shares no design with the
     reference's hit1/hit2 + log(U) loop, so tier-vs-tier parity cannot
     catch a shared semantic bias here — only this absolute check can."""
-    nx, ny, spp = 48, 27, 96
+    nx, ny, spp = 48, 27, 96 * _MULT
     p = PRESETS["cornell_smoke"]
 
     scene = p.build()
@@ -122,7 +136,7 @@ def test_cornell_smoke_matches_mirror_per_half():
         a, r = ours[sl], ref_img[sl]
         sigma = np.hypot(_stderr_of_mean(a), _stderr_of_mean(r))
         diff = abs(float(a.mean()) - float(r.mean()))
-        assert diff < max(6 * sigma, 0.012), (
+        assert diff < max(6 * sigma, _floor(0.012)), (
             f"{name} half: ours {a.mean():.4f} vs mirror {r.mean():.4f} "
             f"(diff {diff:.4f}, 6σ {6 * sigma:.4f})")
 
@@ -133,7 +147,7 @@ def test_moving_checker_matches_mirror_per_half():
     MovingSphere rising 0.5 over the shutter, a sharp metal hero, sky
     background. Per-half means localize a bias to the sky/sphere (top)
     vs ground (bottom)."""
-    nx, ny, spp = 64, 36, 64
+    nx, ny, spp = 64, 36, 64 * _MULT
     look_from, look_at, vfov = (0.0, 2.0, 8.0), (0.0, 1.0, 0.0), 35.0
 
     b = SceneBuilder(background=BG_SKY)
@@ -155,6 +169,6 @@ def test_moving_checker_matches_mirror_per_half():
         a, r = ours[sl], ref_img[sl]
         sigma = np.hypot(_stderr_of_mean(a), _stderr_of_mean(r))
         diff = abs(float(a.mean()) - float(r.mean()))
-        assert diff < max(6 * sigma, 0.01), (
+        assert diff < max(6 * sigma, _floor(0.01)), (
             f"{name} half: ours {a.mean():.4f} vs mirror {r.mean():.4f} "
             f"(diff {diff:.4f}, 6σ {6 * sigma:.4f})")

@@ -105,18 +105,32 @@ def run(name: str, nx=400, ny=400, spp=32, max_depth=50,
         stats["mem_b_per_step"] = float(mb.sum() / tot_steps)
         print(f"  box member tests/step: {mb.sum() / tot_steps:.1f} "
               f"of {n_box} ({100 * mb.sum() / tot_steps / n_box:.1f}%)")
+        # DDA probe (VERDICT r3 task 8): of the box member tests the leaf
+        # cull lets through, how many would a per-CELL gate — any-lane
+        # ray-crosses-this-member's-AABB, i.e. a tile-coherent grid DDA's
+        # exact visit set — have run anyway? The difference is the DDA's
+        # whole upper bound.
+        hb = out[7].reshape(grid, rows, pt.LANES)[:, :pt.SUB]
+        hb = hb.reshape(grid, -1)[:, 0]
+        stats["dda_cross_per_step"] = float(hb.sum() / tot_steps)
+        skip = 1.0 - hb.sum() / max(mb.sum(), 1e-9)
+        print(f"  any-lane-crossed (DDA would still visit): "
+              f"{hb.sum() / tot_steps:.1f}/step -> a per-cell gate "
+              f"could skip {100 * skip:.1f}% of box tests")
     return stats
 
 
-def vpu_peak(k: int = 16, iters: int = 2_000_000, add_only: bool = True):
+def vpu_peak(k: int = 16, iters: int = 2_000_000, add_only: bool = True,
+             lanes: int = 256, unroll: int = 4):
     """Measured VPU speed-of-light: back-to-back elementwise op issue rate
-    on (8, 1024) f32 tiles — the megakernel's working shape.
+    on (8, lanes) f32 tiles — (8, 1024) is the megakernel's working shape.
 
-    A Pallas loop carries `k` independent accumulators (enough ILP to hide
-    ALU latency) and issues one op per accumulator per iteration; the trip
-    count is a traced SMEM scalar so Mosaic cannot unroll or fold it. Two
-    trip counts are timed and DIFFERENCED, cancelling the ~0.5 s dispatch
-    latency of the axon tunnel (CLAUDE.md) and the kernel's fixed cost.
+    A Pallas loop carries `k` independent accumulators and issues `unroll`
+    ops per accumulator per iteration (alternating +c / -c so the chain
+    cannot be constant-folded); the trip count is a traced SMEM scalar so
+    Mosaic cannot fold it. Two trip counts are timed and DIFFERENCED,
+    cancelling the ~0.5 s dispatch latency of the axon tunnel (CLAUDE.md),
+    the kernel's fixed cost, and the loop-carry overhead shared by both.
 
     add_only=True counts pure adds (one VPU instruction each — the
     conservative peak for MFU accounting); add_only=False issues mul+add
@@ -124,7 +138,14 @@ def vpu_peak(k: int = 16, iters: int = 2_000_000, add_only: bool = True):
     reported rate exceeds the instruction-issue peak, which is why it is
     not the MFU denominator).
 
-    Returns element-ops/second (elements = 8·1024 per op).
+    Returns element-ops/second (elements = 8·lanes per op). --peak sweeps
+    (k, lanes) and reports the best: k·lanes/128 vector registers of live
+    state must fit the register file or Mosaic spills to VMEM and the
+    loop measures VMEM bandwidth instead of ALU issue (measured on v5e:
+    ≤32 live vregs ≈ 3.4-3.5 T, 128 live vregs ≈ 1.44 T). The default
+    (k=16, lanes=256) is the sweep's best on v5e — 3.48 T element-ops/s
+    = exactly 8·128 lanes × 2 issues/cycle × 1.7 GHz, so the v5e VPU
+    dual-issues f32 adds and the 4-ALU constant below is the UPPER bar.
     """
     import time as _time
     import jax.numpy as jnp
@@ -135,15 +156,21 @@ def vpu_peak(k: int = 16, iters: int = 2_000_000, add_only: bool = True):
     f = jnp.float32
 
     def kernel(n_ref, o_ref):
-        # splat-free init (Mosaic "invalid relayout" trap — CLAUDE.md)
-        zero = (lax.broadcasted_iota(f, (8, 1024), 0)
-                + lax.broadcasted_iota(f, (8, 1024), 1)) * f(0.0)
+        # splat-free init (Mosaic "invalid relayout" trap — CLAUDE.md);
+        # iota must be integer-typed on Mosaic
+        zero = (lax.broadcasted_iota(jnp.int32, (8, lanes), 0)
+                + lax.broadcasted_iota(jnp.int32, (8, lanes), 1)
+                ).astype(f) * f(0.0)
         accs = [zero + f(1.0) + f(1e-3) * f(j) for j in range(k)]
 
         def body(i, accs):
-            if add_only:
-                return [a + f(1e-9) for a in accs]
-            return [a * f(0.9999999) + f(1e-9) for a in accs]
+            for u in range(unroll):
+                c = f(1e-3) if u % 2 == 0 else f(-1e-3)
+                if add_only:
+                    accs = [a + c for a in accs]
+                else:
+                    accs = [a * f(0.9999999) + c for a in accs]
+            return accs
 
         accs = lax.fori_loop(0, n_ref[0], body, accs)
         out = accs[0]
@@ -154,8 +181,8 @@ def vpu_peak(k: int = 16, iters: int = 2_000_000, add_only: bool = True):
     call = jax.jit(lambda n: pl.pallas_call(
         kernel,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        out_shape=jax.ShapeDtypeStruct((8, 1024), jnp.float32))(n))
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, lanes), jnp.float32))(n))
 
     def wall(n):
         arg = np.asarray([n], np.int32)
@@ -167,10 +194,10 @@ def vpu_peak(k: int = 16, iters: int = 2_000_000, add_only: bool = True):
         return best
 
     wall(1000)                             # compile
-    n1, n2 = iters, 3 * iters
+    n1, n2 = iters // unroll, 3 * (iters // unroll)
     t1, t2 = wall(n1), wall(n2)
-    ops_per_iter = k * (1 if add_only else 2)
-    rate = (n2 - n1) * ops_per_iter * 8 * 1024 / max(t2 - t1, 1e-9)
+    ops_per_iter = k * unroll * (1 if add_only else 2)
+    rate = (n2 - n1) * ops_per_iter * 8 * lanes / max(t2 - t1, 1e-9)
     return rate
 
 
@@ -191,7 +218,11 @@ OPS = {
     "box_thin": 12,      # grid strip pass member (generic slab ≈ 19)
 }
 
-V5E_THEORETICAL = 8 * 128 * 4 * 1.5e9   # lanes × ALUs × clock; see DESIGN.md
+# 8 sublanes x 128 lanes x 4 ALUs x ~1.5 GHz clock. The ALU count and
+# clock are public-spec ESTIMATES (the pallas guide documents only the
+# (8,128) VPU shape); the measured add-issue rate from vpu_peak() is the
+# denominator of record for MFU, this is a secondary sanity bar.
+V5E_THEORETICAL = 8 * 128 * 4 * 1.5e9
 
 
 def mfu(name: str, nx=800, ny=800, spp=32, max_depth=50,
@@ -271,17 +302,30 @@ def main() -> int:
             if a not in ("--balance", "--mfu", "--peak")]
     balance = "--balance" in sys.argv
     if "--peak" in sys.argv:
-        add_rate = vpu_peak(add_only=True)
-        fma_rate = vpu_peak(add_only=False)
-        print(f"VPU peak on (8,1024) f32: add-issue "
-              f"{add_rate / 1e12:.2f} T element-ops/s, mul+add "
-              f"{fma_rate / 1e12:.2f} T (FMA-fused if > add rate); "
-              f"theoretical 4-ALU {V5E_THEORETICAL / 1e12:.2f} T")
+        best = (0.0, None)
+        for k, lanes in [(4, 1024), (8, 1024), (16, 1024), (32, 1024),
+                         (8, 256), (16, 256), (32, 256), (64, 256),
+                         (16, 512), (32, 512)]:
+            r = vpu_peak(k=k, lanes=lanes, add_only=True)
+            print(f"  k={k:3d} lanes={lanes:5d} "
+                  f"({k * lanes // 128:4d} vregs live): "
+                  f"{r / 1e12:.2f} T add element-ops/s")
+            if r > best[0]:
+                best = (r, (k, lanes))
+        k, lanes = best[1]
+        fma_rate = vpu_peak(k=k, lanes=lanes, add_only=False)
+        print(f"VPU peak: add-issue {best[0] / 1e12:.2f} T element-ops/s "
+              f"(k={k}, lanes={lanes}), mul+add {fma_rate / 1e12:.2f} T "
+              f"(FMA-fused if > add rate); theoretical 4-ALU "
+              f"{V5E_THEORETICAL / 1e12:.2f} T")
         return 0
     if "--mfu" in sys.argv:
         names = argv or ["cornell_box", "final_scene"]
         for name in names:
-            mfu(name)
+            # headline configs: walls must sit well above the ~0.2-0.4 s
+            # dispatch floor or MFU is dispatch-polluted (cornell at
+            # spp 32 is a 0.3 s wall — measured 19%, vs 65% at spp 500)
+            mfu(name, spp=500 if name == "cornell_box" else 64)
         return 0
     names = argv or ["final_scene", "random_spheres"]
     for name in names:
