@@ -112,7 +112,8 @@ def ref_trace(scene_id: int, nx: int, ny: int, spp: int,
     when the native toolchain is unavailable. scene_id: 0 = cornell_box,
     1 = oracle_spheres, 2 = cornell_smoke (fixed back wall, the
     framework-default geometry), 3 = moving_checker (motion blur +
-    checker ground + metal)."""
+    checker ground + metal), 4 = earth_image (synthetic 32x16
+    image-textured sphere, reference earth config)."""
     lib = _load_ref()
     if lib is None:
         return None

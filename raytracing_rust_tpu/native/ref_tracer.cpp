@@ -15,8 +15,9 @@
 //     the reference's own speed — conservative for our vs_baseline ratio.
 //   * scenes are built from the same literals as tests/test.rs but only the
 //     materials/geometry/textures those scenes need are implemented
-//     (solid + checker textures, all five materials, sphere / moving
-//     sphere / rect / cube / translate / rotate / flip / constant medium).
+//     (solid + checker + image textures, all five materials, sphere /
+//     moving sphere / rect / cube / translate / rotate / flip / constant
+//     medium, sphere UV with the reference's FRAC_2_PI quirk).
 //
 // Everything is f64 like the reference (nalgebra::Vector3<f64> throughout).
 
@@ -130,6 +131,28 @@ struct Checker : Texture {
     double s = std::sin(10.0 * p.x()) * std::sin(10.0 * p.y()) *
                std::sin(10.0 * p.z());
     return s < 0.0 ? odd->value(u, v, p) : even->value(u, v, p);
+  }
+};
+
+// texture.rs:73-108 — nearest fetch from raw RGB8 (row 0 = image top),
+// v flipped, Rust `as usize` saturating cast then clamp-to-edge, /255.
+struct Image : Texture {
+  std::vector<unsigned char> data;
+  int nx, ny;
+  Image(std::vector<unsigned char> d, int w, int h)
+      : data(std::move(d)), nx(w), ny(h) {}
+  V3 value(double u, double v, const V3&) const override {
+    // Rust `as usize` saturates: negative/NaN -> 0 (texture.rs:91-92);
+    // the explicit clamp-to-edge follows (texture.rs:94-99)
+    auto cast = [](double x, int hi) {
+      if (!(x > 0.0)) return 0;
+      double c = x > static_cast<double>(hi) ? hi : x;
+      return static_cast<int>(c);
+    };
+    int i = cast(u * nx, nx - 1);
+    int j = cast((1.0 - v) * ny, ny - 1);
+    size_t idx = 3 * (static_cast<size_t>(i) + static_cast<size_t>(nx) * j);
+    return {data[idx] / 255.0, data[idx + 1] / 255.0, data[idx + 2] / 255.0};
   }
 };
 
@@ -265,8 +288,17 @@ struct Hittable {
   virtual ~Hittable() = default;
 };
 
-// src/sphere.rs:20-85 (UV omitted: every material here is a solid texture,
-// so the reference's get_sphere_uv result is never read)
+// src/sphere.rs:9-15 — NOTE the reference's FRAC_2_PI constant (= 2/π)
+// where the formula wants π/2, mirrored verbatim; the framework's
+// SceneTables.compat_uv_bug reproduces the same quirk on the JAX side.
+void get_sphere_uv(const V3& n, double& u, double& v) {
+  double phi = std::atan2(n.z(), n.x());
+  double theta = std::asin(n.y());
+  u = 1.0 - (phi + M_PI) / (2.0 * M_PI);
+  v = (theta + 2.0 / M_PI) / M_PI;
+}
+
+// src/sphere.rs:20-85
 struct Sphere : Hittable {
   V3 center;
   double radius;
@@ -286,7 +318,7 @@ struct Sphere : Hittable {
           rec.t = t;
           rec.p = ray.at(t);
           rec.normal = (rec.p - center) / radius;
-          rec.u = rec.v = 0.0;
+          get_sphere_uv(rec.normal, rec.u, rec.v);  // sphere.rs:51
           rec.material = material;
           return true;
         }
@@ -297,9 +329,7 @@ struct Sphere : Hittable {
 };
 
 // src/sphere.rs:87-163 — center lerps with ray time (sphere.rs:115-118);
-// hit math identical to Sphere against center(ray.time). UV left at 0 like
-// Sphere above: no mirror scene puts a uv-reading texture on a sphere
-// (Checker reads only p).
+// hit math identical to Sphere against center(ray.time).
 struct MovingSphere : Hittable {
   V3 center0, center1;
   double time0, time1, radius;
@@ -327,7 +357,7 @@ struct MovingSphere : Hittable {
           rec.t = t;
           rec.p = ray.at(t);
           rec.normal = (rec.p - c) / radius;
-          rec.u = rec.v = 0.0;
+          get_sphere_uv(rec.normal, rec.u, rec.v);  // sphere.rs:136
           rec.material = material;
           return true;
         }
@@ -675,12 +705,34 @@ void build_moving_checker(Scene& s) {
                                   s.mat<Metal>(V3{0.7, 0.6, 0.5}, 0.0)));
 }
 
+// Image-texture oracle scene: the earth config (tests/test.rs:200-209,
+// 645-683 — one image-textured r=2 sphere at the origin, sky background,
+// aperture 0.1) with earthmap.jpg replaced by a deterministic synthetic
+// 32×16 RGB byte pattern generated by the identical integer formula on
+// the JAX side (tests/test_e2e_oracle.py) — pins ImageTexture's nearest
+// fetch / v-flip / clamp semantics AND the sphere-UV mapping including
+// the reference's FRAC_2_PI quirk, absolutely.
+void build_earth_image(Scene& s) {
+  const int w = 32, h = 16;
+  std::vector<unsigned char> px(3 * w * h);
+  for (int j = 0; j < h; ++j)
+    for (int i = 0; i < w; ++i) {
+      size_t o = 3 * (static_cast<size_t>(j) * w + i);
+      px[o] = static_cast<unsigned char>((8 * i + 3 * j) % 256);
+      px[o + 1] = static_cast<unsigned char>((5 * i + 11 * j) % 256);
+      px[o + 2] = static_cast<unsigned char>((i * j) % 256);
+    }
+  s.world.push(std::make_unique<Sphere>(
+      V3{0, 0, 0}, 2.0,
+      s.mat<Lambertian>(s.tex<Image>(std::move(px), w, h))));
+}
+
 }  // namespace
 
 extern "C" {
 
 // Renders scene_id (0 = cornell_box, 1 = oracle_spheres, 2 = cornell_smoke
-// with the fixed back wall, 3 = moving_checker) with the
+// with the fixed back wall, 3 = moving_checker, 4 = earth_image) with the
 // reference's create_image loop (tests/test.rs:55-85): rows j = ny-1..0,
 // ns jittered samples per pixel, recursive color(), gamma sqrt + clamp +
 // (255.99*c) quantize. Writes the PRE-gamma per-pixel mean radiance to
@@ -699,6 +751,7 @@ double ref_trace(int scene_id, int nx, int ny, int ns, int max_depth,
   else if (scene_id == 1) build_oracle_spheres(scene);
   else if (scene_id == 2) build_cornell_smoke(scene);
   else if (scene_id == 3) build_moving_checker(scene);
+  else if (scene_id == 4) build_earth_image(scene);
   else return -1.0;
 
   Camera cam({look_from[0], look_from[1], look_from[2]},

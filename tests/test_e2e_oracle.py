@@ -141,6 +141,45 @@ def test_cornell_smoke_matches_mirror_per_half():
             f"(diff {diff:.4f}, 6σ {6 * sigma:.4f})")
 
 
+def test_earth_image_matches_mirror_per_half():
+    """Image-texture path vs the mirror (scene_id 4): the reference earth
+    config (tests/test.rs:200-209, 645-683 — one image-textured r=2
+    sphere at the origin, sky background, aperture 0.1) with earthmap.jpg
+    replaced by a synthetic 32x16 RGB byte pattern built from the same
+    integer formula on both sides. Pins ImageTexture's nearest fetch /
+    v-flip / clamp (texture.rs:86-108) AND the sphere-UV mapping
+    including the FRAC_2_PI quirk (sphere.rs:9-15, compat_uv_bug=True
+    here) absolutely. Per-half means localize a bias to the texture's
+    row direction (the v flip would show up as a top/bottom swap)."""
+    nx, ny, spp = 64, 36, 64 * _MULT
+    look_from, look_at, vfov = (13.0, 2.0, 3.0), (0.0, 0.0, 0.0), 20.0
+
+    w, h = 32, 16
+    jj, ii = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    pix = np.stack([(8 * ii + 3 * jj) % 256,
+                    (5 * ii + 11 * jj) % 256,
+                    (ii * jj) % 256], axis=-1).astype(np.uint8)
+
+    b = SceneBuilder(background=BG_SKY, compat_uv_bug=True)
+    b.sphere((0, 0, 0), 2.0, b.lambertian(b.image(pix)))
+    scene = b.build()
+    cam = make_camera(look_from, look_at, (0, 1, 0), vfov, nx / ny,
+                      0.1, 10.0, 0.0, 1.0)
+    ours = np.asarray(render(scene, cam, nx, ny, spp, seed=11,
+                             max_depth=50)) ** 2
+
+    ref_img, _ = native.ref_trace(4, nx, ny, spp, look_from, look_at, vfov,
+                                  aperture=0.1, background=1)
+
+    for name, sl in [("top", slice(0, ny // 2)), ("bottom", slice(ny // 2, ny))]:
+        a, r = ours[sl], ref_img[sl]
+        sigma = np.hypot(_stderr_of_mean(a), _stderr_of_mean(r))
+        diff = abs(float(a.mean()) - float(r.mean()))
+        assert diff < max(6 * sigma, _floor(0.01)), (
+            f"{name} half: ours {a.mean():.4f} vs mirror {r.mean():.4f} "
+            f"(diff {diff:.4f}, 6σ {6 * sigma:.4f})")
+
+
 def test_moving_checker_matches_mirror_per_half():
     """Motion-blur lerp (sphere.rs:115-118) and the 3-D checker
     (texture.rs:40-47) vs the mirror (scene_id 3): checker ground, a
