@@ -133,6 +133,24 @@ def ref_trace(scene_id: int, nx: int, ny: int, spp: int,
     return out, float(secs)
 
 
+def ref_hash_turb(pts: np.ndarray, depth: int = 7, seed: int = 0):
+    """Pointwise hash-Perlin turbulence from the C++ mirror's independent
+    scalar transcription (ref_tracer.cpp hash_perlin) — pts [n, 3] f64 →
+    [n] f64, or None when the native toolchain is unavailable. Used by
+    tests to pin ops/perlin.py's FIELD (not just the noise-scene
+    radiometry) across implementations."""
+    lib = _load_ref()
+    if lib is None:
+        return None
+    pts = np.ascontiguousarray(pts, np.float64)
+    n = pts.shape[0]
+    out = np.empty(n, np.float64)
+    lib.ref_hash_turb(np.ctypeslib.as_ctypes(pts.reshape(-1)), n,
+                      int(depth), ctypes.c_uint(seed),
+                      np.ctypeslib.as_ctypes(out))
+    return out
+
+
 def encode_ppm(img: np.ndarray) -> str | None:
     """Native P3 encoding of a gamma-corrected [ny, nx, 3] float image,
     byte-identical to utils.image_io.to_ppm; None when unavailable."""

@@ -134,6 +134,94 @@ struct Checker : Texture {
   }
 };
 
+// ---- hash-gradient Perlin (ops/perlin.py) -----------------------------------
+// The framework's DOCUMENTED deviation from src/perlin.rs: the reference
+// builds its gradient/permutation tables from an UNSEEDED thread RNG
+// (src/perlin.rs:5,13), so there is no fixed noise field to match — the
+// framework replaces the tables with a murmur-style lattice hash. This is
+// an independent scalar f64 transcription of that spec, used ONLY to pin
+// the JAX tiers' noise-scene radiometry absolutely (it shares the closed
+// form but no code or vectorization with ops/perlin.py /
+// ops/pallas_tracer.py / tests/oracle.py). It is NOT the reference's
+// Perlin and is never part of the timed baseline scenes (ids 0-1).
+namespace hash_perlin {
+constexpr uint32_t kHA = 0x8DA6B343u, kHB = 0xD8163841u, kHC = 0xCB1AB31Fu;
+constexpr uint32_t kHSeed = 0x27D4EB2Fu;
+constexpr uint32_t kHM1 = 0x9E3779B1u, kHM2 = 0x85EBCA6Bu,
+                   kHM3 = 0xC2B2AE35u;
+constexpr double kInv24 = 1.0 / (1 << 24);
+
+// ops/perlin.py:_gradient — unit gradient at wrapped lattice corner
+V3 gradient(int ci, int cj, int ck, uint32_t seed) {
+  uint32_t h = static_cast<uint32_t>(ci) * kHA ^
+               static_cast<uint32_t>(cj) * kHB ^
+               static_cast<uint32_t>(ck) * kHC ^ (seed * kHSeed);
+  h ^= h >> 13;
+  h *= kHM1;
+  h ^= h >> 16;
+  uint32_t g = (h ^ kHM2) * kHM3;
+  g ^= g >> 16;
+  double u1 = static_cast<double>(h >> 8) * kInv24;
+  double u2 = static_cast<double>(g >> 8) * kInv24;
+  double cz = 2.0 * u1 - 1.0;
+  double sz = std::sqrt(std::max(0.0, 1.0 - cz * cz));
+  double phi = 2.0 * M_PI * u2;
+  return {sz * std::cos(phi), sz * std::sin(phi), cz};
+}
+
+// ops/perlin.py:noise — Hermite-smoothed trilinear gradient interpolation
+// (the interpolation itself is the reference's, src/perlin.rs:58-97);
+// signed floor + two's-complement &255 wrap, exactly the JAX int path
+double noise(const V3& p, uint32_t seed) {
+  double f[3], uvw[3], s[3];
+  int ijk[3];
+  for (int a = 0; a < 3; ++a) {
+    f[a] = std::floor(p[a]);
+    uvw[a] = p[a] - f[a];
+    ijk[a] = static_cast<int>(f[a]);
+    s[a] = uvw[a] * uvw[a] * (3.0 - 2.0 * uvw[a]);
+  }
+  double sum = 0.0;
+  for (int di = 0; di < 2; ++di)
+    for (int dj = 0; dj < 2; ++dj)
+      for (int dk = 0; dk < 2; ++dk) {
+        V3 g = gradient((ijk[0] + di) & 255, (ijk[1] + dj) & 255,
+                        (ijk[2] + dk) & 255, seed);
+        double dot = g.x() * (uvw[0] - di) + g.y() * (uvw[1] - dj) +
+                     g.z() * (uvw[2] - dk);
+        double wu = di ? s[0] : 1.0 - s[0];
+        double wv = dj ? s[1] : 1.0 - s[1];
+        double ww = dk ? s[2] : 1.0 - s[2];
+        sum += wu * wv * ww * dot;
+      }
+  return sum;
+}
+
+// ops/perlin.py:turb — |Σ 0.5^k noise(2^k p)| (src/perlin.rs:99-109 form)
+double turb(V3 p, int depth, uint32_t seed) {
+  double accum = 0.0, weight = 1.0;
+  for (int d = 0; d < depth; ++d) {
+    accum += weight * noise(p, seed);
+    weight *= 0.5;
+    p = 2.0 * p;
+  }
+  return std::fabs(accum);
+}
+}  // namespace hash_perlin
+
+// texture.rs:50-71 marble formula — 0.5·(1 + sin(scale·p.x + 5·turb(p,7)))
+// — over the framework's hash-gradient field (see hash_perlin above)
+struct HashNoise : Texture {
+  double scale;
+  uint32_t seed;
+  HashNoise(double s, uint32_t sd) : scale(s), seed(sd) {}
+  V3 value(double, double, const V3& p) const override {
+    double m = 0.5 * (1.0 + std::sin(scale * p.x() +
+                                     5.0 * hash_perlin::turb(p, 7, seed)));
+    return {m, m, m};
+  }
+};
+
 // texture.rs:73-108 — nearest fetch from raw RGB8 (row 0 = image top),
 // v flipped, Rust `as usize` saturating cast then clamp-to-edge, /255.
 struct Image : Texture {
@@ -727,6 +815,26 @@ void build_earth_image(Scene& s) {
       s.mat<Lambertian>(s.tex<Image>(std::move(px), w, h))));
 }
 
+// Noise oracle scene: simple_light exactly (tests/test.rs:211-240,
+// 685-723 — noise ground + noise sphere, two emitters 4·(1,1,1), black
+// background) with the reference's unseeded table Perlin replaced by the
+// framework's hash-gradient field (seed 0) on BOTH sides — the JAX side
+// builds PRESETS["simple_light"] with the default perlin_seed=0. Pins the
+// marble formula, octave sum, lattice hash, and the noise scene's whole
+// radiometry against an implementation that shares no code with the JAX
+// tiers. (The reference's own noise field is unmatchable by design — its
+// tables come from an unseeded thread RNG; README documents the
+// deviation.)
+void build_simple_light_noise(Scene& s) {
+  auto& w = s.world;
+  const Material* lam = s.mat<Lambertian>(s.tex<HashNoise>(4.0, 0u));
+  w.push(std::make_unique<Sphere>(V3{0, -1000, 0}, 1000.0, lam));
+  w.push(std::make_unique<Sphere>(V3{0, 2, 0}, 2.0, lam));
+  const Material* light = s.mat<DiffuseLight>(V3{4.0, 4.0, 4.0});
+  w.push(std::make_unique<Sphere>(V3{0, 7, 0}, 2.0, light));
+  w.push(std::make_unique<Rect>(2, 3.0, 1.0, 5.0, 3.0, -2.0, light));
+}
+
 }  // namespace
 
 extern "C" {
@@ -752,6 +860,7 @@ double ref_trace(int scene_id, int nx, int ny, int ns, int max_depth,
   else if (scene_id == 2) build_cornell_smoke(scene);
   else if (scene_id == 3) build_moving_checker(scene);
   else if (scene_id == 4) build_earth_image(scene);
+  else if (scene_id == 5) build_simple_light_noise(scene);
   else return -1.0;
 
   Camera cam({look_from[0], look_from[1], look_from[2]},
@@ -788,6 +897,18 @@ double ref_trace(int scene_id, int nx, int ny, int ns, int max_depth,
   g_rng = nullptr;
   *out_qsum = qsum;
   return std::chrono::duration<double>(end - start).count();
+}
+
+// Direct pointwise export of the hash-Perlin turbulence field: the
+// renders above pin the noise-scene RADIOMETRY, but two different valid
+// noise fields produce statistically identical half-means — this lets
+// tests compare the FIELD itself against ops/perlin.py:turb at exact
+// points (deterministic, no Monte Carlo floor).
+void ref_hash_turb(const double* pts, int n, int depth,
+                   unsigned int seed, double* out) {
+  for (int i = 0; i < n; ++i)
+    out[i] = hash_perlin::turb({pts[3 * i], pts[3 * i + 1], pts[3 * i + 2]},
+                               depth, seed);
 }
 
 }  // extern "C"

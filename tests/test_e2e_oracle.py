@@ -141,6 +141,44 @@ def test_cornell_smoke_matches_mirror_per_half():
             f"(diff {diff:.4f}, 6σ {6 * sigma:.4f})")
 
 
+def test_simple_light_noise_matches_mirror_per_half():
+    """Noise path vs the mirror (scene_id 5): simple_light exactly
+    (tests/test.rs:211-240, 685-723 — marble-noise ground + sphere, two
+    4·(1,1,1) emitters, black background). The reference's own Perlin
+    tables come from an UNSEEDED thread RNG (src/perlin.rs:5,13) so its
+    field is unmatchable by design (README documents the hash-gradient
+    deviation); the mirror instead carries an independent scalar f64
+    transcription of the framework's hash-Perlin SPEC (no shared code or
+    vectorization with ops/perlin.py / the megakernel / tests/oracle.py),
+    pinning the marble formula, octave sum, lattice hash, and the whole
+    noise-scene radiometry absolutely. Per-half means localize a bias to
+    the emitters (top) vs the noise ground (bottom)."""
+    nx, ny, spp = 64, 36, 64 * _MULT
+    look_from, look_at, vfov = (13.0, 3.0, 3.0), (0.0, 0.0, 0.0), 50.0
+
+    scene = PRESETS["simple_light"].build()
+    cam = make_camera(look_from, look_at, (0, 1, 0), vfov, nx / ny,
+                      0.1, 10.0, 0.0, 1.0)
+    ours = np.asarray(render(scene, cam, nx, ny, spp, seed=13,
+                             max_depth=50)) ** 2
+
+    ref_img, _ = native.ref_trace(5, nx, ny, spp, look_from, look_at, vfov,
+                                  aperture=0.1, background=0)
+    # the 4·(1,1,1) emitters exceed 1.0: push the mirror's pre-gamma
+    # radiance through render()'s own gamma+clamp pipeline before
+    # comparing (same trap as cornell — see that test's comment; without
+    # this the top half hides a 0.13 systematic under emitter-inflated σ)
+    ref_img = np.clip(np.sqrt(np.clip(ref_img, 0.0, None)), 0.0, 1.0) ** 2
+
+    for name, sl in [("top", slice(0, ny // 2)), ("bottom", slice(ny // 2, ny))]:
+        a, r = ours[sl], ref_img[sl]
+        sigma = np.hypot(_stderr_of_mean(a), _stderr_of_mean(r))
+        diff = abs(float(a.mean()) - float(r.mean()))
+        assert diff < max(6 * sigma, _floor(0.01)), (
+            f"{name} half: ours {a.mean():.4f} vs mirror {r.mean():.4f} "
+            f"(diff {diff:.4f}, 6σ {6 * sigma:.4f})")
+
+
 def test_earth_image_matches_mirror_per_half():
     """Image-texture path vs the mirror (scene_id 4): the reference earth
     config (tests/test.rs:200-209, 645-683 — one image-textured r=2
