@@ -229,6 +229,8 @@ def main_sharded(steps: int, nx: int = 200, ny: int = 200, spp: int = 64,
         # Chunked on-device loop: lax.scan keeps the params/state feedback
         # edge on chip (per-step feedback over the axon tunnel costs
         # ~1.3 s regardless of array size — see make_fused_step).
+        # steps rounds UP to a whole number of chunks (a shorter final
+        # chunk would be a second compile of the scan program)
         chunk = min(chunk, steps)
         n_chunks = -(-steps // chunk)
         total = n_chunks * chunk
