@@ -113,7 +113,9 @@ def ref_trace(scene_id: int, nx: int, ny: int, spp: int,
     1 = oracle_spheres, 2 = cornell_smoke (fixed back wall, the
     framework-default geometry), 3 = moving_checker (motion blur +
     checker ground + metal), 4 = earth_image (synthetic 32x16
-    image-textured sphere, reference earth config)."""
+    image-textured sphere, reference earth config), 5 = simple_light
+    over the hash-Perlin field, 6 = fog_slab (density-sensitive
+    free-flight check)."""
     lib = _load_ref()
     if lib is None:
         return None

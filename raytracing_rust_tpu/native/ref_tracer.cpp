@@ -815,6 +815,28 @@ void build_earth_image(Scene& s) {
       s.mat<Lambertian>(s.tex<Image>(std::move(px), w, h))));
 }
 
+// Free-flight density oracle scene: cornell_smoke (scene_id 2) pins the
+// medium's INTEGRATION but has almost no density sensitivity — its white
+// box scatters losslessly (albedo 1 conserves flux) and its black box is
+// already opaque at 0.01·165, so even DOUBLING the density moves every
+// luminance statistic by <0.003 (measured). This scene maximizes
+// d(luminance)/d(density): a 100-unit slab of gray (albedo 0.3) medium
+// between the camera and a large unit emitter — direct transmission
+// exp(−ρ·100) dominates, so a 30% density error shifts the image mean by
+// ~25%. Geometry is framework-API-expressible (medium_box + diffuse_light
+// rect, black background); the JAX side builds the identical scene in
+// tests/test_e2e_oracle.py.
+void build_fog_slab(Scene& s) {
+  auto& w = s.world;
+  const Material* glow = s.mat<DiffuseLight>(V3{1.0, 1.0, 1.0});
+  w.push(std::make_unique<Rect>(2, -100.0, -100.0, 100.0, 100.0, -50.0,
+                                glow));
+  w.push(std::make_unique<ConstantMedium>(
+      std::make_unique<Cube>(V3{-100, -100, 0}, V3{100, 100, 100},
+                             s.lamb(V3{0.0, 0.0, 0.0})),
+      0.01, s.tex<Solid>(V3{0.3, 0.3, 0.3})));
+}
+
 // Noise oracle scene: simple_light exactly (tests/test.rs:211-240,
 // 685-723 — noise ground + noise sphere, two emitters 4·(1,1,1), black
 // background) with the reference's unseeded table Perlin replaced by the
@@ -861,6 +883,7 @@ double ref_trace(int scene_id, int nx, int ny, int ns, int max_depth,
   else if (scene_id == 3) build_moving_checker(scene);
   else if (scene_id == 4) build_earth_image(scene);
   else if (scene_id == 5) build_simple_light_noise(scene);
+  else if (scene_id == 6) build_fog_slab(scene);
   else return -1.0;
 
   Camera cam({look_from[0], look_from[1], look_from[2]},

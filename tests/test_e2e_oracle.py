@@ -19,7 +19,7 @@ import pytest
 
 from raytracing_rust_tpu import native
 from raytracing_rust_tpu.models.builders import PRESETS
-from raytracing_rust_tpu.models.scene import BG_SKY, SceneBuilder
+from raytracing_rust_tpu.models.scene import BG_BLACK, BG_SKY, SceneBuilder
 from raytracing_rust_tpu.ops.camera import make_camera
 from raytracing_rust_tpu.render import render
 
@@ -141,6 +141,44 @@ def test_cornell_smoke_matches_mirror_per_half():
             f"(diff {diff:.4f}, 6σ {6 * sigma:.4f})")
 
 
+def test_fog_slab_density_matches_mirror_per_half():
+    """Free-flight DENSITY law vs the mirror (scene_id 6). cornell_smoke
+    (scene_id 2) pins the medium integration but has almost no density
+    sensitivity — its white box scatters losslessly (albedo 1 conserves
+    flux) and its black box is already opaque at 0.01·165, so even a
+    DOUBLED density moves every luminance statistic by <0.003 (measured).
+    This scene maximizes d(lum)/d(density): a 100-unit slab of gray
+    (albedo 0.3) medium between camera and a large unit emitter, so
+    direct transmission exp(−ρ·L) dominates. Measured power: the correct
+    density agrees to 0.0005; density 0.013 (a 30% error) fails BOTH
+    halves at 5.7× the floor (diff 0.057)."""
+    nx, ny, spp = 48, 27, 64 * _MULT
+    look_from, look_at, vfov = (0.0, 0.0, 300.0), (0.0, 0.0, 0.0), 30.0
+
+    b = SceneBuilder(background=BG_BLACK)
+    b.rect("xy", -100.0, -100.0, 100.0, 100.0, -50.0,
+           b.diffuse_light(b.solid(1, 1, 1)))
+    b.medium_box((-100, -100, 0), (100, 100, 100), 0.01,
+                 b.solid(0.3, 0.3, 0.3))
+    scene = b.build()
+    cam = make_camera(look_from, look_at, (0, 1, 0), vfov, nx / ny,
+                      0.0, 10.0, 0.0, 1.0)
+    ours = np.asarray(render(scene, cam, nx, ny, spp, seed=17,
+                             max_depth=50)) ** 2
+
+    ref_img, _ = native.ref_trace(6, nx, ny, spp, look_from, look_at, vfov,
+                                  aperture=0.0, background=0)
+    ref_img = np.clip(np.sqrt(np.clip(ref_img, 0.0, None)), 0.0, 1.0) ** 2
+
+    for name, sl in [("top", slice(0, ny // 2)), ("bottom", slice(ny // 2, ny))]:
+        a, r = ours[sl], ref_img[sl]
+        sigma = np.hypot(_stderr_of_mean(a), _stderr_of_mean(r))
+        diff = abs(float(a.mean()) - float(r.mean()))
+        assert diff < max(6 * sigma, _floor(0.01)), (
+            f"{name} half: ours {a.mean():.4f} vs mirror {r.mean():.4f} "
+            f"(diff {diff:.4f}, 6σ {6 * sigma:.4f})")
+
+
 def test_simple_light_noise_matches_mirror_per_half():
     """Noise path vs the mirror (scene_id 5): simple_light exactly
     (tests/test.rs:211-240, 685-723 — marble-noise ground + sphere, two
@@ -223,7 +261,12 @@ def test_moving_checker_matches_mirror_per_half():
     (texture.rs:40-47) vs the mirror (scene_id 3): checker ground, a
     MovingSphere rising 0.5 over the shutter, a sharp metal hero, sky
     background. Per-half means localize a bias to the sky/sphere (top)
-    vs ground (bottom)."""
+    vs ground (bottom). Power caveat (measured): at CI spp the blur
+    envelope is a small image region — a 40% motion-amplitude error
+    moves the sphere-window mean by 0.0068 (~1.7σ at spp 64), so
+    motion-LERP detail has robust e2e power only at the nightly
+    RT_ORACLE_SPP_MULT≥16 config (~7σ); CI-level motion coverage lives
+    in the intersect unit tests."""
     nx, ny, spp = 64, 36, 64 * _MULT
     look_from, look_at, vfov = (0.0, 2.0, 8.0), (0.0, 1.0, 0.0), 35.0
 
