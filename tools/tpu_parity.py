@@ -212,6 +212,43 @@ def main() -> int:
            tol=0.03, mad=mad, mad_noise=mad0, spp=fspp)
     failures += 0 if ok else 1
 
+    # thin-medium free-flight DENSITY law on hardware: the smoke scenes
+    # in CONFIGS are density-INSENSITIVE by construction (the round-4
+    # oracle power audit measured <0.003 mean movement for a DOUBLED
+    # density — white box scatters losslessly, black box already
+    # opaque), so a subtle in-kernel free-flight bias could hide behind
+    # their tolerances. This is the density-sensitive slab from the
+    # absolute oracle (tests/test_e2e_oracle.py fog_slab, mirror
+    # scene_id 6): direct transmission exp(−ρ·L) dominates its mean, so
+    # a 30% density error moves it 5.7× the CPU test's floor — and any
+    # pallas/xla free-flight disagreement shows here undiluted.
+    from raytracing_rust_tpu.models.scene import BG_BLACK
+    bld = SceneBuilder(background=BG_BLACK)
+    bld.rect("xy", -100.0, -100.0, 100.0, 100.0, -50.0,
+             bld.diffuse_light(bld.solid(1, 1, 1)))
+    bld.medium_box((-100, -100, 0), (100, 100, 100), 0.01,
+                   bld.solid(0.3, 0.3, 0.3))
+    scene = bld.build()
+    cam = make_camera((0.0, 0.0, 300.0), (0.0, 0.0, 0.0), (0, 1, 0), 30.0,
+                      96 / 54, 0.0, 10.0, 0.0, 1.0)
+    sspp = 128 if quick else 256
+    t0 = time.time()
+    a = _with_retry(lambda: render_pallas(scene, cam, 96, 54, sspp,
+                                          seed=0, max_depth=50))
+    tp = time.time() - t0
+    t0 = time.time()
+    b = _with_retry(lambda: render(scene, cam, 96, 54, sspp, seed=1,
+                                   max_depth=50))
+    tx = time.time() - t0
+    ma, mb = float(a.mean()), float(b.mean())
+    rel = abs(ma - mb) / max(mb, 1e-6)
+    ok = np.isfinite(a).all() and rel < 0.02
+    print(f"fog slab density: pallas={ma:.4f} ({tp:.0f}s) xla={mb:.4f} "
+          f"({tx:.0f}s) rel={rel:.3f} tol=0.02 {'OK' if ok else 'FAIL'}")
+    record("fog_slab_density", ok, pallas_mean=ma, xla_mean=mb, rel=rel,
+           tol=0.02, spp=sspp)
+    failures += 0 if ok else 1
+
     for name, expected in XLA_BANDS.items():
         preset = PRESETS[name]
         scene = preset.build()
