@@ -212,7 +212,13 @@ def main_sharded(steps: int, nx: int = 200, ny: int = 200, spp: int = 64,
     # per-group lr: Adam steps ≈ lr, and emission must travel ~2.0 in
     # `steps` updates while albedo travels ≤0.3 — one lr cannot serve both.
     # Cosine decay damps the momentum overshoot once each group arrives.
-    sched = lambda lr: optax.cosine_decay_schedule(lr, steps, alpha=0.1)
+    # The fused loop rounds steps UP to whole chunks (a shorter final
+    # chunk would recompile the scan program), so the decay horizon must
+    # cover the rounded count or the overflow steps train at alpha-floor
+    # lr outside the schedule.
+    total = (-(-steps // min(chunk, steps)) * min(chunk, steps)
+             if fused else steps)
+    sched = lambda lr: optax.cosine_decay_schedule(lr, total, alpha=0.1)
     opt = optax.multi_transform(
         {"albedo": optax.adam(sched(0.05)), "emit": optax.adam(sched(0.25))},
         {"albedo": "albedo", "emit": "emit"})
@@ -230,10 +236,10 @@ def main_sharded(steps: int, nx: int = 200, ny: int = 200, spp: int = 64,
         # edge on chip (per-step feedback over the axon tunnel costs
         # ~1.3 s regardless of array size — see make_fused_step).
         # steps rounds UP to a whole number of chunks (a shorter final
-        # chunk would be a second compile of the scan program)
+        # chunk would be a second compile of the scan program); `total`
+        # above already covers the rounded count for the lr schedule
         chunk = min(chunk, steps)
         n_chunks = -(-steps // chunk)
-        total = n_chunks * chunk
         run_chunk = make_scan_steps(target_scene, scene, cam, box_tex,
                                     light_tex, nx, ny, spp, max_depth,
                                     mesh, block, opt, chunk)

@@ -160,7 +160,8 @@ def run(scene: str = "cornell_box_baseline", spp: int | None = None,
             walls.append(time.perf_counter() - t0)
             dt = min(dt, walls[-1])
 
-    dt_med = sorted(walls)[len(walls) // 2]
+    import statistics
+    dt_med = statistics.median(walls)  # true median (mean of mid pair at 8)
     rays_per_sec = nx * ny * spp / dt
     base_rays, base_source = reference_baseline()
     grad_worst, grad_per_leaf = _with_retry(

@@ -1275,19 +1275,23 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                  med_kinds, flags, background, nx, ny, rr_depth=None,
                  perlin_seed=0, block=None, stats=False,
                  explicit_pix=False, int_kinds=(), attr_fields=(),
-                 kpix=1):
+                 kpix=1, dda=False):
     """Build the megakernel body for a static scene structure.
 
     spp / max_depth arrive as runtime scalars (params_ref = [seed, spp,
     max_depth]) so one compile serves every sample count.
 
-    stats=True adds five output rows of per-lane diagnostics counters
-    (wavefront steps, sphere member tests, box member tests, busy steps,
-    any-lane-crossed box tests — the grid-DDA probe) used by
-    tools/kernel_stats.py to measure cluster-cull efficiency on real
-    hardware; the counters ride the loop carries, so timings taken in
-    stats mode are NOT representative.
+    stats=True adds four output rows of per-lane diagnostics counters
+    (wavefront steps, sphere member tests, box member tests, busy steps)
+    used by tools/kernel_stats.py AND by the production cost-balance
+    probe (_cost_permutation reads the busy row); the counters ride the
+    loop carries, so timings taken in stats mode are NOT representative.
+    dda=True (requires stats) adds a FIFTH row — any-lane-crossed box
+    tests, the grid-DDA visit probe — which costs a cross-lane reduce
+    per box member test (~a dozen member tests each, CLAUDE.md), so it
+    is kept OFF the balance probe and enabled only by kernel_stats.
     """
+    assert stats or not dda, "dda probe requires stats mode"
     (has_checker, has_metal, has_diel, has_noise, has_image,
      dyn_moving, compat_uv, emis_tex, uv_carry, img_flip,
      med_tex) = flags
@@ -1540,8 +1544,9 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                     accs.append(list(carry[21 + 3 * (k - 1):
                                            21 + 3 * k]))
             if stats:
-                (s_steps, s_mem_s, s_mem_b, s_busy,
-                 s_hit_b) = carry[20 + n_extra:]
+                srows = carry[20 + n_extra:]
+                s_steps, s_mem_s, s_mem_b, s_busy = srows[:4]
+                s_hit_b = srows[4] if dda else None
                 s_steps = s_steps + f(1.0)
 
             # -- regenerate dead lanes that still owe samples
@@ -1918,21 +1923,27 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                     ok = (tmx > tmn) & (t_p > f(T_MIN)) & (t_p < t_b)
                     st_stats = ()
                     if stats:
-                        # DDA probe (docs/DESIGN.md): would a per-CELL
-                        # gate — any-lane ray-crosses-THIS-member's-AABB
-                        # within its live t window, i.e. exactly the
-                        # visit set of a tile-coherent grid DDA — have
-                        # run this member test anyway?
-                        cross = ((tmx > jnp.maximum(tmn, f(T_MIN)))
-                                 & (tmn < t_b) & (alive > f(0.0)))
-                        hit = jnp.max(jnp.where(cross, f(1.0), f(0.0)))
-                        st_stats = (st2[2] + f(1.0), st2[3] + hit)
+                        st_stats = (st2[2] + f(1.0),)
+                        if dda:
+                            # DDA probe (docs/DESIGN.md): would a
+                            # per-CELL gate — any-lane ray-crosses-THIS-
+                            # member's-AABB within its live t window,
+                            # i.e. exactly the visit set of a tile-
+                            # coherent grid DDA — have run this member
+                            # test anyway? (one cross-lane reduce per
+                            # member: kernel_stats-only, see docstring)
+                            cross = ((tmx > jnp.maximum(tmn, f(T_MIN)))
+                                     & (tmn < t_b) & (alive > f(0.0)))
+                            hit = jnp.max(jnp.where(cross, f(1.0),
+                                                    f(0.0)))
+                            st_stats = st_stats + (st2[3] + hit,)
                     return (jnp.where(ok, t_p, t_b),
                             jnp.where(ok, f(n_dyn) + p.astype(f), wi)) \
                         + st_stats
 
                 thin1 = (t_thin, widx) \
-                    + ((s_mem_b, s_hit_b) if stats else ())
+                    + (((s_mem_b,) + ((s_hit_b,) if dda else ()))
+                       if stats else ())
                 grid_spec = n_bclus[2:] if len(n_bclus) == 4 else None
                 strip_leaf = None
                 if grid_spec is not None and CULL == "wide":
@@ -1984,14 +1995,17 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                                       & (t_p < t_b))
                                 st_stats = ()
                                 if stats:
-                                    # DDA probe — see box_thin
-                                    cross = ((tmx > jnp.maximum(
-                                        tmn, f(T_MIN)))
-                                        & (tmn < t_b) & (alive > f(0.0)))
-                                    hit = jnp.max(jnp.where(
-                                        cross, f(1.0), f(0.0)))
-                                    st_stats = (st4[2] + f(1.0),
-                                                st4[3] + hit)
+                                    st_stats = (st4[2] + f(1.0),)
+                                    if dda:
+                                        # DDA probe — see box_thin
+                                        cross = ((tmx > jnp.maximum(
+                                            tmn, f(T_MIN)))
+                                            & (tmn < t_b)
+                                            & (alive > f(0.0)))
+                                        hit = jnp.max(jnp.where(
+                                            cross, f(1.0), f(0.0)))
+                                        st_stats = st_stats \
+                                            + (st4[3] + hit,)
                                 return (jnp.where(ok, t_p, t_b),
                                         jnp.where(ok, f(n_dyn) + pf, wi)) \
                                     + st_stats
@@ -2008,7 +2022,9 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                                     thin1, n_box, leaf_fn=strip_leaf)
                 t_thin, widx = out1[:2]
                 if stats:
-                    s_mem_b, s_hit_b = out1[2], out1[3]
+                    s_mem_b = out1[2]
+                    if dda:
+                        s_hit_b = out1[3]
 
             if n_dyn:
                 # dynamic spheres (random_spheres' 397, final_scene's
@@ -2678,7 +2694,8 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
             return (ox, oy, oz, dx, dy, dz, time,
                     thr_r, thr_g, thr_b, rad_r, rad_g, rad_b, cont,
                     bcnt, scnt, acc_r, acc_g, acc_b, skip_med) + extra \
-                + ((s_steps, s_mem_s, s_mem_b, s_busy, s_hit_b)
+                + (((s_steps, s_mem_s, s_mem_b, s_busy)
+                    + ((s_hit_b,) if dda else ()))
                    if stats else ())
 
         def unfinished(carry):
@@ -2700,7 +2717,7 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
         if kpix > 1:
             st = st + (zero_c,) * n_extra
         if stats:
-            st = st + (zero_c, zero_c, zero_c, zero_c, zero_c)
+            st = st + (zero_c,) * (5 if dda else 4)
         st = jax.lax.while_loop(unfinished, step, st)
 
         if kpix > 1:
@@ -2726,7 +2743,8 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
             out_ref[4] = srow(st[21 + n_extra])   # sphere member tests
             out_ref[5] = srow(st[22 + n_extra])   # box member tests
             out_ref[6] = srow(st[23 + n_extra])   # per-lane busy steps
-            out_ref[7] = srow(st[24 + n_extra])   # DDA-crossed box tests
+            if dda:
+                out_ref[7] = srow(st[24 + n_extra])  # DDA-crossed boxes
 
     return kernel
 
@@ -2736,21 +2754,21 @@ def _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus, n_bclus,
                           "n_sclus", "n_bclus", "med_kinds", "flags",
                           "background", "nx", "ny", "grid", "interpret",
                           "rr_depth", "perlin_seed", "block", "stats",
-                          "int_kinds", "attr_fields", "kpix"))
+                          "int_kinds", "attr_fields", "kpix", "dda"))
 def _trace_call(rec, dyn_rec, box_rec, sclus, bclus, med_rec, cam_rec,
                 params, img, attr, kinds, rect_groups, n_dyn, n_box,
                 n_sclus, n_bclus, med_kinds, flags, background, nx, ny,
                 grid, interpret=False, rr_depth=None, perlin_seed=0,
                 block=None, stats=False, pix=None, int_rec=None,
-                int_kinds=(), attr_fields=(), kpix=1):
+                int_kinds=(), attr_fields=(), kpix=1, dda=False):
     kernel = _make_kernel(kinds, rect_groups, n_dyn, n_box, n_sclus,
                           n_bclus, med_kinds, flags, background, nx, ny,
                           rr_depth=rr_depth, perlin_seed=perlin_seed,
                           block=block, stats=stats,
                           explicit_pix=pix is not None,
                           int_kinds=int_kinds, attr_fields=attr_fields,
-                          kpix=kpix)
-    n_rows = 8 if stats else 3
+                          kpix=kpix, dda=dda)
+    n_rows = (8 if dda else 7) if stats else 3
     if int_rec is None:
         int_rec = jnp.zeros((1, REC), jnp.float32)
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 8 + [

@@ -133,7 +133,7 @@ def test_render_pallas_host_path_cpu_interpret():
                    interpret=False, rr_depth=None, perlin_seed=0,
                    block=None, stats=False, pix=None,
                    int_rec=None, int_kinds=(),
-                   attr_fields=(), kpix=1):
+                   attr_fields=(), kpix=1, dda=False):
         spp = int(params[1])
         return jnp.full((3, grid * pt.SUB, pt.LANES), 0.25 * spp,
                         jnp.float32)
@@ -167,7 +167,7 @@ def test_block_mapping_assembly_bijection():
                    interpret=False, rr_depth=None, perlin_seed=0,
                    block=None, stats=False, pix=None,
                    int_rec=None, int_kinds=(),
-                   attr_fields=(), kpix=1):
+                   attr_fields=(), kpix=1, dda=False):
         assert block is not None
         bxw, byh = block
         assert bxw * byh == pt.TILE
@@ -214,7 +214,7 @@ def test_balanced_scheduling_assembly_bijection():
                    interpret=False, rr_depth=None, perlin_seed=0,
                    block=None, stats=False, pix=None,
                    int_rec=None, int_kinds=(),
-                   attr_fields=(), kpix=1):
+                   attr_fields=(), kpix=1, dda=False):
         if stats:
             out = np.zeros((7, grid * pt.SUB, pt.LANES), np.float32)
             # arbitrary deterministic cost pattern → some permutation

@@ -90,8 +90,12 @@ RESULTS = []
 
 
 def record(check: str, ok: bool, **fields) -> None:
+    # bool is an int subclass — coerce it FIRST or skipped=True would
+    # serialize as 1.0 and `is True` consumers would miss it
     RESULTS.append({"check": check, "pass": bool(ok),
-                    **{k: (float(v) if isinstance(v, (int, float)) else v)
+                    **{k: (bool(v) if isinstance(v, (bool, np.bool_))
+                           else float(v) if isinstance(v, (int, float))
+                           else v)
                        for k, v in fields.items()}})
 
 
