@@ -69,14 +69,18 @@ def prim_aabbs(scene: SceneTables) -> tuple[np.ndarray, np.ndarray]:
     plane bug), then corner-expanded through the instance rotation+offset
     (correct version of rotate.rs:36-58 + traslate.rs:26-32).
     """
-    ptype = np.asarray(scene.prim_type)
-    data = np.asarray(scene.prim_data, np.float64)
-    axis = np.asarray(scene.prim_axis)
-    xf = np.asarray(scene.prim_xform)
-    xf_axis = np.asarray(scene.xf_axis)
-    xf_sin = np.asarray(scene.xf_sin, np.float64)
-    xf_cos = np.asarray(scene.xf_cos, np.float64)
-    xf_off = np.asarray(scene.xf_offset, np.float64)
+    # ONE batched host pull (CLAUDE.md: every individual pull costs
+    # ~0.5 s through the remote device tunnel — eight sequential
+    # np.asarray calls were ~4 s of avoidable latency per BVH build)
+    (ptype, data, axis, xf, xf_axis, xf_sin, xf_cos,
+     xf_off) = jax.device_get((scene.prim_type, scene.prim_data,
+                               scene.prim_axis, scene.prim_xform,
+                               scene.xf_axis, scene.xf_sin, scene.xf_cos,
+                               scene.xf_offset))
+    data = np.asarray(data, np.float64)
+    xf_sin = np.asarray(xf_sin, np.float64)
+    xf_cos = np.asarray(xf_cos, np.float64)
+    xf_off = np.asarray(xf_off, np.float64)
     P = len(ptype)
     lo = np.empty((P, 3)); hi = np.empty((P, 3))
     for p in range(P):

@@ -70,6 +70,16 @@ def main(argv=None) -> int:
         return 0
 
     if args.cmd == "bench":
+        # same friendly validation as the render path (a typo'd scene
+        # otherwise dies with a raw KeyError inside benchlib.run)
+        if args.scene not in PRESETS:
+            print(f"unknown scene {args.scene!r}; try: "
+                  f"{', '.join(PRESETS)}", file=sys.stderr)
+            return 2
+        if args.spp is not None and args.spp <= 0:
+            print(f"--spp must be positive (got {args.spp})",
+                  file=sys.stderr)
+            return 2
         from . import benchlib
         result = benchlib.run(scene=args.scene, spp=args.spp)
         print(benchlib.to_json(result))

@@ -27,7 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..models.scene import SceneTables
 from ..ops.camera import Camera
 from ..ops.integrator import trace
-from ..render import camera_lane_rays
+from ..render import camera_lane_rays, finalize_image
 
 
 def make_mesh(devices=None, dp: int | None = None, sp: int | None = None) -> Mesh:
@@ -117,12 +117,13 @@ def render_sharded(scene: SceneTables, cam: Camera, nx: int, ny: int,
         hi = min(lo + block_pixels, n_pix)
         ids = np.arange(lo, lo + block_pixels, dtype=np.int32)
         ids[hi - lo:] = n_pix - 1
+        pix = jnp.asarray(ids)  # ONE upload per block, not per chunk
         blk_key = jax.random.fold_in(base, blk)
         pname = "compile+block0" if blk == 0 else "dispatch"
         for ch in range(n_chunks):
             key = jax.random.fold_in(blk_key, ch)
             with timers.phase(pname):
-                out = render_block_sharded(scene, cam, jnp.asarray(ids),
+                out = render_block_sharded(scene, cam, pix,
                                            key, nx, ny, spp_chunk,
                                            max_depth, mesh,
                                            rr_depth=rr_depth)
@@ -131,8 +132,7 @@ def render_sharded(scene: SceneTables, cam: Camera, nx: int, ny: int,
             if progress is not None:
                 progress(done, n_blocks * n_chunks)
 
-    img = np.sqrt(np.clip(sums / spp, 0.0, None))
-    return np.clip(img, 0.0, 1.0).reshape(ny, nx, 3).astype(np.float32)
+    return finalize_image(sums, spp, nx, ny)
 
 
 def train_step_sharded(scene: SceneTables, cam: Camera, pix, key, target,

@@ -31,6 +31,11 @@ from .ops.integrator import trace
 
 _CAM_FOLD = 1 << 20  # RNG purpose slot for camera jitter draws
 
+# per-DISPATCH ray cap for the dense XLA tier (~33 s at its ~0.5M rays/s
+# on TPU, safely under the ~2 min runtime watchdog — CLAUDE.md). Module
+# constant so tests can shrink it and pin grouping-invariance.
+_DISPATCH_RAY_BUDGET = 1 << 24
+
 
 def _render_digest(scene: SceneTables, cam: Camera, use_bvh: bool) -> int:
     """63-bit content digest of everything that changes a render's output
@@ -58,17 +63,19 @@ def _render_digest(scene: SceneTables, cam: Camera, use_bvh: bool) -> int:
 def render_block_multi(scene: SceneTables, cam: Camera, pix: jnp.ndarray,
                        key: jax.Array, spp: int, nx: int, ny: int,
                        max_depth: int, n_chunks: int, bvh=None,
-                       rr_depth=None):
+                       rr_depth=None, ch0=0):
     """`n_chunks` sequential sample chunks of one pixel block in a SINGLE
     dispatch (lax.fori over the chunk id, radiance accumulated on device).
 
-    Each chunk folds its id into the key exactly like the host loop in
-    `render`, so images are identical to dispatch-per-chunk rendering —
-    this exists purely because device dispatches through a remote tunnel
-    cost ~0.5 s each.
+    Each chunk folds its ABSOLUTE id (ch0 + local id) into the key
+    exactly like the host loop in `render`, so images are identical to
+    dispatch-per-chunk rendering regardless of how the host groups
+    chunks into dispatches — this exists purely because device
+    dispatches through a remote tunnel cost ~0.5 s each. ch0 is a
+    traced scalar so every group of the same size reuses one compile.
     """
     def chunk(ch, acc):
-        k = jax.random.fold_in(key, ch)
+        k = jax.random.fold_in(key, ch0 + ch)
         return acc + render_block(scene, cam, pix, k, spp, nx, ny,
                                   max_depth, bvh=bvh, rr_depth=rr_depth)
 
@@ -198,11 +205,24 @@ def render(scene: SceneTables, cam: Camera, nx: int, ny: int, spp: int,
                         scene, cam, pix, k, spp_chunk, nx, ny, max_depth,
                         bvh=bvh, rr_depth=rr_depth))
             else:
-                acc = render_block_multi(scene, cam, pix, blk_key,
-                                         spp_chunk, nx, ny, max_depth,
-                                         n_chunks, bvh=bvh,
-                                         rr_depth=rr_depth)
-                acc = np.asarray(acc)
+                # cap per-DISPATCH work for the TPU runtime watchdog
+                # (~2 min, CLAUDE.md): a single fori dispatch over ALL
+                # chunks scales with full spp — 65536 px × 500 spp on
+                # the ~0.5M rays/s dense tier is already ~65 s, and
+                # higher spp would be killed. Group chunks so one
+                # dispatch stays under ~2^24 rays (~33 s at tier
+                # speed). Image-invariant: absolute chunk ids fold into
+                # the key (render_block_multi ch0), and equal-size
+                # groups share one compile.
+                group = max(1, _DISPATCH_RAY_BUDGET
+                            // (block_pixels * spp_chunk))
+                acc = np.zeros((block_pixels, 3), np.float32)
+                for g0 in range(0, n_chunks, group):
+                    g = min(group, n_chunks - g0)
+                    acc += np.asarray(render_block_multi(
+                        scene, cam, pix, blk_key, spp_chunk, nx, ny,
+                        max_depth, g, bvh=bvh, rr_depth=rr_depth,
+                        ch0=g0))
         done += n_chunks
         if progress is not None:
             progress(done, n_blocks * n_chunks)
@@ -213,5 +233,14 @@ def render(scene: SceneTables, cam: Camera, nx: int, ny: int, spp: int,
                 np.savez(tmp, meta=ck_meta, sums=sums, next_block=blk + 1)
                 os.replace(tmp, checkpoint)
 
+    return finalize_image(sums, spp, nx, ny)
+
+
+def finalize_image(sums: np.ndarray, spp: int, nx: int, ny: int) -> np.ndarray:
+    """Radiance sums → display image: the reference's gamma √ + clamp
+    (tests/test.rs:72-75). The ONE implementation of the output contract,
+    shared by render() and parallel.sharding.render_sharded — a second
+    copy would let the tiers' gamma/clamp drift (same rule as
+    camera_lane_rays)."""
     img = np.sqrt(np.clip(sums / spp, 0.0, None))
     return np.clip(img, 0.0, 1.0).reshape(ny, nx, 3).astype(np.float32)

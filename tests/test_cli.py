@@ -52,6 +52,15 @@ def test_render_timers_report(tmp_path, capsys):
         assert phase in text
 
 
+def test_bench_validates_args(capsys):
+    """bench must reject a typo'd scene / non-positive spp with exit 2 and
+    a scene list, not a raw KeyError from inside benchlib."""
+    assert main(["bench", "--scene", "nope"]) == 2
+    assert "cornell_box" in capsys.readouterr().err
+    assert main(["bench", "--scene", "cornell_box", "--spp", "0"]) == 2
+    assert "positive" in capsys.readouterr().err
+
+
 def test_checkpoint_requires_xla_engine(tmp_path):
     """--checkpoint is an XLA-tier feature; forcing the pallas engine
     with it must fail loudly (auto falls back to xla instead)."""

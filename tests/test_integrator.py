@@ -113,6 +113,29 @@ def test_render_deterministic_per_seed():
     assert not np.array_equal(a, c)
 
 
+def test_render_dispatch_grouping_invariant(monkeypatch):
+    """The watchdog ray budget groups sample chunks into dispatches
+    (render.py _DISPATCH_RAY_BUDGET); absolute chunk-id key folding must
+    make the image bit-identical however the host groups them — one
+    dispatch for all chunks, one per chunk, or a ragged 3+1 split."""
+    import importlib
+    # the package re-exports render() the FUNCTION under the same name,
+    # so attribute import would grab it instead of the module
+    render_mod = importlib.import_module("raytracing_rust_tpu.render")
+    preset = builders.PRESETS["two_spheres"]
+    scene = preset.build()
+    cam = preset.camera()
+    kw = dict(nx=16, ny=16, spp=8, seed=3, max_depth=6, spp_chunk=2)
+    full = render(scene, cam, **kw)  # default budget: all 4 chunks, 1 dispatch
+    # 256 px × spp_chunk 2 = 512 rays/chunk → budget 512 = 1 chunk/dispatch
+    monkeypatch.setattr(render_mod, "_DISPATCH_RAY_BUDGET", 512)
+    per_chunk = render(scene, cam, **kw)
+    np.testing.assert_array_equal(full, per_chunk)
+    monkeypatch.setattr(render_mod, "_DISPATCH_RAY_BUDGET", 3 * 512)
+    ragged = render(scene, cam, **kw)  # groups of 3 then 1
+    np.testing.assert_array_equal(full, ragged)
+
+
 def test_ppm_roundtrip_and_format():
     img = np.asarray(np.random.default_rng(0).random((4, 6, 3)), np.float32)
     txt = image_io.to_ppm(img)
