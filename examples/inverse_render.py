@@ -73,6 +73,57 @@ def build_scene(box_albedo=(0.73, 0.73, 0.73), emit=TRUE_EMIT):
     return b.build()
 
 
+def param_tex_rows(scene):
+    """(light_tex, box_tex) texture-table rows of the two trained
+    parameter groups, derived from build_scene's push order (material 3
+    is the diffuse light, the box material is pushed last). The ONE
+    derivation — tools/profile_train_step.py and tools/diag_fused.py
+    import it, so reordering build_scene cannot silently point the
+    profilers at the wrong texture rows."""
+    light_tex = int(np.asarray(scene.mat_texture)[3])
+    box_tex = int(np.asarray(scene.mat_texture)[-1])
+    return light_tex, box_tex
+
+
+def make_step_body(target_scene, scene, cam, box_tex, light_tex,
+                   nx, ny, spp, max_depth, mesh, block, opt):
+    """The training-step body shared by make_fused_step (jitted directly)
+    and make_scan_steps (as the lax.scan body): pixel choice, path-matched
+    target render, value_and_grad, optax update, clip. ONE copy so the
+    RNG contract and the clip bounds cannot drift between the two loops.
+
+    RNG contract: the per-step trace key is fold_in(key(0), i) for BOTH
+    target and candidate (path-matched estimator — see module docstring);
+    the pixel block comes from an independent fold of key(1)."""
+    from raytracing_rust_tpu.parallel.sharding import (
+        render_block_sharded, train_step_sharded)
+    n_pix = nx * ny
+
+    def step(params, state, i):
+        k = jax.random.fold_in(jax.random.key(0), i)
+        kp = jax.random.fold_in(jax.random.key(1), i)
+        pix = jax.random.choice(kp, n_pix, (block,),
+                                replace=False).astype(jnp.int32)
+        target = render_block_sharded(target_scene, cam, pix, k, nx, ny,
+                                      spp, max_depth, mesh) / spp
+        s2 = dataclasses.replace(
+            scene, tex_color=scene.tex_color
+            .at[box_tex].set(params["albedo"])
+            .at[light_tex].set(jnp.broadcast_to(params["emit"], (3,))))
+        loss, grads = train_step_sharded(s2, cam, pix, k, target, nx=nx,
+                                         ny=ny, spp=spp, max_depth=max_depth,
+                                         mesh=mesh)
+        g = {"albedo": grads.tex_color[box_tex],
+             "emit": grads.tex_color[light_tex].sum()}
+        updates, state = opt.update(g, state)
+        params = optax.apply_updates(params, updates)
+        params = {"albedo": jnp.clip(params["albedo"], 0.0, 1.0),
+                  "emit": jnp.clip(params["emit"], 0.0, 20.0)}
+        return params, state, loss
+
+    return step
+
+
 def make_fused_step(target_scene, scene, cam, box_tex, light_tex,
                     nx, ny, spp, max_depth, mesh, block, opt):
     """ONE jitted dispatch per training step.
@@ -102,34 +153,9 @@ def make_fused_step(target_scene, scene, cam, box_tex, light_tex,
     production loop scans whole step chunks on device (make_scan_steps)
     so the feedback edge never leaves the chip.
     """
-    from raytracing_rust_tpu.parallel.sharding import (
-        render_block_sharded, train_step_sharded)
-    n_pix = nx * ny
-
-    @jax.jit
-    def step(params, state, i):
-        k = jax.random.fold_in(jax.random.key(0), i)
-        kp = jax.random.fold_in(jax.random.key(1), i)
-        pix = jax.random.choice(kp, n_pix, (block,),
-                                replace=False).astype(jnp.int32)
-        target = render_block_sharded(target_scene, cam, pix, k, nx, ny,
-                                      spp, max_depth, mesh) / spp
-        s2 = dataclasses.replace(
-            scene, tex_color=scene.tex_color
-            .at[box_tex].set(params["albedo"])
-            .at[light_tex].set(jnp.broadcast_to(params["emit"], (3,))))
-        loss, grads = train_step_sharded(s2, cam, pix, k, target, nx=nx,
-                                         ny=ny, spp=spp, max_depth=max_depth,
-                                         mesh=mesh)
-        g = {"albedo": grads.tex_color[box_tex],
-             "emit": grads.tex_color[light_tex].sum()}
-        updates, state = opt.update(g, state)
-        params = optax.apply_updates(params, updates)
-        params = {"albedo": jnp.clip(params["albedo"], 0.0, 1.0),
-                  "emit": jnp.clip(params["emit"], 0.0, 20.0)}
-        return params, state, loss
-
-    return step
+    return jax.jit(make_step_body(target_scene, scene, cam, box_tex,
+                                  light_tex, nx, ny, spp, max_depth, mesh,
+                                  block, opt))
 
 
 def make_scan_steps(target_scene, scene, cam, box_tex, light_tex,
@@ -139,39 +165,20 @@ def make_scan_steps(target_scene, scene, cam, box_tex, light_tex,
     The per-step feedback edge (params/state out → in) costs ~1.3 s under
     the axon tunnel (see make_fused_step); scanning keeps it on device, so
     a chunk pays ONE dispatch + ONE feedback for `chunk` steps. The body
-    is the same fused step (identical RNG contract: trace key
-    fold_in(key(0), i), pixel block fold_in(key(1), i)); per-step losses
-    come back as the scan ys for host-side printing. Watchdog arithmetic
-    (CLAUDE.md, ~2 min per-dispatch cap): a step is ~0.11 s of compute, so
-    chunks up to ~1000 steps are safe; default 10 keeps progress visible.
+    is make_step_body — the SAME code the fused step jits, so the RNG
+    contract cannot drift; per-step losses come back as the scan ys for
+    host-side printing. Watchdog arithmetic (CLAUDE.md, ~2 min
+    per-dispatch cap): a step is ~0.11 s of compute, so chunks up to
+    ~1000 steps are safe; default 10 keeps progress visible.
     """
-    from raytracing_rust_tpu.parallel.sharding import (
-        render_block_sharded, train_step_sharded)
-    n_pix = nx * ny
+    step = make_step_body(target_scene, scene, cam, box_tex, light_tex,
+                          nx, ny, spp, max_depth, mesh, block, opt)
 
     @jax.jit
     def run_chunk(params, state, i0):
         def body(carry, i):
             params, state = carry
-            k = jax.random.fold_in(jax.random.key(0), i)
-            kp = jax.random.fold_in(jax.random.key(1), i)
-            pix = jax.random.choice(kp, n_pix, (block,),
-                                    replace=False).astype(jnp.int32)
-            target = render_block_sharded(target_scene, cam, pix, k, nx,
-                                          ny, spp, max_depth, mesh) / spp
-            s2 = dataclasses.replace(
-                scene, tex_color=scene.tex_color
-                .at[box_tex].set(params["albedo"])
-                .at[light_tex].set(jnp.broadcast_to(params["emit"], (3,))))
-            loss, grads = train_step_sharded(s2, cam, pix, k, target,
-                                             nx=nx, ny=ny, spp=spp,
-                                             max_depth=max_depth, mesh=mesh)
-            g = {"albedo": grads.tex_color[box_tex],
-                 "emit": grads.tex_color[light_tex].sum()}
-            updates, state = opt.update(g, state)
-            params = optax.apply_updates(params, updates)
-            params = {"albedo": jnp.clip(params["albedo"], 0.0, 1.0),
-                      "emit": jnp.clip(params["emit"], 0.0, 20.0)}
+            params, state, loss = step(params, state, i)
             return (params, state), loss
 
         (params, state), losses = jax.lax.scan(
@@ -196,9 +203,7 @@ def main_sharded(steps: int, nx: int = 200, ny: int = 200, spp: int = 64,
 
     target_scene = build_scene(TRUE_ALBEDO, TRUE_EMIT)
     scene = build_scene((0.5, 0.5, 0.5), 3.0)  # start grey, dim light
-    # texture rows: light solid and box solid (in push order)
-    light_tex = int(np.asarray(scene.mat_texture)[3])
-    box_tex = int(np.asarray(scene.mat_texture)[-1])
+    light_tex, box_tex = param_tex_rows(scene)
 
     step_fn = jax.jit(train_step_sharded,
                       static_argnames=("nx", "ny", "spp", "max_depth",
@@ -249,7 +254,7 @@ def main_sharded(steps: int, nx: int = 200, ny: int = 200, spp: int = 64,
         # chunk 0's outputs — recompiles the whole program (~20 s on v5e).
         repl = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
         params, state = jax.device_put((params, state), repl)
-        t_start = t0 = time.perf_counter()
+        t0 = time.perf_counter()
         walls = []
         for c in range(n_chunks):
             params, state, losses = run_chunk(
@@ -351,7 +356,7 @@ def main_quick() -> int:
 
     target_scene = build_scene(TRUE_ALBEDO)
     scene = build_scene((0.5, 0.5, 0.5))
-    box_tex = int(np.asarray(scene.mat_texture)[-1])
+    _, box_tex = param_tex_rows(scene)
 
     def loss_fn(albedo, k):
         target = trace(target_scene, o, d, time_, k, max_depth=6,

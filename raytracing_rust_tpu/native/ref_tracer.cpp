@@ -862,7 +862,8 @@ void build_simple_light_noise(Scene& s) {
 extern "C" {
 
 // Renders scene_id (0 = cornell_box, 1 = oracle_spheres, 2 = cornell_smoke
-// with the fixed back wall, 3 = moving_checker, 4 = earth_image) with the
+// with the fixed back wall, 3 = moving_checker, 4 = earth_image,
+// 5 = simple_light_noise, 6 = fog_slab) with the
 // reference's create_image loop (tests/test.rs:55-85): rows j = ny-1..0,
 // ns jittered samples per pixel, recursive color(), gamma sqrt + clamp +
 // (255.99*c) quantize. Writes the PRE-gamma per-pixel mean radiance to

@@ -214,15 +214,15 @@ def render(scene: SceneTables, cam: Camera, nx: int, ny: int, spp: int,
                 # speed). Image-invariant: absolute chunk ids fold into
                 # the key (render_block_multi ch0), and equal-size
                 # groups share one compile.
-                group = max(1, _DISPATCH_RAY_BUDGET
-                            // (block_pixels * spp_chunk))
                 acc = np.zeros((block_pixels, 3), np.float32)
-                for g0 in range(0, n_chunks, group):
-                    g = min(group, n_chunks - g0)
+                g0 = 0
+                for g in dispatch_group_sizes(block_pixels, spp_chunk,
+                                              n_chunks):
                     acc += np.asarray(render_block_multi(
                         scene, cam, pix, blk_key, spp_chunk, nx, ny,
                         max_depth, g, bvh=bvh, rr_depth=rr_depth,
                         ch0=g0))
+                    g0 += g
         done += n_chunks
         if progress is not None:
             progress(done, n_blocks * n_chunks)
@@ -234,6 +234,19 @@ def render(scene: SceneTables, cam: Camera, nx: int, ny: int, spp: int,
                 os.replace(tmp, checkpoint)
 
     return finalize_image(sums, spp, nx, ny)
+
+
+def dispatch_group_sizes(block_pixels: int, spp_chunk: int,
+                         n_chunks: int) -> list[int]:
+    """How the XLA tier groups a block's sample chunks into dispatches:
+    full groups of `_DISPATCH_RAY_BUDGET // (block_pixels·spp_chunk)`
+    chunks plus one ragged tail. The ONE grouping computation, shared
+    with benchlib so its warm-up compiles exactly the per-group-size
+    programs the timed run dispatches (a warm-up at a different
+    n_chunks would leave a 1-5 min remote jit compile inside the timed
+    rep)."""
+    group = max(1, _DISPATCH_RAY_BUDGET // (block_pixels * spp_chunk))
+    return [min(group, n_chunks - g0) for g0 in range(0, n_chunks, group)]
 
 
 def finalize_image(sums: np.ndarray, spp: int, nx: int, ny: int) -> np.ndarray:

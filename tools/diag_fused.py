@@ -25,7 +25,8 @@ import dataclasses  # noqa: E402
 jax.config.update("jax_log_compiles", True)
 
 from examples.inverse_render import (TRUE_ALBEDO, TRUE_EMIT,  # noqa: E402
-                                     build_scene, cam, make_fused_step)
+                                     build_scene, cam, make_fused_step,
+                                     param_tex_rows)
 from raytracing_rust_tpu.parallel.sharding import (  # noqa: E402
     make_mesh, render_block_sharded, train_step_sharded)
 
@@ -83,13 +84,14 @@ def main():
         target_scene, cam, cpix, key, nx, ny, spp, depth, mesh))
 
     # full fused, same args repeated (feedback removed)
-    light_tex = int(np.asarray(scene.mat_texture)[3])
-    box_tex = int(np.asarray(scene.mat_texture)[-1])
+    light_tex, box_tex = param_tex_rows(scene)
     opt = optax.multi_transform(
         {"albedo": optax.adam(0.05), "emit": optax.adam(0.25)},
         {"albedo": "albedo", "emit": "emit"})
-    params = {"albedo": jnp.asarray([0.5, 0.5, 0.5]),
-              "emit": jnp.asarray(3.0)}
+    # explicit f32 — weak-typed scalars risk a silent recompile on the
+    # first post-warm call (see profile_train_step.py)
+    params = {"albedo": jnp.asarray([0.5, 0.5, 0.5], jnp.float32),
+              "emit": jnp.asarray(3.0, jnp.float32)}
     state = opt.init(params)
     fused = make_fused_step(target_scene, scene, cam, box_tex, light_tex,
                             nx, ny, spp, depth, mesh, block, opt)

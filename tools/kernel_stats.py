@@ -30,10 +30,15 @@ from raytracing_rust_tpu.ops import pallas_tracer as pt  # noqa: E402
 
 
 def run(name: str, nx=400, ny=400, spp=32, max_depth=50,
-        balance=False) -> dict:
+        balance=False, scene=None, cam=None) -> dict:
+    # callers that already built the scene pass it in — a rebuild costs
+    # a duplicate host build + device upload (~0.5 s/transfer through
+    # the axon tunnel, CLAUDE.md)
     preset = PRESETS[name]
-    scene = preset.build()
-    cam = preset.camera()
+    if scene is None:
+        scene = preset.build()
+    if cam is None:
+        cam = preset.camera()
     (rec, kinds, groups, dyn, n_dyn, box, n_box, sclus, n_sclus, bclus,
      n_bclus, med, med_kinds, flags, img, attr, attr_fields, int_rec,
      int_kinds) = pt.build_scene_record(scene)
@@ -247,7 +252,7 @@ def mfu(name: str, nx=800, ny=800, spp=32, max_depth=50,
         balance = name in ("final_scene", "random_spheres")
 
     stats = run(name, nx=nx, ny=ny, spp=spp, max_depth=max_depth,
-                balance=balance)
+                balance=balance, scene=scene, cam=cam)
 
     # clean timed render, same config (counters off; best-of-3)
     best = float("inf")

@@ -43,7 +43,7 @@ import numpy as np  # noqa: E402
 import optax  # noqa: E402
 
 from examples.inverse_render import (TRUE_ALBEDO, TRUE_EMIT,  # noqa: E402
-                                     build_scene, cam)
+                                     build_scene, cam, param_tex_rows)
 from raytracing_rust_tpu.parallel.sharding import (  # noqa: E402
     make_mesh, render_block_sharded, train_step_sharded)
 
@@ -111,8 +111,7 @@ def main() -> int:
                     lambda: render_block_sharded(scene, cam, pix, key, **kw))
 
     # ---- the old unfused loop, verbatim shape -------------------------
-    light_tex = int(np.asarray(scene.mat_texture)[3])
-    box_tex = int(np.asarray(scene.mat_texture)[-1])
+    light_tex, box_tex = param_tex_rows(scene)
     params = {"albedo": jnp.asarray([0.5, 0.5, 0.5]),
               "emit": jnp.asarray(3.0)}
     opt = optax.multi_transform(
@@ -156,8 +155,12 @@ def main() -> int:
     fused = make_fused_step(target_scene, scene, cam, box_tex, light_tex,
                             nx, ny, args.spp, args.depth, mesh,
                             args.block, opt)
-    params = {"albedo": jnp.asarray([0.5, 0.5, 0.5]),
-              "emit": jnp.asarray(3.0)}
+    # explicit f32 (NOT weak-typed): if the optax chain strongifies a
+    # scalar anywhere, a weak-init warm call compiles one signature and
+    # the first TIMED iteration silently recompiles (1-5 min through the
+    # remote helper) — the same trap the scan section below pins
+    params = {"albedo": jnp.asarray([0.5, 0.5, 0.5], jnp.float32),
+              "emit": jnp.asarray(3.0, jnp.float32)}
     state = opt.init(params)
     params, state, loss = fused(params, state, jnp.asarray(0, jnp.uint32))
     np.asarray(params["albedo"])

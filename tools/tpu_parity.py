@@ -103,7 +103,12 @@ def main() -> int:
     quick = "--quick" in sys.argv
     json_path = None
     if "--json" in sys.argv:
-        json_path = sys.argv[sys.argv.index("--json") + 1]
+        i = sys.argv.index("--json") + 1
+        if i >= len(sys.argv) or sys.argv[i].startswith("--"):
+            print("usage: tpu_parity.py [--quick] [--json PATH]",
+                  file=sys.stderr)
+            return 2
+        json_path = sys.argv[i]
     failures = 0
     for key, cfg in CONFIGS.items():
         name, nx, ny, spp, depth, tol, opts = cfg
