@@ -55,9 +55,30 @@ def background(scene: SceneTables, d: jnp.ndarray) -> jnp.ndarray:
     return jnp.zeros_like(d)
 
 
+def _lane_draws(key, b, purpose, shape, dtype, lane, n_total):
+    """U[0,1) draws for one (bounce, purpose) slot, addressed by LANE id.
+
+    lane=None: the ordinary full-width draw (shape[0] lanes, row = lane).
+    lane given: the batch is a compacted subset of an `n_total`-lane
+    wavefront — draw the FULL [n_total, ...] table and gather the rows the
+    surviving lanes own. Each lane's stream depends only on (key, bounce,
+    purpose, lane id), NOT on its position in the compacted batch, so a
+    compacted render is bit-identical to the uncompacted one. Generating
+    the full table costs ~10 int ops per element — noise next to the
+    ~600-op member-test work the compaction is saving per lane."""
+    if lane is None:
+        return rng.uniforms(key, b, purpose, shape, dtype)
+    full = rng.uniforms(key, b, purpose, (n_total,) + shape[1:], dtype)
+    return full[lane]  # out-of-range fill lanes clip to the last row
+
+
 def _bounce(scene: SceneTables, pack, key, max_depth, b, o, d, time, thr,
-            rad, alive, bvh=None, rr_depth=None):
-    """One wavefront bounce; returns updated (o, d, thr, rad, alive)."""
+            rad, alive, bvh=None, rr_depth=None, lane=None, n_total=None):
+    """One wavefront bounce; returns updated (o, d, thr, rad, alive).
+
+    lane/n_total: see _lane_draws — set when (o, d, ...) is a compacted
+    subset of a wider wavefront and draws must follow lane identity.
+    """
     n = o.shape[0]
     if bvh is not None:
         from ..accel.bvh import bvh_closest_hit
@@ -68,7 +89,8 @@ def _bounce(scene: SceneTables, pack, key, max_depth, b, o, d, time, thr,
     t_ev = hit.t
     med_mat = None
     if scene.has_media:
-        u_med = rng.uniforms(key, b, _U_MEDIUM, (n, scene.num_media), o.dtype)
+        u_med = _lane_draws(key, b, _U_MEDIUM, (n, scene.num_media),
+                            o.dtype, lane, n_total)
         t_med, med_mat = media_scatter(scene, o, d, T_MIN, hit.t, u_med)
         med_event = t_med < hit.t
         t_ev = jnp.where(med_event, t_med, hit.t)
@@ -95,8 +117,8 @@ def _bounce(scene: SceneTables, pack, key, max_depth, b, o, d, time, thr,
     rad = rad + jnp.where((alive & ~hit_any)[:, None], thr * bg,
                           jnp.zeros_like(bg))
 
-    u_sphere = rng.uniforms(key, b, _U_SPHERE, (n, 3), o.dtype)
-    u_branch = rng.uniforms(key, b, _U_BRANCH, (n,), o.dtype)
+    u_sphere = _lane_draws(key, b, _U_SPHERE, (n, 3), o.dtype, lane, n_total)
+    u_branch = _lane_draws(key, b, _U_BRANCH, (n,), o.dtype, lane, n_total)
     new_d, att, ok = mat_scatter(scene, d, p, normal, u, v, mat_id,
                                  u_sphere, u_branch)
 
@@ -108,7 +130,7 @@ def _bounce(scene: SceneTables, pack, key, max_depth, b, o, d, time, thr,
         # Russian roulette (NOT in the reference; opt-in, unbiased):
         # beyond rr_depth bounces, survive with p = max channel of the
         # throughput and compensate survivors by 1/p.
-        u_rr = rng.uniforms(key, b, _U_RR, (n,), o.dtype)
+        u_rr = _lane_draws(key, b, _U_RR, (n,), o.dtype, lane, n_total)
         # stop_gradient: the survival decision is a detached discrete
         # choice (like hit selection); differentiating through q(theta)
         # would leave an uncancelled -f*q'/q term in reverse mode
@@ -157,17 +179,34 @@ def trace(scene: SceneTables, o, d, time, key, max_depth: int = 50,
             body, (o, d, thr, rad, alive), jnp.arange(max_depth + 1))
         return rad
 
+    _, _, _, rad, _ = run_bounces(
+        scene, pack, key, max_depth, 0, max_depth + 1, o, d, time, thr,
+        rad, alive, bvh=bvh, rr_depth=rr_depth)
+    return rad
+
+
+def run_bounces(scene: SceneTables, pack, key, max_depth: int, b0, b_end,
+                o, d, time, thr, rad, alive, bvh=None, rr_depth=None,
+                lane=None, n_total=None):
+    """Forward-mode bounce loop over b0 ≤ b < b_end (early exit when every
+    lane dies) → (o, d, thr, rad, alive). The shared engine of `trace`
+    (b0=0, b_end=max_depth+1) and the compacted wavefront segments in
+    render.py (which gather the surviving lanes between segments and pass
+    their original `lane` ids so the RNG streams follow the path, not the
+    batch slot — see _lane_draws). b0/b_end may be traced scalars so every
+    segment of a schedule shares one compiled program per batch width."""
     def cond(carry):
         b, _, _, _, _, alive = carry
-        return (b <= max_depth) & jnp.any(alive)
+        return (b < b_end) & jnp.any(alive)
 
     def body(carry):
         b, o, d, thr, rad, alive = carry
         o, d, thr, rad, alive = _bounce(scene, pack, key, max_depth, b,
                                         o, d, time, thr, rad, alive, bvh=bvh,
-                                        rr_depth=rr_depth)
+                                        rr_depth=rr_depth, lane=lane,
+                                        n_total=n_total)
         return b + 1, o, d, thr, rad, alive
 
-    _, _, _, _, rad, _ = jax.lax.while_loop(
-        cond, body, (jnp.asarray(0, jnp.int32), o, d, thr, rad, alive))
-    return rad
+    _, o, d, thr, rad, alive = jax.lax.while_loop(
+        cond, body, (jnp.asarray(b0, jnp.int32), o, d, thr, rad, alive))
+    return o, d, thr, rad, alive

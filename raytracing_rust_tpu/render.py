@@ -27,7 +27,8 @@ import numpy as np
 
 from .models.scene import SceneTables
 from .ops.camera import Camera, get_rays
-from .ops.integrator import trace
+from .ops.integrator import run_bounces, trace
+from .ops.intersect import pack_prims
 
 _CAM_FOLD = 1 << 20  # RNG purpose slot for camera jitter draws
 
@@ -100,6 +101,130 @@ def render_block(scene: SceneTables, cam: Camera, pix: jnp.ndarray,
     return rad.reshape(nb, spp, 3).sum(axis=1)
 
 
+# ---------------------------------------------------------------------------
+# Compacted wavefront: the XLA tier's answer to dead-lane waste.
+#
+# The while_loop in `trace` runs until EVERY lane dies — measured on
+# cornell_box that is all 51 bounces at full width while the mean path is
+# ~4.6 bounces (alive fraction 11% by bounce 10, 2% by bounce 20), i.e.
+# ~10x more bounce-width than the paths need, and a depth-50 render costs
+# 3.6x a depth-12 one on v5e. The fix: run a few bounces at full width
+# (the head), then gather the survivors into a power-of-two-width batch
+# and continue (tails), re-compacting at schedule boundaries. Lane RNG is
+# addressed by ORIGINAL lane id (integrator._lane_draws), so the compacted
+# render is BIT-IDENTICAL to the uncompacted one — pinned by
+# tests/test_integrator.py::test_render_compaction_bit_identical.
+# ---------------------------------------------------------------------------
+
+# re-compaction boundaries (bounce indices). After the head (bounce 0-5)
+# survivors compact; segment ends re-compact to the new (smaller) width.
+# Each boundary costs one dispatch (~0.5 s through the remote tunnel) +
+# one alive-count host pull, so the schedule is coarse on purpose.
+_COMPACT_SCHEDULE = (6, 16)
+
+
+@partial(jax.jit, static_argnames=("spp", "nx", "ny", "max_depth", "s1",
+                                   "rr_depth"))
+def _compact_head(scene: SceneTables, cam: Camera, pix, key, spp: int,
+                  nx: int, ny: int, max_depth: int, s1: int, bvh=None,
+                  rr_depth=None):
+    """Raygen + bounces 0 ≤ b < s1 at full width. Returns the live
+    wavefront state and the survivor count (the ONLY value the host
+    pulls)."""
+    o, d, time = camera_lane_rays(cam, jnp.repeat(pix, spp), key, nx, ny)
+    thr = jnp.ones_like(o)
+    rad = jnp.zeros_like(o)
+    alive = jnp.ones(o.shape[0], bool)
+    pack = pack_prims(scene)
+    o, d, thr, rad, alive = run_bounces(
+        scene, pack, key, max_depth, 0, s1, o, d, time, thr, rad, alive,
+        bvh=bvh, rr_depth=rr_depth)
+    return o, d, time, thr, rad, alive, alive.sum()
+
+
+@partial(jax.jit, static_argnames=("max_depth", "w", "rr_depth"))
+def _compact_tail(scene: SceneTables, o, d, time, thr, rad, alive, key,
+                  b0, b_end, w: int, max_depth: int, bvh=None,
+                  rr_depth=None):
+    """Gather the ≤w survivors, run bounces b0 ≤ b < b_end at width w,
+    scatter the state back to full width.
+
+    Survivor rows beyond w (only possible when the host reused a stale
+    width — see render_block_compact) are NOT advanced; `ok` reports
+    whether the width actually covered the count so the host can redo the
+    chunk exactly. Fill rows gather via an out-of-range index (clipped on
+    gather, dropped on scatter) and are masked dead, so they never touch
+    real lanes."""
+    n_total = o.shape[0]
+    cnt = alive.sum()
+    ok = cnt <= w
+    idx = jnp.nonzero(alive, size=w, fill_value=n_total)[0]
+    valid = jnp.arange(w) < cnt
+    g = lambda x: x[idx]
+    rad_c = jnp.zeros((w, 3), o.dtype)
+    pack = pack_prims(scene)
+    o_c, d_c, thr_c, rad_c, alive_c = run_bounces(
+        scene, pack, key, max_depth, b0, b_end, g(o), g(d), g(time),
+        g(thr), rad_c, valid, bvh=bvh, rr_depth=rr_depth, lane=idx,
+        n_total=n_total)
+    upd = lambda full, c: full.at[idx].set(c, mode="drop")
+    alive2 = alive.at[idx].set(alive_c, mode="drop")
+    return (upd(o, o_c), upd(d, d_c), upd(thr, thr_c),
+            rad.at[idx].add(rad_c, mode="drop"), alive2, alive2.sum(), ok)
+
+
+def _pow2_width(count: int, n_total: int) -> int:
+    return min(n_total, 1 << max(1, (max(count, 1) - 1).bit_length()))
+
+
+def render_block_compact(scene: SceneTables, cam: Camera, pix, key,
+                         spp: int, nx: int, ny: int, max_depth: int,
+                         bvh=None, rr_depth=None, widths=None,
+                         schedule=_COMPACT_SCHEDULE):
+    """`render_block` with wavefront compaction — bit-identical output.
+
+    widths: optional pre-chosen tail widths (one per schedule segment).
+    Chunks of the same block are statistically identical, so the host
+    measures chunk 0's survivor counts once and reuses those widths for
+    the rest — skipping the per-segment count pulls (~0.5 s each through
+    the remote tunnel). Power-of-two rounding gives the reuse its safety
+    margin; if a later chunk still overflows a reused width (count noise
+    is ~0.1%, so this is essentially never), `ok` comes back False and
+    the caller redoes that chunk with exact pulls.
+
+    Returns (per_pixel_sums, widths_used, ok_flags) — ok_flags are DEVICE
+    scalars so callers can defer the pull.
+    """
+    nb = pix.shape[0]
+    n_total = nb * spp
+    s1 = min(schedule[0], max_depth + 1)
+    o, d, time, thr, rad, alive, cnt = _compact_head(
+        scene, cam, pix, key, spp, nx, ny, max_depth, s1, bvh=bvh,
+        rr_depth=rr_depth)
+    bounds = [s for s in schedule[1:] if s <= max_depth] + [max_depth + 1]
+    used = []
+    oks = []
+    b0 = s1
+    for seg, b_end in enumerate(bounds):
+        if b0 > max_depth:
+            break
+        if widths is not None and seg < len(widths):
+            w = widths[seg]
+        else:
+            c = int(jax.device_get(cnt))
+            if c == 0:
+                break
+            w = _pow2_width(c, n_total)
+        o, d, thr, rad, alive, cnt, ok = _compact_tail(
+            scene, o, d, time, thr, rad, alive, key,
+            jnp.asarray(b0, jnp.int32), jnp.asarray(b_end, jnp.int32),
+            w, max_depth, bvh=bvh, rr_depth=rr_depth)
+        used.append(w)
+        oks.append(ok)
+        b0 = b_end
+    return rad.reshape(nb, spp, 3).sum(axis=1), used, oks
+
+
 def camera_lane_rays(cam: Camera, pid: jnp.ndarray, key, nx: int, ny: int):
     """Flat pixel id per lane → (o, d, time) camera rays with the
     reference's sub-pixel jitter (tests/test.rs:62-68; row 0 = top via
@@ -119,7 +244,8 @@ def render(scene: SceneTables, cam: Camera, nx: int, ny: int, spp: int,
            seed: int = 0, max_depth: int = 50, block_pixels: int = 1 << 16,
            spp_chunk: int | None = None, progress=None,
            use_bvh: bool = False, checkpoint: str | None = None,
-           rr_depth: int | None = None, timers=None) -> np.ndarray:
+           rr_depth: int | None = None, timers=None,
+           compact: bool = True) -> np.ndarray:
     """Full image render → float32 [ny, nx, 3], gamma-corrected like the
     reference (sqrt + clamp, tests/test.rs:72-75). Row 0 = top.
 
@@ -128,6 +254,10 @@ def render(scene: SceneTables, cam: Camera, nx: int, ny: int, spp: int,
     last completed block, bit-identical to an uninterrupted run (each
     block's RNG key depends only on (seed, block id)). The reference has
     no resume at all (SURVEY.md §5: whole image in one String).
+
+    compact: wavefront compaction (see render_block_compact) — the
+    default; bit-identical to compact=False, which survives as the
+    plain grouped-dispatch path (and its own invariance test).
     """
     if use_bvh:
         # BVH traversal is gather-bound (~100x slower per lane-chain than
@@ -193,7 +323,36 @@ def render(scene: SceneTables, cam: Camera, nx: int, ny: int, spp: int,
         # returns early through the remote tunnel — utils/timers.py)
         pname = "compile+block0" if blk == start_blk else "dispatch"
         with timers.phase(pname):
-            if use_bvh and n_chunks > 1:
+            if compact:
+                # dead-lane compaction, per chunk; chunk 0 measures the
+                # survivor counts, later chunks reuse its widths (the
+                # chunks render the same pixels, so counts differ by
+                # ~0.1%). Accumulate across chunks ON DEVICE and pull
+                # once; if a reused width ever overflowed (ok False —
+                # essentially never), redo that chunk with exact pulls.
+                widths = None
+                accs, oks = [], []
+                for ch in range(n_chunks):
+                    k = jax.random.fold_in(blk_key, ch)
+                    a, used, ok = render_block_compact(
+                        scene, cam, pix, k, spp_chunk, nx, ny, max_depth,
+                        bvh=bvh, rr_depth=rr_depth, widths=widths)
+                    if widths is None:
+                        widths = used
+                    accs.append(a)
+                    oks.append(ok)
+                ok_np = jax.device_get(oks)  # one batched pull
+                for ch, ok_ch in enumerate(ok_np):
+                    if not all(bool(x) for x in ok_ch):
+                        k = jax.random.fold_in(blk_key, ch)
+                        accs[ch], _, _ = render_block_compact(
+                            scene, cam, pix, k, spp_chunk, nx, ny,
+                            max_depth, bvh=bvh, rr_depth=rr_depth)
+                total = accs[0]
+                for a in accs[1:]:
+                    total = total + a  # same f32 order as the host loop
+                acc = np.asarray(total)
+            elif use_bvh and n_chunks > 1:
                 # dispatch PER CHUNK: the single-dispatch fori over chunks
                 # would run block_pixels·spp chains under one watchdog
                 # budget regardless of spp_chunk. Identical key folding →

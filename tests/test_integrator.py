@@ -125,7 +125,9 @@ def test_render_dispatch_grouping_invariant(monkeypatch):
     preset = builders.PRESETS["two_spheres"]
     scene = preset.build()
     cam = preset.camera()
-    kw = dict(nx=16, ny=16, spp=8, seed=3, max_depth=6, spp_chunk=2)
+    # compact=False: the budget grouping only drives the plain path
+    kw = dict(nx=16, ny=16, spp=8, seed=3, max_depth=6, spp_chunk=2,
+              compact=False)
     full = render(scene, cam, **kw)  # default budget: all 4 chunks, 1 dispatch
     # 256 px × spp_chunk 2 = 512 rays/chunk → budget 512 = 1 chunk/dispatch
     monkeypatch.setattr(render_mod, "_DISPATCH_RAY_BUDGET", 512)
@@ -134,6 +136,40 @@ def test_render_dispatch_grouping_invariant(monkeypatch):
     monkeypatch.setattr(render_mod, "_DISPATCH_RAY_BUDGET", 3 * 512)
     ragged = render(scene, cam, **kw)  # groups of 3 then 1
     np.testing.assert_array_equal(full, ragged)
+
+
+def test_render_compaction_bit_identical():
+    """Wavefront compaction (render.py) must be BIT-identical to the
+    plain full-width path: lane RNG is addressed by original lane id, so
+    gathering survivors into a narrower batch changes which rows compute,
+    never what they compute. Covers: multi-segment schedules at depth 50,
+    width reuse across chunks (spp_chunk < spp), media draws
+    (cornell_smoke exercises the u_med gather), and Russian roulette."""
+    for name, kw in [
+        ("two_spheres", dict(nx=16, ny=16, spp=8, seed=3, max_depth=50,
+                             spp_chunk=4)),
+        ("cornell_smoke", dict(nx=12, ny=12, spp=4, seed=5, max_depth=50)),
+        ("two_spheres", dict(nx=12, ny=12, spp=4, seed=2, max_depth=50,
+                             rr_depth=3)),
+    ]:
+        preset = builders.PRESETS[name]
+        scene = preset.build()
+        cam = preset.camera()
+        plain = render(scene, cam, compact=False, **kw)
+        compacted = render(scene, cam, compact=True, **kw)
+        np.testing.assert_array_equal(plain, compacted, err_msg=name)
+
+
+def test_render_compaction_bvh_bit_identical():
+    """Compaction composes with the BVH tier (stacked traversal is
+    per-lane math like the dense scan)."""
+    preset = builders.PRESETS["two_spheres"]
+    scene = preset.build()
+    cam = preset.camera()
+    kw = dict(nx=12, ny=12, spp=4, seed=4, max_depth=50, use_bvh=True)
+    plain = render(scene, cam, compact=False, **kw)
+    compacted = render(scene, cam, compact=True, **kw)
+    np.testing.assert_array_equal(plain, compacted)
 
 
 def test_ppm_roundtrip_and_format():
