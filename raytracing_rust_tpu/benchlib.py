@@ -143,25 +143,22 @@ def run(scene: str = "cornell_box_baseline", spp: int | None = None,
             walls.append(time.perf_counter() - t0)
             dt = min(dt, walls[-1])
         else:
-            # warm with the tier's OWN default chunking and dispatch
-            # grouping (same shapes as the timed run, so every compile is
-            # reused) — forcing a tiny spp_chunk both crashed on
-            # spp % chunk != 0 and multiplied dispatch count ~12x, making
-            # the XLA number measure remote-tunnel latency instead of
-            # tracer throughput. The timed run dispatches one program per
-            # DISTINCT group size (full groups + a ragged tail —
-            # render.dispatch_group_sizes); a warm render of chunk·g spp
-            # is exactly one size-g dispatch, so warm each size once.
-            from .render import dispatch_group_sizes
+            # warm with the tier's OWN default chunking (same shapes as
+            # the timed run, so every compile is reused) — forcing a tiny
+            # spp_chunk both crashed on spp % chunk != 0 and multiplied
+            # dispatch count ~12x, making the XLA number measure remote-
+            # tunnel latency instead of tracer throughput. One warm
+            # render at spp=chunk compiles everything the timed compact
+            # run dispatches: the head, and every block's tail widths —
+            # widths come from chunk 0's survivor counts, and the warm
+            # run's only chunk IS chunk 0 (same fold_in key, same
+            # deterministic counts, same pow2 widths).
             bp = min(1 << 16, nx * ny)
             budget = max(1, (1 << 22) // bp)
             chunk = max(c for c in range(1, min(spp, budget) + 1)
                         if spp % c == 0)
-            for g in sorted(set(dispatch_group_sizes(bp, chunk,
-                                                     spp // chunk))):
-                _with_retry(lambda g=g: render(tables, cam, nx, ny,
-                                               chunk * g, seed=seed,
-                                               spp_chunk=chunk))
+            _with_retry(lambda: render(tables, cam, nx, ny, chunk,
+                                       seed=seed, spp_chunk=chunk))
             t0 = time.perf_counter()
             _with_retry(lambda: render(tables, cam, nx, ny, spp, seed=seed,
                                        spp_chunk=chunk))

@@ -399,11 +399,9 @@ def dispatch_group_sizes(block_pixels: int, spp_chunk: int,
                          n_chunks: int) -> list[int]:
     """How the XLA tier groups a block's sample chunks into dispatches:
     full groups of `_DISPATCH_RAY_BUDGET // (block_pixels·spp_chunk)`
-    chunks plus one ragged tail. The ONE grouping computation, shared
-    with benchlib so its warm-up compiles exactly the per-group-size
-    programs the timed run dispatches (a warm-up at a different
-    n_chunks would leave a 1-5 min remote jit compile inside the timed
-    rep)."""
+    chunks plus one ragged tail. Drives the compact=False path only
+    (the compact path caps per-dispatch work by construction: the head
+    is a few bounces, tails run at compacted widths)."""
     group = max(1, _DISPATCH_RAY_BUDGET // (block_pixels * spp_chunk))
     return [min(group, n_chunks - g0) for g0 in range(0, n_chunks, group)]
 
