@@ -200,7 +200,11 @@ def grad_fd_err(scene=None, n_rays: int = 64, max_depth: int = 8,
 
     With breakdown=True returns (worst, {sweep_label: worst_in_sweep}) so
     movements of the headline number are attributable to a parameter
-    family. Metric history: the r02→r03 drift (2.56e-06 → 4.68e-05) was
+    family. Metric history: the round-4 wavefront-compaction RNG
+    relayout (lane-keyed draws, ops/rng.py lane_uniforms) changed the
+    fixed-RNG paths, moving the worst from 4.68e-05 to ~5.6e-05 — same
+    f32-cancellation scale, worst family still the small-step geometry
+    probes. Before that, the r02→r03 drift (2.56e-06 → 4.68e-05) was
     the round-3 broadening of this sweep — the two-scale FD consistency
     gate replaced hard skips, so the small-step (eps=1e-3) geometry and
     material-parameter probes now contribute their (larger, still-valid)

@@ -34,11 +34,12 @@ from .intersect import (BIG, closest_hit, hit_attributes, media_scatter,
 from .materials import emitted as mat_emitted
 from .materials import scatter as mat_scatter
 
-# RNG purpose slots (folded into the key per bounce)
-_U_SPHERE = 0
-_U_BRANCH = 1
-_U_MEDIUM = 2
-_U_RR = 3
+# Column layout of the per-bounce lane draw vector (_lane_draws): one
+# fused draw per lane per bounce, purposes slice out of it
+_U_SPHERE = slice(0, 3)   # scatter direction (3 uniforms)
+_U_BRANCH = 3             # dielectric reflect/refract branch
+_U_MEDIUM = 4             # media free-flight draws start here (num_media)
+# Russian roulette, when enabled, is the final column
 
 T_MIN = 1e-3  # ray epsilon, reference src/color.rs:7
 
@@ -55,31 +56,30 @@ def background(scene: SceneTables, d: jnp.ndarray) -> jnp.ndarray:
     return jnp.zeros_like(d)
 
 
-def _lane_draws(key, b, purpose, shape, dtype, lane, n_total):
-    """U[0,1) draws for one (bounce, purpose) slot, addressed by LANE id.
-
-    lane=None: the ordinary full-width draw (shape[0] lanes, row = lane).
-    lane given: the batch is a compacted subset of an `n_total`-lane
-    wavefront — draw the FULL [n_total, ...] table and gather the rows the
-    surviving lanes own. Each lane's stream depends only on (key, bounce,
-    purpose, lane id), NOT on its position in the compacted batch, so a
-    compacted render is bit-identical to the uncompacted one. Generating
-    the full table costs ~10 int ops per element — noise next to the
-    ~600-op member-test work the compaction is saving per lane."""
+def _lane_draws(scene, key, b, n, dtype, lane, rr: bool):
+    """ALL of one bounce's U[0,1) draws, addressed by LANE id
+    (rng.lane_uniforms) → [n, 4 + num_media? + rr?] (columns: _U_*).
+    lane=None means the batch IS the full wavefront: lane i = row i.
+    Every bounce draw goes through here, so a lane's stream follows its
+    identity wherever compaction or sharding moves it — compacted
+    renders are bit-identical to full-width ones, and a shard only pays
+    for the lanes it holds."""
+    m = 4 + (scene.num_media if scene.has_media else 0) + (1 if rr else 0)
     if lane is None:
-        return rng.uniforms(key, b, purpose, shape, dtype)
-    full = rng.uniforms(key, b, purpose, (n_total,) + shape[1:], dtype)
-    return full[lane]  # out-of-range fill lanes clip to the last row
+        lane = jnp.arange(n, dtype=jnp.int32)
+    return rng.lane_uniforms(key, b, lane, m, dtype)
 
 
 def _bounce(scene: SceneTables, pack, key, max_depth, b, o, d, time, thr,
-            rad, alive, bvh=None, rr_depth=None, lane=None, n_total=None):
+            rad, alive, bvh=None, rr_depth=None, lane=None):
     """One wavefront bounce; returns updated (o, d, thr, rad, alive).
 
-    lane/n_total: see _lane_draws — set when (o, d, ...) is a compacted
-    subset of a wider wavefront and draws must follow lane identity.
+    lane: see _lane_draws — set when (o, d, ...) is a compacted subset or
+    shard of a wider wavefront and draws must follow lane identity.
     """
     n = o.shape[0]
+    u_all = _lane_draws(scene, key, b, n, o.dtype, lane,
+                        rr_depth is not None)
     if bvh is not None:
         from ..accel.bvh import bvh_closest_hit
         hit = bvh_closest_hit(scene, bvh, o, d, time, T_MIN, pack=pack)
@@ -89,8 +89,7 @@ def _bounce(scene: SceneTables, pack, key, max_depth, b, o, d, time, thr,
     t_ev = hit.t
     med_mat = None
     if scene.has_media:
-        u_med = _lane_draws(key, b, _U_MEDIUM, (n, scene.num_media),
-                            o.dtype, lane, n_total)
+        u_med = u_all[:, _U_MEDIUM:_U_MEDIUM + scene.num_media]
         t_med, med_mat = media_scatter(scene, o, d, T_MIN, hit.t, u_med)
         med_event = t_med < hit.t
         t_ev = jnp.where(med_event, t_med, hit.t)
@@ -117,8 +116,8 @@ def _bounce(scene: SceneTables, pack, key, max_depth, b, o, d, time, thr,
     rad = rad + jnp.where((alive & ~hit_any)[:, None], thr * bg,
                           jnp.zeros_like(bg))
 
-    u_sphere = _lane_draws(key, b, _U_SPHERE, (n, 3), o.dtype, lane, n_total)
-    u_branch = _lane_draws(key, b, _U_BRANCH, (n,), o.dtype, lane, n_total)
+    u_sphere = u_all[:, _U_SPHERE]
+    u_branch = u_all[:, _U_BRANCH]
     new_d, att, ok = mat_scatter(scene, d, p, normal, u, v, mat_id,
                                  u_sphere, u_branch)
 
@@ -130,7 +129,7 @@ def _bounce(scene: SceneTables, pack, key, max_depth, b, o, d, time, thr,
         # Russian roulette (NOT in the reference; opt-in, unbiased):
         # beyond rr_depth bounces, survive with p = max channel of the
         # throughput and compensate survivors by 1/p.
-        u_rr = _lane_draws(key, b, _U_RR, (n,), o.dtype, lane, n_total)
+        u_rr = u_all[:, -1]
         # stop_gradient: the survival decision is a detached discrete
         # choice (like hit selection); differentiating through q(theta)
         # would leave an uncancelled -f*q'/q term in reverse mode
@@ -187,7 +186,7 @@ def trace(scene: SceneTables, o, d, time, key, max_depth: int = 50,
 
 def run_bounces(scene: SceneTables, pack, key, max_depth: int, b0, b_end,
                 o, d, time, thr, rad, alive, bvh=None, rr_depth=None,
-                lane=None, n_total=None):
+                lane=None):
     """Forward-mode bounce loop over b0 ≤ b < b_end (early exit when every
     lane dies) → (o, d, thr, rad, alive). The shared engine of `trace`
     (b0=0, b_end=max_depth+1) and the compacted wavefront segments in
@@ -203,8 +202,7 @@ def run_bounces(scene: SceneTables, pack, key, max_depth: int, b0, b_end,
         b, o, d, thr, rad, alive = carry
         o, d, thr, rad, alive = _bounce(scene, pack, key, max_depth, b,
                                         o, d, time, thr, rad, alive, bvh=bvh,
-                                        rr_depth=rr_depth, lane=lane,
-                                        n_total=n_total)
+                                        rr_depth=rr_depth, lane=lane)
         return b + 1, o, d, thr, rad, alive
 
     _, o, d, thr, rad, alive = jax.lax.while_loop(

@@ -54,3 +54,22 @@ def uniforms(key: jax.Array, bounce, purpose: int, shape, dtype=jnp.float32):
     """Deterministic U[0,1) draws for a (bounce, purpose) slot."""
     k = jax.random.fold_in(jax.random.fold_in(key, bounce), purpose)
     return jax.random.uniform(k, shape, dtype)
+
+
+def lane_uniforms(key: jax.Array, bounce, lane: jnp.ndarray, m: int,
+                  dtype=jnp.float32):
+    """U[0,1) draws addressed by LANE id → [len(lane), m].
+
+    Lane i's draws depend only on (key, bounce, lane[i]) — never on the
+    batch's width or the lane's position in it. This is what makes
+    wavefront compaction exact (a gathered survivor keeps its stream) and
+    shard-local draw generation possible (a device holding k lanes pays
+    O(k), not O(n_total) — a global-table row-gather would generate the
+    whole table on every shard). ONE fold + ONE m-vector draw per lane
+    per bounce: all of a bounce's purposes slice out of the same vector
+    (integrator._bounce), so the per-lane cost matches a plain table
+    draw instead of paying a fold per purpose.
+    """
+    k = jax.random.fold_in(key, bounce)
+    ks = jax.vmap(jax.random.fold_in, (None, 0))(k, lane)
+    return jax.vmap(lambda kk: jax.random.uniform(kk, (m,), dtype))(ks)

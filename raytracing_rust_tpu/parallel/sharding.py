@@ -26,7 +26,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.scene import SceneTables
 from ..ops.camera import Camera
-from ..ops.integrator import trace
+from ..ops.integrator import run_bounces, trace
+from ..ops.intersect import pack_prims
 from ..render import camera_lane_rays, finalize_image
 
 
@@ -84,25 +85,121 @@ def render_block_sharded(scene: SceneTables, cam: Camera, pix, key,
         out, NamedSharding(mesh, P("dp", None)))
 
 
+# ---------------------------------------------------------------------------
+# Sharded wavefront compaction (render.py "Compacted wavefront", per shard).
+#
+# GSPMD can't express the survivor gather (jnp.nonzero is global under
+# GSPMD), so the compacted forward path drops to shard_map: every device
+# compacts ITS lanes to one host-chosen static width. Lane RNG stays
+# addressed by GLOBAL lane id (integrator._lane_draws + camera_lane_rays'
+# lane gather), so per-lane radiance is bit-identical to the GSPMD path
+# and therefore mesh-layout-invariant for the same reason it already was.
+# ---------------------------------------------------------------------------
+
+_SHARD_COMPACT_S1 = 6  # head bounces before the one re-compaction
+
+
+@partial(jax.jit, static_argnames=("nx", "ny", "spp", "max_depth", "mesh",
+                                   "rr_depth"))
+def _head_sharded(scene: SceneTables, cam: Camera, pix, key, nx: int,
+                  ny: int, spp: int, max_depth: int, mesh: Mesh,
+                  rr_depth=None):
+    """Raygen + bounces 0..s1 per shard → (state..., per-shard counts)."""
+    npix = pix.shape[0]
+    n_total = npix * spp
+    lanes = jnp.arange(n_total, dtype=jnp.int32).reshape(npix, spp)
+    s1 = min(_SHARD_COMPACT_S1, max_depth + 1)
+
+    def body(scene, cam, pix_t, lane_t, key):
+        lane = lane_t.reshape(-1)
+        pid = jnp.broadcast_to(pix_t[:, None], lane_t.shape).reshape(-1)
+        o, d, time = camera_lane_rays(cam, pid, key, nx, ny, lane=lane,
+                                      n_total=n_total)
+        thr = jnp.ones_like(o)
+        rad = jnp.zeros_like(o)
+        # pcast: a fresh constant is shard-UNvarying to shard_map's type
+        # system, but the loop body makes it varying — declare it
+        # (thr/rad derive from the varying o, so they're already varying)
+        alive = jax.lax.pcast(jnp.ones(lane.shape[0], bool), ("dp", "sp"),
+                              to="varying")
+        pack = pack_prims(scene)
+        o, d, thr, rad, alive = run_bounces(
+            scene, pack, key, max_depth, 0, s1, o, d, time, thr, rad,
+            alive, rr_depth=rr_depth, lane=lane)
+        return o, d, time, thr, rad, alive, lane, alive.sum()[None, None]
+
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P("dp"), P("dp", "sp"), P()),
+        out_specs=(P(("dp", "sp")),) * 7 + (P("dp", "sp"),))
+    return fn(scene, cam, pix, lanes, key)
+
+
+@partial(jax.jit, static_argnames=("w", "npix_loc", "spp_loc",
+                                   "max_depth", "mesh", "rr_depth"))
+def _tail_sharded(scene: SceneTables, state, key, w: int, npix_loc: int,
+                  spp_loc: int, max_depth: int, mesh: Mesh,
+                  rr_depth=None):
+    """Compact each shard's survivors to width w, finish the bounce loop,
+    return per-pixel sums (psum over sp) + per-shard ok flags."""
+    s1 = min(_SHARD_COMPACT_S1, max_depth + 1)
+
+    def body(scene, o, d, time, thr, rad, alive, lane, key):
+        nl = o.shape[0]
+        cnt = alive.sum()
+        ok = (cnt <= w)[None, None]
+        idx = jnp.nonzero(alive, size=w, fill_value=nl)[0]
+        valid = jnp.arange(w) < cnt
+        g = lambda x: x[idx]
+        pack = pack_prims(scene)
+        rad_c = jax.lax.pcast(jnp.zeros((w, 3), o.dtype), ("dp", "sp"),
+                              to="varying")
+        _, _, _, rad_c, _ = run_bounces(
+            scene, pack, key, max_depth, s1, max_depth + 1, g(o), g(d),
+            g(time), g(thr), rad_c, valid, rr_depth=rr_depth,
+            lane=g(lane))
+        rad = rad.at[idx].add(rad_c, mode="drop")
+        part = rad.reshape(npix_loc, spp_loc, 3).sum(axis=1)
+        return jax.lax.psum(part, "sp"), ok
+
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(),) + (P(("dp", "sp")),) * 7 + (P(),),
+        out_specs=(P("dp", None), P("dp", "sp")))
+    return fn(scene, *state, key)
+
+
 def render_sharded(scene: SceneTables, cam: Camera, nx: int, ny: int,
                    spp: int, mesh: Mesh, seed: int = 0, max_depth: int = 50,
                    block_pixels: int | None = None,
                    rr_depth: int | None = None, progress=None,
-                   timers=None) -> np.ndarray:
+                   timers=None, compact: bool = True) -> np.ndarray:
     """Full sharded render → float32 [ny, nx, 3] (gamma like the reference).
 
     Sample chunking mirrors render(): block_pixels·spp_chunk lanes per
     dispatch stay under the ~2^22 lane budget (the dense intersect
     materializes [N, P, 3] temps, and one 65536·spp-lane dispatch at
     reference spp would OOM and outrun the TPU runtime watchdog).
+
+    compact: per-shard wavefront compaction (see _head_sharded) — needs
+    spp_chunk divisible by the sp mesh axis (shard_map shapes are exact);
+    falls back to the plain GSPMD path when no such chunking divides spp.
     """
     n_pix = nx * ny
     dp = mesh.shape["dp"]
+    sp = mesh.shape["sp"]
     block_pixels = block_pixels or min(n_pix, 1 << 16)
     block_pixels += (-block_pixels) % dp  # divisible by dp
     budget = max(1, (1 << 22) // block_pixels)
     spp_chunk = max(c for c in range(1, min(spp, budget) + 1)
                     if spp % c == 0)
+    if compact:
+        cands = [c for c in range(1, min(spp, budget) + 1)
+                 if spp % c == 0 and c % sp == 0]
+        if cands:
+            spp_chunk = max(cands)
+        else:
+            compact = False
     n_chunks = spp // spp_chunk
     base = jax.random.key(seed)
     if timers is None:
@@ -120,6 +217,16 @@ def render_sharded(scene: SceneTables, cam: Camera, nx: int, ny: int,
         pix = jnp.asarray(ids)  # ONE upload per block, not per chunk
         blk_key = jax.random.fold_in(base, blk)
         pname = "compile+block0" if blk == 0 else "dispatch"
+        if compact:
+            with timers.phase(pname):
+                out_np = _render_block_sharded_compact(
+                    scene, cam, pix, blk_key, nx, ny, spp_chunk, n_chunks,
+                    max_depth, mesh, rr_depth)
+            sums[lo:hi] += out_np[: hi - lo]
+            done += n_chunks
+            if progress is not None:
+                progress(done, n_blocks * n_chunks)
+            continue
         for ch in range(n_chunks):
             key = jax.random.fold_in(blk_key, ch)
             with timers.phase(pname):
@@ -133,6 +240,57 @@ def render_sharded(scene: SceneTables, cam: Camera, nx: int, ny: int,
                 progress(done, n_blocks * n_chunks)
 
     return finalize_image(sums, spp, nx, ny)
+
+
+def _render_block_sharded_compact(scene, cam, pix, blk_key, nx, ny,
+                                  spp_chunk, n_chunks, max_depth, mesh,
+                                  rr_depth) -> np.ndarray:
+    """All sample chunks of one pixel block through the per-shard
+    compacted pipeline; same width-reuse + overflow-redo protocol as
+    render.render_block_compact (chunk 0 measures, the rest reuse,
+    `ok` flags pulled once with the block sums, exact redo on the
+    essentially-never overflow)."""
+    from ..render import _pow2_width
+    dp = mesh.shape["dp"]
+    sp = mesh.shape["sp"]
+    block_pixels = pix.shape[0]
+    npix_loc = block_pixels // dp
+    spp_loc = spp_chunk // sp
+    nl = npix_loc * spp_loc
+
+    def one_chunk(ch, w):
+        key = jax.random.fold_in(blk_key, ch)
+        *state, cnts = _head_sharded(scene, cam, pix, key, nx, ny,
+                                     spp_chunk, max_depth, mesh,
+                                     rr_depth=rr_depth)
+        if w is None:
+            w = _pow2_width(int(jax.device_get(cnts).max()), nl)
+        out, ok = _tail_sharded(scene, tuple(state), key, w, npix_loc,
+                                spp_loc, max_depth, mesh,
+                                rr_depth=rr_depth)
+        return out, ok, w
+
+    w = None
+    outs, oks = [], []
+    for ch in range(n_chunks):
+        out, ok, w = one_chunk(ch, w)
+        outs.append(out)
+        oks.append(ok)
+    total = outs[0]
+    for o in outs[1:]:
+        total = total + o
+    total_np, ok_np = jax.device_get((total, oks))
+    for ch in range(n_chunks):
+        if not np.asarray(ok_np[ch]).all():
+            # a reused width overflowed this chunk's survivor count —
+            # redo the whole block's sum with exact per-chunk widths
+            # (rare enough that simple beats surgical)
+            total_np = np.zeros_like(total_np)
+            for ch2 in range(n_chunks):
+                out, _, _ = one_chunk(ch2, None)
+                total_np += np.asarray(out)
+            break
+    return total_np
 
 
 def train_step_sharded(scene: SceneTables, cam: Camera, pix, key, target,

@@ -165,8 +165,7 @@ def _compact_tail(scene: SceneTables, o, d, time, thr, rad, alive, key,
     pack = pack_prims(scene)
     o_c, d_c, thr_c, rad_c, alive_c = run_bounces(
         scene, pack, key, max_depth, b0, b_end, g(o), g(d), g(time),
-        g(thr), rad_c, valid, bvh=bvh, rr_depth=rr_depth, lane=idx,
-        n_total=n_total)
+        g(thr), rad_c, valid, bvh=bvh, rr_depth=rr_depth, lane=idx)
     upd = lambda full, c: full.at[idx].set(c, mode="drop")
     alive2 = alive.at[idx].set(alive_c, mode="drop")
     return (upd(o, o_c), upd(d, d_c), upd(thr, thr_c),
@@ -225,16 +224,25 @@ def render_block_compact(scene: SceneTables, cam: Camera, pix, key,
     return rad.reshape(nb, spp, 3).sum(axis=1), used, oks
 
 
-def camera_lane_rays(cam: Camera, pid: jnp.ndarray, key, nx: int, ny: int):
+def camera_lane_rays(cam: Camera, pid: jnp.ndarray, key, nx: int, ny: int,
+                     lane=None, n_total=None):
     """Flat pixel id per lane → (o, d, time) camera rays with the
     reference's sub-pixel jitter (tests/test.rs:62-68; row 0 = top via
     the j flip). The ONE pixel-mapping + jitter-draw implementation,
     shared by render_block (XLA tier) and parallel.sharding's lane grid —
-    a second copy would let the tiers' RNG layouts silently drift."""
+    a second copy would let the tiers' RNG layouts silently drift.
+
+    lane/n_total: as in integrator._lane_draws — when this batch is a
+    shard of an n_total-lane wavefront, draw the full jitter table and
+    gather the rows these lanes own, so per-lane rays do not depend on
+    how lanes are partitioned across devices."""
     i = (pid % nx).astype(cam.origin.dtype)
     j = (ny - 1 - pid // nx).astype(cam.origin.dtype)  # reference row order
     cam_key = jax.random.fold_in(key, _CAM_FOLD)
-    u = jax.random.uniform(cam_key, (pid.shape[0], 5), cam.origin.dtype)
+    if lane is None:
+        u = jax.random.uniform(cam_key, (pid.shape[0], 5), cam.origin.dtype)
+    else:
+        u = jax.random.uniform(cam_key, (n_total, 5), cam.origin.dtype)[lane]
     s = (i + u[:, 0]) / nx
     t = (j + u[:, 1]) / ny
     return get_rays(cam, s, t, u[:, 2:5])

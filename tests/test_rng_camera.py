@@ -68,6 +68,22 @@ def test_uniforms_deterministic_and_decorrelated():
     assert not np.allclose(np.asarray(a), np.asarray(d))
 
 
+def test_lane_uniforms_follow_lane_identity():
+    """The wavefront-compaction RNG contract: a lane's draws depend only
+    on its id, never on batch width or position — gathering a subset of
+    lanes yields exactly the corresponding rows of the full batch."""
+    key = jax.random.key(11)
+    lanes = jnp.arange(64, dtype=jnp.int32)
+    full = np.asarray(rng.lane_uniforms(key, 5, lanes, 4))
+    idx = jnp.asarray([3, 17, 42, 63, 0], jnp.int32)
+    sub = np.asarray(rng.lane_uniforms(key, 5, lanes[idx], 4))
+    np.testing.assert_array_equal(sub, full[np.asarray(idx)])
+    # distinct bounces decorrelate; [0,1) range holds
+    other = np.asarray(rng.lane_uniforms(key, 6, lanes, 4))
+    assert not np.allclose(full, other)
+    assert full.min() >= 0.0 and full.max() < 1.0
+
+
 def test_camera_rays_vs_oracle():
     """Pinhole comparison (aperture=0 ⇒ no lens randomness; t fixed)."""
     args = dict(look_from=(13, 2, 3), look_at=(0, 0, 0), view_up=(0, 1, 0),

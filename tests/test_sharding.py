@@ -61,6 +61,35 @@ def test_sharded_matches_single_device():
                                rtol=2e-4, atol=1e-5)
 
 
+def test_sharded_compact_matches_plain():
+    """Per-shard wavefront compaction (shard_map tier) must reproduce the
+    plain GSPMD path: lane RNG is global-lane-addressed, so compaction
+    changes which device computes a lane, never its radiance."""
+    from raytracing_rust_tpu.parallel.sharding import render_sharded
+    preset = builders.PRESETS["cornell_box"]
+    scene = preset.build()
+    cam = preset.camera()
+    kw = dict(nx=16, ny=16, spp=8, seed=3, max_depth=50)
+    mesh = make_mesh(dp=4, sp=2)
+    plain = render_sharded(scene, cam, mesh=mesh, compact=False, **kw)
+    compacted = render_sharded(scene, cam, mesh=mesh, compact=True, **kw)
+    np.testing.assert_allclose(compacted, plain, rtol=2e-4, atol=1e-5)
+
+
+def test_sharded_compact_mesh_invariance():
+    """Compacted sharded renders agree across mesh layouts (same bar as
+    the plain path: up to psum reduction order)."""
+    from raytracing_rust_tpu.parallel.sharding import render_sharded
+    preset = builders.PRESETS["cornell_box"]
+    scene = preset.build()
+    cam = preset.camera()
+    kw = dict(nx=16, ny=16, spp=8, seed=5, max_depth=50, compact=True)
+    outs = [render_sharded(scene, cam, mesh=make_mesh(dp=dp, sp=sp), **kw)
+            for dp, sp in [(8, 1), (4, 2), (2, 4)]]
+    np.testing.assert_allclose(outs[0], outs[1], rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(outs[0], outs[2], rtol=2e-4, atol=1e-5)
+
+
 def test_sharded_train_step():
     """Full sharded training step: finite loss, gradients reach parameter
     tables, grads are deterministic."""
