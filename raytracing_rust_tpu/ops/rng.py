@@ -50,12 +50,6 @@ def in_unit_disk(u: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), zeros], axis=-1)
 
 
-def uniforms(key: jax.Array, bounce, purpose: int, shape, dtype=jnp.float32):
-    """Deterministic U[0,1) draws for a (bounce, purpose) slot."""
-    k = jax.random.fold_in(jax.random.fold_in(key, bounce), purpose)
-    return jax.random.uniform(k, shape, dtype)
-
-
 def lane_uniforms(key: jax.Array, bounce, lane: jnp.ndarray, m: int,
                   dtype=jnp.float32):
     """U[0,1) draws addressed by LANE id → [len(lane), m].

@@ -137,14 +137,16 @@ def _head_sharded(scene: SceneTables, cam: Camera, pix, key, nx: int,
 
 @partial(jax.jit, static_argnames=("w", "npix_loc", "spp_loc",
                                    "max_depth", "mesh", "rr_depth"))
-def _tail_sharded(scene: SceneTables, state, key, w: int, npix_loc: int,
-                  spp_loc: int, max_depth: int, mesh: Mesh,
+def _tail_sharded(scene: SceneTables, state, key, acc, w: int,
+                  npix_loc: int, spp_loc: int, max_depth: int, mesh: Mesh,
                   rr_depth=None):
     """Compact each shard's survivors to width w, finish the bounce loop,
-    return per-pixel sums (psum over sp) + per-shard ok flags."""
+    add the per-pixel sums (psum over sp) onto acc — one dispatch, so a
+    multi-chunk caller never eagerly adds per chunk. Also returns the
+    per-shard ok flags."""
     s1 = min(_SHARD_COMPACT_S1, max_depth + 1)
 
-    def body(scene, o, d, time, thr, rad, alive, lane, key):
+    def body(scene, o, d, time, thr, rad, alive, lane, acc_t, key):
         nl = o.shape[0]
         cnt = alive.sum()
         ok = (cnt <= w)[None, None]
@@ -160,13 +162,13 @@ def _tail_sharded(scene: SceneTables, state, key, w: int, npix_loc: int,
             lane=g(lane))
         rad = rad.at[idx].add(rad_c, mode="drop")
         part = rad.reshape(npix_loc, spp_loc, 3).sum(axis=1)
-        return jax.lax.psum(part, "sp"), ok
+        return acc_t + jax.lax.psum(part, "sp"), ok
 
     fn = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(),) + (P(("dp", "sp")),) * 7 + (P(),),
+        in_specs=(P(),) + (P(("dp", "sp")),) * 7 + (P("dp", None), P()),
         out_specs=(P("dp", None), P("dp", "sp")))
-    return fn(scene, *state, key)
+    return fn(scene, *state, acc, key)
 
 
 def render_sharded(scene: SceneTables, cam: Camera, nx: int, ny: int,
@@ -258,38 +260,37 @@ def _render_block_sharded_compact(scene, cam, pix, blk_key, nx, ny,
     spp_loc = spp_chunk // sp
     nl = npix_loc * spp_loc
 
-    def one_chunk(ch, w):
+    def one_chunk(ch, w, acc):
         key = jax.random.fold_in(blk_key, ch)
         *state, cnts = _head_sharded(scene, cam, pix, key, nx, ny,
                                      spp_chunk, max_depth, mesh,
                                      rr_depth=rr_depth)
         if w is None:
             w = _pow2_width(int(jax.device_get(cnts).max()), nl)
-        out, ok = _tail_sharded(scene, tuple(state), key, w, npix_loc,
-                                spp_loc, max_depth, mesh,
+        out, ok = _tail_sharded(scene, tuple(state), key, acc, w,
+                                npix_loc, spp_loc, max_depth, mesh,
                                 rr_depth=rr_depth)
         return out, ok, w
 
-    w = None
-    outs, oks = [], []
-    for ch in range(n_chunks):
-        out, ok, w = one_chunk(ch, w)
-        outs.append(out)
-        oks.append(ok)
-    total = outs[0]
-    for o in outs[1:]:
-        total = total + o
-    total_np, ok_np = jax.device_get((total, oks))
-    for ch in range(n_chunks):
-        if not np.asarray(ok_np[ch]).all():
-            # a reused width overflowed this chunk's survivor count —
-            # redo the whole block's sum with exact per-chunk widths
-            # (rare enough that simple beats surgical)
-            total_np = np.zeros_like(total_np)
-            for ch2 in range(n_chunks):
-                out, _, _ = one_chunk(ch2, None)
-                total_np += np.asarray(out)
-            break
+    def run_block(reuse_widths):
+        w = None
+        total = jnp.zeros((block_pixels, 3), jnp.float32)
+        oks = []
+        for ch in range(n_chunks):
+            total, ok, w_used = one_chunk(ch, w, total)
+            if reuse_widths:
+                w = w_used
+            oks.append(ok)
+        return total, oks
+
+    total, oks = run_block(reuse_widths=True)
+    total_np, ok_np = jax.device_get((total, oks))  # one pull
+    if not all(np.asarray(ok).all() for ok in ok_np):
+        # a reused width overflowed a chunk's survivor count — redo the
+        # whole block with exact per-chunk widths (rare enough that
+        # simple beats surgical)
+        total, _ = run_block(reuse_widths=False)
+        total_np = np.asarray(total)
     return total_np
 
 

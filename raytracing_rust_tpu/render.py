@@ -37,6 +37,14 @@ _CAM_FOLD = 1 << 20  # RNG purpose slot for camera jitter draws
 # constant so tests can shrink it and pin grouping-invariance.
 _DISPATCH_RAY_BUDGET = 1 << 24
 
+# Checkpoint estimator-version: bump whenever a code change alters the
+# image for identical (scene, camera, config) — e.g. an RNG relayout.
+# The content digest hashes DATA, not code; without this a partial
+# checkpoint written by an older build would resume under the new
+# estimator and silently produce a hybrid image no uninterrupted run
+# can reproduce. v2 = round-4 lane-keyed bounce RNG.
+_CK_LAYOUT_VERSION = 2
+
 
 def _render_digest(scene: SceneTables, cam: Camera, use_bvh: bool) -> int:
     """63-bit content digest of everything that changes a render's output
@@ -176,10 +184,21 @@ def _pow2_width(count: int, n_total: int) -> int:
     return min(n_total, 1 << max(1, (max(count, 1) - 1).bit_length()))
 
 
+@partial(jax.jit, static_argnames=("nb", "spp"))
+def _reduce_block(rad, acc, nb: int, spp: int):
+    """Lane radiance [nb·spp, 3] → per-pixel sums added onto acc, as ONE
+    dispatch. An eager reshape+sum+add chain would cost ~3 round trips
+    per chunk through the remote tunnel (CLAUDE.md: batch eager ops);
+    the sequential per-chunk adds also keep the f32 accumulation order
+    identical to the plain path's host loop, so compact stays
+    bit-identical."""
+    return acc + rad.reshape(nb, spp, 3).sum(axis=1)
+
+
 def render_block_compact(scene: SceneTables, cam: Camera, pix, key,
                          spp: int, nx: int, ny: int, max_depth: int,
                          bvh=None, rr_depth=None, widths=None,
-                         schedule=_COMPACT_SCHEDULE):
+                         schedule=_COMPACT_SCHEDULE, acc=None):
     """`render_block` with wavefront compaction — bit-identical output.
 
     widths: optional pre-chosen tail widths (one per schedule segment).
@@ -189,10 +208,15 @@ def render_block_compact(scene: SceneTables, cam: Camera, pix, key,
     the remote tunnel). Power-of-two rounding gives the reuse its safety
     margin; if a later chunk still overflows a reused width (count noise
     is ~0.1%, so this is essentially never), `ok` comes back False and
-    the caller redoes that chunk with exact pulls.
+    the caller redoes the block with exact pulls
+    (test_render_compaction_overflow_redo exercises both sides).
 
-    Returns (per_pixel_sums, widths_used, ok_flags) — ok_flags are DEVICE
-    scalars so callers can defer the pull.
+    acc: optional device [nb, 3] accumulator the per-pixel sums are
+    added onto (one fused dispatch) so a multi-chunk caller never
+    pulls or eagerly adds per chunk.
+
+    Returns (per_pixel_sums, widths_used, ok_flags) — sums and ok_flags
+    are DEVICE values so callers can defer the pull.
     """
     nb = pix.shape[0]
     n_total = nb * spp
@@ -221,7 +245,9 @@ def render_block_compact(scene: SceneTables, cam: Camera, pix, key,
         used.append(w)
         oks.append(ok)
         b0 = b_end
-    return rad.reshape(nb, spp, 3).sum(axis=1), used, oks
+    if acc is None:
+        acc = jnp.zeros((nb, 3), rad.dtype)
+    return _reduce_block(rad, acc, nb, spp), used, oks
 
 
 def camera_lane_rays(cam: Camera, pid: jnp.ndarray, key, nx: int, ny: int,
@@ -308,8 +334,8 @@ def render(scene: SceneTables, cam: Camera, nx: int, ny: int, spp: int,
     if checkpoint:
         # digest only when checkpointing: it materializes every scene
         # leaf on the host, which is ~35 device pulls on a remote TPU
-        ck_meta = np.asarray([nx, ny, spp, seed, max_depth, block_pixels,
-                              spp_chunk,
+        ck_meta = np.asarray([_CK_LAYOUT_VERSION, nx, ny, spp, seed,
+                              max_depth, block_pixels, spp_chunk,
                               -1 if rr_depth is None else rr_depth,
                               _render_digest(scene, cam, use_bvh)])
     if checkpoint and os.path.exists(checkpoint):
@@ -335,31 +361,30 @@ def render(scene: SceneTables, cam: Camera, nx: int, ny: int, spp: int,
                 # dead-lane compaction, per chunk; chunk 0 measures the
                 # survivor counts, later chunks reuse its widths (the
                 # chunks render the same pixels, so counts differ by
-                # ~0.1%). Accumulate across chunks ON DEVICE and pull
-                # once; if a reused width ever overflowed (ok False —
-                # essentially never), redo that chunk with exact pulls.
-                widths = None
-                accs, oks = [], []
-                for ch in range(n_chunks):
-                    k = jax.random.fold_in(blk_key, ch)
-                    a, used, ok = render_block_compact(
-                        scene, cam, pix, k, spp_chunk, nx, ny, max_depth,
-                        bvh=bvh, rr_depth=rr_depth, widths=widths)
-                    if widths is None:
-                        widths = used
-                    accs.append(a)
-                    oks.append(ok)
-                ok_np = jax.device_get(oks)  # one batched pull
-                for ch, ok_ch in enumerate(ok_np):
-                    if not all(bool(x) for x in ok_ch):
+                # ~0.1%). Chunk sums accumulate ON DEVICE through the
+                # _reduce_block carry; sums + ok flags pull ONCE per
+                # block. If a reused width ever overflowed (ok False —
+                # essentially never), redo the whole block with exact
+                # per-segment pulls.
+                def run_block(reuse_widths: bool):
+                    widths = None
+                    total, oks = None, []
+                    for ch in range(n_chunks):
                         k = jax.random.fold_in(blk_key, ch)
-                        accs[ch], _, _ = render_block_compact(
+                        total, used, ok = render_block_compact(
                             scene, cam, pix, k, spp_chunk, nx, ny,
-                            max_depth, bvh=bvh, rr_depth=rr_depth)
-                total = accs[0]
-                for a in accs[1:]:
-                    total = total + a  # same f32 order as the host loop
-                acc = np.asarray(total)
+                            max_depth, bvh=bvh, rr_depth=rr_depth,
+                            widths=widths, acc=total)
+                        if reuse_widths and widths is None:
+                            widths = used
+                        oks.extend(ok)
+                    return total, oks
+
+                total, oks = run_block(reuse_widths=True)
+                acc, ok_np = jax.device_get((total, oks))  # one pull
+                if not all(bool(x) for x in ok_np):
+                    total, _ = run_block(reuse_widths=False)
+                    acc = np.asarray(total)
             elif use_bvh and n_chunks > 1:
                 # dispatch PER CHUNK: the single-dispatch fori over chunks
                 # would run block_pixels·spp chains under one watchdog

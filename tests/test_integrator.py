@@ -160,6 +160,46 @@ def test_render_compaction_bit_identical():
         np.testing.assert_array_equal(plain, compacted, err_msg=name)
 
 
+def test_render_compaction_overflow_redo(monkeypatch):
+    """A reused tail width that's too small for a chunk's survivor count
+    must be DETECTED (ok=False) and the block redone with exact widths —
+    never silently truncated (truncated lanes keep head-only radiance)."""
+    import importlib
+    rm = importlib.import_module("raytracing_rust_tpu.render")
+    preset = builders.PRESETS["two_spheres"]
+    scene = preset.build()
+    cam = preset.camera()
+    nx = ny = 16
+    spp = 4
+    pix = jnp.arange(nx * ny, dtype=jnp.int32)
+    key = jax.random.fold_in(jax.random.key(9), 0)
+    good, used, oks = rm.render_block_compact(scene, cam, pix, key, spp,
+                                              nx, ny, 50)
+    assert all(bool(x) for x in jax.device_get(oks))
+    # deliberately undersized widths: flags report the overflow, and the
+    # result is visibly truncated (survivors beyond w lost their tail)
+    bad, _, oks2 = rm.render_block_compact(scene, cam, pix, key, spp,
+                                           nx, ny, 50,
+                                           widths=[1] * len(used))
+    assert not all(bool(x) for x in jax.device_get(oks2))
+    assert not np.array_equal(np.asarray(bad), np.asarray(good))
+    # end-to-end: poison the FIRST width choice; render() must notice the
+    # ok=False flags and redo the block exactly
+    orig = rm._pow2_width
+    calls = []
+
+    def flaky(count, n_total):
+        calls.append(1)
+        return 1 if len(calls) == 1 else orig(count, n_total)
+
+    monkeypatch.setattr(rm, "_pow2_width", flaky)
+    img = render(scene, cam, nx, ny, spp, seed=9, max_depth=50)
+    monkeypatch.setattr(rm, "_pow2_width", orig)
+    ref = render(scene, cam, nx, ny, spp, seed=9, max_depth=50)
+    assert len(calls) > 1  # the redo actually re-chose widths
+    np.testing.assert_array_equal(img, ref)
+
+
 def test_render_compaction_bvh_bit_identical():
     """Compaction composes with the BVH tier (stacked traversal is
     per-lane math like the dense scan)."""

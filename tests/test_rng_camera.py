@@ -57,17 +57,6 @@ def test_unit_disk_distribution():
     np.testing.assert_allclose(s[:, :2].mean(axis=0), 0.0, atol=5e-3)
 
 
-def test_uniforms_deterministic_and_decorrelated():
-    key = jax.random.key(7)
-    a = rng.uniforms(key, 3, 0, (128,))
-    b = rng.uniforms(key, 3, 0, (128,))
-    c = rng.uniforms(key, 3, 1, (128,))
-    d = rng.uniforms(key, 4, 0, (128,))
-    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    assert not np.allclose(np.asarray(a), np.asarray(c))
-    assert not np.allclose(np.asarray(a), np.asarray(d))
-
-
 def test_lane_uniforms_follow_lane_identity():
     """The wavefront-compaction RNG contract: a lane's draws depend only
     on its id, never on batch width or position — gathering a subset of
@@ -78,9 +67,13 @@ def test_lane_uniforms_follow_lane_identity():
     idx = jnp.asarray([3, 17, 42, 63, 0], jnp.int32)
     sub = np.asarray(rng.lane_uniforms(key, 5, lanes[idx], 4))
     np.testing.assert_array_equal(sub, full[np.asarray(idx)])
-    # distinct bounces decorrelate; [0,1) range holds
+    # deterministic per args; distinct bounces/keys decorrelate; [0,1)
+    again = np.asarray(rng.lane_uniforms(key, 5, lanes, 4))
+    np.testing.assert_array_equal(full, again)
     other = np.asarray(rng.lane_uniforms(key, 6, lanes, 4))
     assert not np.allclose(full, other)
+    assert not np.allclose(full, np.asarray(
+        rng.lane_uniforms(jax.random.key(12), 5, lanes, 4)))
     assert full.min() >= 0.0 and full.max() < 1.0
 
 
