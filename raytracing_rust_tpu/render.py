@@ -127,8 +127,10 @@ def render_block(scene: SceneTables, cam: Camera, pix: jnp.ndarray,
 # re-compaction boundaries (bounce indices). After the head (bounce 0-5)
 # survivors compact; segment ends re-compact to the new (smaller) width.
 # Each boundary costs one dispatch (~0.5 s through the remote tunnel) +
-# one alive-count host pull, so the schedule is coarse on purpose.
-_COMPACT_SCHEDULE = (6, 16)
+# one alive-count host pull (chunk 0 only), so the schedule is coarse.
+# Measured A/B (DESIGN.md): (6,12,24) beats (6,16) by 18% on CPU and ~1%
+# on v5e; coarser (6,) loses 1.5x.
+_COMPACT_SCHEDULE = (6, 12, 24)
 
 
 @partial(jax.jit, static_argnames=("spp", "nx", "ny", "max_depth", "s1",
