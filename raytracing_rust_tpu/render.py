@@ -186,6 +186,59 @@ def _pow2_width(count: int, n_total: int) -> int:
     return min(n_total, 1 << max(1, (max(count, 1) - 1).bit_length()))
 
 
+@partial(jax.jit, static_argnames=("spp", "nx", "ny", "max_depth", "s1",
+                                   "widths", "bounds", "rr_depth"))
+def _compact_chunk_fused(scene: SceneTables, cam: Camera, pix, key, acc,
+                         spp: int, nx: int, ny: int, max_depth: int,
+                         s1: int, widths: tuple, bounds: tuple, bvh=None,
+                         rr_depth=None):
+    """A whole sample chunk — raygen, head, every compaction stage, and
+    the pixel reduction — in ONE dispatch, for callers that already know
+    the stage widths (chunks after chunk 0: the block's chunks render the
+    same pixels, so chunk 0's measured widths transfer). The staged
+    head/tail pair costs one dispatch per schedule boundary (~0.5 s each
+    through the remote tunnel); this path costs one total.
+
+    Bit-equality with the staged path (and therefore with the plain
+    full-width path): each stage's radiance delta scatters back into the
+    full-width rad buffer, so the final per-pixel reduction sees the
+    same values in the same order. Returns (acc + per-pixel sums, ok) —
+    ok False iff any stage's survivor count overflowed its width (the
+    caller then redoes the block exactly, as with the staged path).
+    """
+    nb = pix.shape[0]
+    o, d, time = camera_lane_rays(cam, jnp.repeat(pix, spp), key, nx, ny)
+    n_total = o.shape[0]
+    thr = jnp.ones_like(o)
+    rad_full = jnp.zeros_like(o)
+    alive = jnp.ones(n_total, bool)
+    lane = jnp.arange(n_total, dtype=jnp.int32)
+    pack = pack_prims(scene)
+    o, d, thr, rad_full, alive = run_bounces(
+        scene, pack, key, max_depth, 0, s1, o, d, time, thr, rad_full,
+        alive, bvh=bvh, rr_depth=rr_depth)
+    ok = jnp.asarray(True)
+    b0 = s1
+    cur = n_total  # current batch width (fill value for nonzero)
+    for w, b_end in zip(widths, bounds):
+        cnt = alive.sum()
+        ok = ok & (cnt <= w)
+        idx = jnp.nonzero(alive, size=w, fill_value=cur)[0]
+        valid = jnp.arange(w) < cnt
+        g = lambda x: x[idx]
+        o, d, time, thr, lane = g(o), g(d), g(time), g(thr), g(lane)
+        rad_c = jnp.zeros((w, 3), o.dtype)
+        o, d, thr, rad_c, alive = run_bounces(
+            scene, pack, key, max_depth, b0, b_end, o, d, time, thr,
+            rad_c, valid, bvh=bvh, rr_depth=rr_depth, lane=lane)
+        # fill rows carry a clamped duplicate lane id — drop by validity
+        rad_full = rad_full.at[lane].add(
+            jnp.where(valid[:, None], rad_c, 0.0))
+        b0 = b_end
+        cur = w
+    return _reduce_block(rad_full, acc, nb, spp), ok
+
+
 @partial(jax.jit, static_argnames=("nb", "spp"))
 def _reduce_block(rad, acc, nb: int, spp: int):
     """Lane radiance [nb·spp, 3] → per-pixel sums added onto acc, as ONE
@@ -368,11 +421,26 @@ def render(scene: SceneTables, cam: Camera, nx: int, ny: int, spp: int,
                 # block. If a reused width ever overflowed (ok False —
                 # essentially never), redo the whole block with exact
                 # per-segment pulls.
+                s1_blk = min(_COMPACT_SCHEDULE[0], max_depth + 1)
+                bounds_blk = tuple(
+                    s for s in _COMPACT_SCHEDULE[1:] if s <= max_depth
+                ) + (max_depth + 1,)
+
                 def run_block(reuse_widths: bool):
                     widths = None
                     total, oks = None, []
                     for ch in range(n_chunks):
                         k = jax.random.fold_in(blk_key, ch)
+                        if (reuse_widths and widths is not None
+                                and len(widths) == len(bounds_blk)):
+                            # widths known for the FULL schedule → the
+                            # whole chunk fuses into one dispatch
+                            total, ok = _compact_chunk_fused(
+                                scene, cam, pix, k, total, spp_chunk,
+                                nx, ny, max_depth, s1_blk, tuple(widths),
+                                bounds_blk, bvh=bvh, rr_depth=rr_depth)
+                            oks.append(ok)
+                            continue
                         total, used, ok = render_block_compact(
                             scene, cam, pix, k, spp_chunk, nx, ny,
                             max_depth, bvh=bvh, rr_depth=rr_depth,
