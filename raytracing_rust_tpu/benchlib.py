@@ -171,6 +171,7 @@ def run(scene: str = "cornell_box_baseline", spp: int | None = None,
     base_rays, base_source = reference_baseline()
     grad_worst, grad_per_leaf = _with_retry(
         lambda: grad_fd_err(tables, breakdown=True))
+    grad_tp = _with_retry(lambda: grad_throughput())
     return {
         "metric": f"primary rays/sec/chip ({scene} {nx}x{ny} {spp}spp)",
         "value": round(rays_per_sec, 1),
@@ -184,7 +185,91 @@ def run(scene: str = "cornell_box_baseline", spp: int | None = None,
         "engine": "pallas" if use_pallas else "xla",
         "grad_fd_max_abs_err": grad_worst,
         "grad_fd_per_leaf": grad_per_leaf,
+        **grad_tp,
         "device": str(jax.devices()[0]),
+    }
+
+
+def grad_throughput(reps: int = 5, chunk: int = 10, block: int = 4096,
+                    spp: int = 64, max_depth: int = 6, spacing: float = 10.0):
+    """BACKWARD-tier throughput of record: fwd+bwd sample-paths/s of the
+    production inverse-render training step (examples/inverse_render.py:
+    200x200 target, `block`-pixel minibatch, `spp` spp, depth 6,
+    path-matched target render + value_and_grad + optax update, whole
+    chunks scanned on device). Counts BOTH the target render and the
+    candidate fwd+bwd — 2·block·spp sample-paths per step — matching the
+    README/round-4 accounting (0.52M paths / 0.109 s ≈ 4.8M).
+
+    Measured the same way as the forward headline: spaced best-of-N
+    chunk walls (the device tunnel's latency jitter comes in
+    minutes-scale windows), best AND median reported so the artifact
+    carries the session spread. Runs on whatever mesh jax.devices()
+    gives — one real chip at bench time (1x1 mesh), the virtual CPU
+    mesh under the test env."""
+    import statistics
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    # examples/ lives at the repo root (one level above the package);
+    # RT_IR_TPU=1 stops its import-time CPU pin so the bench chip is used
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if root not in sys.path:
+        sys.path.insert(0, root)
+    os.environ["RT_IR_TPU"] = "1"
+    import examples.inverse_render as ir
+    from .parallel.sharding import make_mesh
+
+    devs = jax.devices()
+    sp = 2 if len(devs) % 2 == 0 and len(devs) > 1 else 1
+    mesh = make_mesh(devs, dp=len(devs) // sp, sp=sp)
+    target_scene = ir.build_scene(ir.TRUE_ALBEDO, ir.TRUE_EMIT)
+    scene = ir.build_scene((0.5, 0.5, 0.5), 3.0)
+    light_tex, box_tex = ir.param_tex_rows(scene)
+    nx = ny = 200
+    opt = optax.multi_transform(
+        {"albedo": optax.adam(0.05), "emit": optax.adam(0.25)},
+        {"albedo": "albedo", "emit": "emit"})
+    params = {"albedo": jnp.asarray([0.5, 0.5, 0.5], jnp.float32),
+              "emit": jnp.asarray(3.0, jnp.float32)}
+    state = opt.init(params)
+    repl = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    params, state = jax.device_put((params, state), repl)
+    run_chunk = ir.make_scan_steps(target_scene, scene, ir.cam, box_tex,
+                                   light_tex, nx, ny, spp, max_depth, mesh,
+                                   block, opt, chunk)
+
+    def one_chunk(c, params, state):
+        params, state, losses = run_chunk(
+            params, state, jnp.asarray(c * chunk, jnp.uint32))
+        np.asarray(losses)  # host pull = true chunk completion (CLAUDE.md)
+        return params, state
+
+    # warm chunk carries the compile AND produces steady-state-sharded
+    # params/state (chunk 0's fresh inputs would otherwise recompile)
+    params, state = one_chunk(0, params, state)
+    walls = []
+    for r in range(reps):
+        if r:
+            time.sleep(spacing)
+        t0 = time.perf_counter()
+        params, state = one_chunk(1 + r, params, state)
+        walls.append((time.perf_counter() - t0) / chunk)
+    paths_per_step = 2 * block * spp
+    best = min(walls)
+    med = statistics.median(walls)
+    return {
+        "grad_samples_per_sec": round(paths_per_step / best, 1),
+        "grad_samples_per_sec_median": round(paths_per_step / med, 1),
+        "grad_step_seconds": round(best, 4),
+        "grad_step_seconds_all_reps": [round(w, 4) for w in walls],
+        "grad_config": (f"inverse_render {nx}x{ny} block {block} spp {spp} "
+                        f"depth {max_depth} mesh {mesh.shape['dp']}x"
+                        f"{mesh.shape['sp']}, {chunk}-step on-device scan, "
+                        f"target+candidate fwd+bwd"),
     }
 
 
