@@ -245,6 +245,10 @@ def main_sharded(steps: int, nx: int = 200, ny: int = 200, spp: int = 64,
         # above already covers the rounded count for the lr schedule
         chunk = min(chunk, steps)
         n_chunks = -(-steps // chunk)
+        if n_chunks * chunk != steps:
+            print(f"note: --steps {steps} rounds UP to {n_chunks * chunk} "
+                  f"(whole {chunk}-step scan chunks; a shorter final chunk "
+                  f"would be a second compile)")
         run_chunk = make_scan_steps(target_scene, scene, cam, box_tex,
                                     light_tex, nx, ny, spp, max_depth,
                                     mesh, block, opt, chunk)

@@ -147,17 +147,22 @@ def run(scene: str = "cornell_box_baseline", spp: int | None = None,
             # the timed run, so every compile is reused) — forcing a tiny
             # spp_chunk both crashed on spp % chunk != 0 and multiplied
             # dispatch count ~12x, making the XLA number measure remote-
-            # tunnel latency instead of tracer throughput. One warm
-            # render at spp=chunk compiles everything the timed compact
-            # run dispatches: the head, and every block's tail widths —
-            # widths come from chunk 0's survivor counts, and the warm
-            # run's only chunk IS chunk 0 (same fold_in key, same
-            # deterministic counts, same pow2 widths).
+            # tunnel latency instead of tracer throughput. TWO warm
+            # chunks (spp = 2·chunk) compile everything the timed
+            # compact run dispatches: chunk 0 covers the staged
+            # head/tail pair (and measures the widths the timed run
+            # re-measures deterministically — same fold_in key, same
+            # counts, same pow2 widths), chunk 1 covers the fused
+            # single-dispatch program (_compact_chunk_fused) that
+            # chunks 1+ of the timed run execute (ADVICE r4: warming
+            # only chunk 0 left the fused compile inside the timed rep
+            # on a cold cache).
             bp = min(1 << 16, nx * ny)
             budget = max(1, (1 << 22) // bp)
             chunk = max(c for c in range(1, min(spp, budget) + 1)
                         if spp % c == 0)
-            _with_retry(lambda: render(tables, cam, nx, ny, chunk,
+            warm_spp = 2 * chunk if spp >= 2 * chunk else chunk
+            _with_retry(lambda: render(tables, cam, nx, ny, warm_spp,
                                        seed=seed, spp_chunk=chunk))
             t0 = time.perf_counter()
             _with_retry(lambda: render(tables, cam, nx, ny, spp, seed=seed,
