@@ -15,6 +15,14 @@ CPU lowering), so this script is the hardware-side complement to tests/:
 
 Run on a TPU host:  python tools/tpu_parity.py [--quick] [--json PATH]
 
+`RT_PARITY_SPP_MULT=N` (nightly knob, VERDICT r4 weak #4) multiplies
+every config's spp by N and shrinks the rel tolerances by sqrt(N) —
+the base tolerances are MC-noise-sized, so cornell_box passing at 84%
+of its budget could hide a ~1% systematic kernel bias forever; MULT=8
+puts the bar in systematic-bias territory. Self-calibrating per-pixel
+checks (mad vs same-tier noise yardstick) gain the same power
+automatically. Mirrors the e2e oracle's RT_ORACLE_SPP_MULT.
+
 `--json PATH` records every check (per-config tier means, rel error,
 tolerance, pass) as a JSON artifact so "parity-proven" is a checked-in
 file rather than a claim in prose — the driver's BENCH_r*.json analogue
@@ -22,6 +30,7 @@ for hardware parity (PARITY_r*.json at the repo root).
 """
 
 import json
+import math
 import os
 import sys
 import time
@@ -109,12 +118,19 @@ def main() -> int:
                   file=sys.stderr)
             return 2
         json_path = sys.argv[i]
+    mult = int(os.environ.get("RT_PARITY_SPP_MULT", "1"))
+    shrink = 1.0 / math.sqrt(mult)
+    if mult != 1:
+        print(f"RT_PARITY_SPP_MULT={mult}: spp x{mult}, rel tolerances "
+              f"x{shrink:.3f}")
     failures = 0
     for key, cfg in CONFIGS.items():
         name, nx, ny, spp, depth, tol, opts = cfg
         if quick:
             spp = max(16, spp // 4)
             tol *= 2
+        spp *= mult
+        tol *= shrink
         preset = PRESETS[name]
         scene = preset.build()
         cam = preset.camera()
@@ -149,7 +165,7 @@ def main() -> int:
     from raytracing_rust_tpu.models.builders import lattice_scene
     from raytracing_rust_tpu.ops.camera import make_camera
     scene = lattice_scene()
-    lnx, lny, lspp = 96, 54, 64 if quick else 128
+    lnx, lny, lspp = 96, 54, (64 if quick else 128) * mult
     cam = make_camera((0, 4, 14), (0, 1.5, 0), (0, 1, 0), 45.0,
                       lnx / lny, 0.0, 10.0, 0.0, 1.0)
     t0 = time.time()
@@ -170,12 +186,13 @@ def main() -> int:
                                     max_depth=16))
     mad = float(np.abs(np.asarray(a) - np.asarray(b)).mean())
     mad0 = float(np.abs(np.asarray(b2) - np.asarray(b)).mean())
-    ok = (np.isfinite(a).all() and rel < 0.04
+    ltol = 0.04 * shrink
+    ok = (np.isfinite(a).all() and rel < ltol
           and mad < 1.3 * max(mad0, 1e-6))
     print(f"lattice: pallas={ma:.4f} ({tp:.0f}s) xla={mb:.4f} ({tx:.0f}s)"
-          f" rel={rel:.3f} tol=0.04 mean|Δpx|={mad:.4f} "
+          f" rel={rel:.3f} tol={ltol:.3g} mean|Δpx|={mad:.4f} "
           f"noise={mad0:.4f} {'OK' if ok else 'FAIL'}")
-    record("lattice", ok, pallas_mean=ma, xla_mean=mb, rel=rel, tol=0.04,
+    record("lattice", ok, pallas_mean=ma, xla_mean=mb, rel=rel, tol=ltol,
            mad=mad, mad_noise=mad0, nx=lnx, ny=lny, spp=lspp)
     failures += 0 if ok else 1
 
@@ -197,7 +214,7 @@ def main() -> int:
     scene = bld.build()
     cam = make_camera((0, 2, 9), (0, 1, 0), (0, 1, 0), 40.0,
                       96 / 54, 0.0, 9.0, 0.0, 1.0)
-    fspp = 64 if quick else 128
+    fspp = (64 if quick else 128) * mult
     t0 = time.time()
     a = _with_retry(lambda: render_pallas(scene, cam, 96, 54, fspp,
                                           seed=0, max_depth=16))
@@ -212,13 +229,14 @@ def main() -> int:
     rel = abs(ma - mb) / max(mb, 1e-6)
     mad = float(np.abs(np.asarray(a) - np.asarray(b)).mean())
     mad0 = float(np.abs(np.asarray(b2) - np.asarray(b)).mean())
-    ok = (np.isfinite(a).all() and rel < 0.03
+    ftol = 0.03 * shrink
+    ok = (np.isfinite(a).all() and rel < ftol
           and mad < 1.3 * max(mad0, 1e-6))
     print(f"fog over textures: pallas={ma:.4f} ({tp:.0f}s) xla={mb:.4f} "
-          f"({tx:.0f}s) rel={rel:.3f} tol=0.03 mean|Δpx|={mad:.4f} "
+          f"({tx:.0f}s) rel={rel:.3f} tol={ftol:.3g} mean|Δpx|={mad:.4f} "
           f"noise={mad0:.4f} {'OK' if ok else 'FAIL'}")
     record("fog_over_textures", ok, pallas_mean=ma, xla_mean=mb, rel=rel,
-           tol=0.03, mad=mad, mad_noise=mad0, spp=fspp)
+           tol=ftol, mad=mad, mad_noise=mad0, spp=fspp)
     failures += 0 if ok else 1
 
     # thin-medium free-flight DENSITY law on hardware: the smoke scenes
@@ -240,7 +258,7 @@ def main() -> int:
     scene = bld.build()
     cam = make_camera((0.0, 0.0, 300.0), (0.0, 0.0, 0.0), (0, 1, 0), 30.0,
                       96 / 54, 0.0, 10.0, 0.0, 1.0)
-    sspp = 128 if quick else 256
+    sspp = (128 if quick else 256) * mult
     t0 = time.time()
     a = _with_retry(lambda: render_pallas(scene, cam, 96, 54, sspp,
                                           seed=0, max_depth=50))
@@ -251,11 +269,12 @@ def main() -> int:
     tx = time.time() - t0
     ma, mb = float(a.mean()), float(b.mean())
     rel = abs(ma - mb) / max(mb, 1e-6)
-    ok = np.isfinite(a).all() and rel < 0.02
+    stol = 0.02 * shrink
+    ok = np.isfinite(a).all() and rel < stol
     print(f"fog slab density: pallas={ma:.4f} ({tp:.0f}s) xla={mb:.4f} "
-          f"({tx:.0f}s) rel={rel:.3f} tol=0.02 {'OK' if ok else 'FAIL'}")
+          f"({tx:.0f}s) rel={rel:.3f} tol={stol:.3g} {'OK' if ok else 'FAIL'}")
     record("fog_slab_density", ok, pallas_mean=ma, xla_mean=mb, rel=rel,
-           tol=0.02, spp=sspp)
+           tol=stol, spp=sspp)
     failures += 0 if ok else 1
 
     for name, expected in XLA_BANDS.items():
@@ -282,7 +301,7 @@ def main() -> int:
     preset = PRESETS["final_scene"]
     scene = preset.build()
     cam = preset.camera()
-    spp_b = 64 if quick else 256
+    spp_b = (64 if quick else 256) * mult
     # 192×192 (> 4·TILE pixels) engages the full kpix=4 multi-pixel-bank
     # layout — per-lane pixel banks, snake striping, interleaved-dummy
     # scatter — not just the permutation (64×64 would fall back to
@@ -323,10 +342,11 @@ def main() -> int:
     ma = float((a_w[win] ** 2).mean())
     mb = float((b_w[win] ** 2).mean())
     rel = abs(ma - mb) / max(mb, 1e-6)
-    ok = rel < 0.15
+    wtol = 0.15 * shrink
+    ok = rel < wtol
     print(f"walk window (subsurface, linear): pallas={ma:.4f} "
           f"xla={mb:.4f} rel={rel:.3f} {'OK' if ok else 'FAIL'}")
-    record("walk_window", ok, pallas_mean=ma, xla_mean=mb, rel=rel, tol=0.15)
+    record("walk_window", ok, pallas_mean=ma, xla_mean=mb, rel=rel, tol=wtol)
     failures += 0 if ok else 1
 
     # multi-device dispatch path on one chip: passing the same device
@@ -339,24 +359,25 @@ def main() -> int:
     preset = PRESETS["cornell_box"]
     scene = preset.build()
     cam = preset.camera()
-    one = _with_retry(lambda: render_pallas(scene, cam, 64, 64, 128,
+    one = _with_retry(lambda: render_pallas(scene, cam, 64, 64, 128 * mult,
                                             seed=3, max_depth=16,
                                             devices=[dev]))
-    two = _with_retry(lambda: render_pallas(scene, cam, 64, 64, 128,
+    two = _with_retry(lambda: render_pallas(scene, cam, 64, 64, 128 * mult,
                                             seed=3, max_depth=16,
                                             devices=[dev, dev]))
     m1, m2 = float(one.mean()), float(two.mean())
     rel = abs(m1 - m2) / max(m1, 1e-6)
-    ok = np.isfinite(two).all() and rel < 0.04
+    s2tol = 0.04 * shrink
+    ok = np.isfinite(two).all() and rel < s2tol
     print(f"split2 (same chip): 1dev={m1:.4f} 2dev={m2:.4f} rel={rel:.3f} "
           f"{'OK' if ok else 'FAIL'}")
-    record("split2", ok, one_dev=m1, two_dev=m2, rel=rel, tol=0.04)
+    record("split2", ok, one_dev=m1, two_dev=m2, rel=rel, tol=s2tol)
     failures += 0 if ok else 1
 
     print("PARITY PASS" if failures == 0 else f"PARITY FAIL ({failures})")
     if json_path:
         art = {"pass": failures == 0, "failures": failures,
-               "quick": quick, "device": str(jax.devices()[0]),
+               "quick": quick, "spp_mult": mult, "device": str(jax.devices()[0]),
                "checks": RESULTS}
         with open(json_path, "w") as f:
             json.dump(art, f, indent=1)
