@@ -124,6 +124,55 @@ def make_step_body(target_scene, scene, cam, box_tex, light_tex,
     return step
 
 
+def make_fast_step_body(target_scene, scene, cam, box_tex, light_tex,
+                        nx, ny, spp, max_depth, block, opt, cfg):
+    """The training-step body on the FUSED Pallas differentiable tier
+    (ops/pallas_grad.py, round 5): same pixel choice, clip bounds, and
+    path-matched-estimator contract as make_step_body, but the trace —
+    forward for the target, forward+backward for the candidate — runs
+    as whole-trace Pallas kernels instead of the XLA bounce scan.
+    Measured 5-8x per step on v5e (docs/profiles/grad_tier_v5e_r05.txt).
+
+    Path matching here is exact by construction: target and candidate
+    share the SAME camera rays (one camera_lane_rays call) and the SAME
+    in-trace draw tensor (trace_fast draws from the same per-step key),
+    so the L2 compares two estimates of the same paths, differing only
+    through the scene parameters."""
+    from raytracing_rust_tpu.ops.pallas_grad import trace_fast
+    from raytracing_rust_tpu.render import camera_lane_rays
+    n_pix = nx * ny
+
+    def step(params, state, i):
+        k = jax.random.fold_in(jax.random.key(0), i)
+        kp = jax.random.fold_in(jax.random.key(1), i)
+        pix = jax.random.choice(kp, n_pix, (block,),
+                                replace=False).astype(jnp.int32)
+        pid = jnp.repeat(pix, spp)
+        o, d, _ = camera_lane_rays(cam, pid, k, nx, ny)
+
+        def img(s):
+            rad = trace_fast(s, o, d, k, max_depth=max_depth, cfg=cfg)
+            return rad.reshape(block, spp, 3).sum(axis=1) / spp
+
+        target = jax.lax.stop_gradient(img(target_scene))
+
+        def loss_fn(p):
+            s2 = dataclasses.replace(
+                scene, tex_color=scene.tex_color
+                .at[box_tex].set(p["albedo"])
+                .at[light_tex].set(jnp.broadcast_to(p["emit"], (3,))))
+            return jnp.mean((img(s2) - target) ** 2)
+
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        updates, state = opt.update(g, state)
+        params = optax.apply_updates(params, updates)
+        params = {"albedo": jnp.clip(params["albedo"], 0.0, 1.0),
+                  "emit": jnp.clip(params["emit"], 0.0, 20.0)}
+        return params, state, loss
+
+    return step
+
+
 def make_fused_step(target_scene, scene, cam, box_tex, light_tex,
                     nx, ny, spp, max_depth, mesh, block, opt):
     """ONE jitted dispatch per training step.
@@ -159,7 +208,8 @@ def make_fused_step(target_scene, scene, cam, box_tex, light_tex,
 
 
 def make_scan_steps(target_scene, scene, cam, box_tex, light_tex,
-                    nx, ny, spp, max_depth, mesh, block, opt, chunk):
+                    nx, ny, spp, max_depth, mesh, block, opt, chunk,
+                    step_fn=None):
     """`chunk` training steps as ONE dispatch: lax.scan over step indices.
 
     The per-step feedback edge (params/state out → in) costs ~1.3 s under
@@ -171,8 +221,9 @@ def make_scan_steps(target_scene, scene, cam, box_tex, light_tex,
     per-dispatch cap): a step is ~0.11 s of compute, so chunks up to
     ~1000 steps are safe; default 10 keeps progress visible.
     """
-    step = make_step_body(target_scene, scene, cam, box_tex, light_tex,
-                          nx, ny, spp, max_depth, mesh, block, opt)
+    step = step_fn or make_step_body(target_scene, scene, cam, box_tex,
+                                     light_tex, nx, ny, spp, max_depth,
+                                     mesh, block, opt)
 
     @jax.jit
     def run_chunk(params, state, i0):
@@ -190,7 +241,8 @@ def make_scan_steps(target_scene, scene, cam, box_tex, light_tex,
 
 def main_sharded(steps: int, nx: int = 200, ny: int = 200, spp: int = 64,
                  block: int = 4096, max_depth: int = 6,
-                 fused: bool = True, chunk: int = 10) -> int:
+                 fused: bool = True, chunk: int = 10,
+                 fast: bool = True) -> int:
     from raytracing_rust_tpu.parallel.sharding import (
         make_mesh, render_block_sharded, train_step_sharded)
 
@@ -249,9 +301,29 @@ def main_sharded(steps: int, nx: int = 200, ny: int = 200, spp: int = 64,
             print(f"note: --steps {steps} rounds UP to {n_chunks * chunk} "
                   f"(whole {chunk}-step scan chunks; a shorter final chunk "
                   f"would be a second compile)")
+        # fused Pallas differentiable tier (single-device kernels; the
+        # multi-device CPU-mesh default keeps exercising the sharded
+        # XLA path, which is also the fallback for unsupported scenes)
+        from raytracing_rust_tpu.ops.pallas_grad import (
+            fast_grad_config, supports_fast_grad)
+        # TPU-gated: interpret-mode pallas multiplies the in-kernel
+        # vjp's CPU compile ~30x (minutes at this config) — RT_IR_FAST=1
+        # opts in anyway (small-config experiments)
+        use_fast = (fast and len(devs) == 1
+                    and (devs[0].platform == "tpu"
+                         or os.environ.get("RT_IR_FAST") == "1")
+                    and supports_fast_grad(scene, max_depth))
+        step_fn = None
+        if use_fast:
+            step_fn = make_fast_step_body(
+                target_scene, scene, cam, box_tex, light_tex, nx, ny,
+                spp, max_depth, block, opt, fast_grad_config(scene))
+        print(f"differentiable tier: "
+              f"{'fused pallas' if use_fast else 'xla scan'}")
         run_chunk = make_scan_steps(target_scene, scene, cam, box_tex,
                                     light_tex, nx, ny, spp, max_depth,
-                                    mesh, block, opt, chunk)
+                                    mesh, block, opt, chunk,
+                                    step_fn=step_fn)
         # pre-place params/state with the sharding the scan RETURNS
         # (replicated NamedSharding over the mesh): otherwise chunk 0
         # compiles for unspecified-sharding inputs and chunk 1 — fed
@@ -405,8 +477,11 @@ if __name__ == "__main__":
     ap.add_argument("--block", type=int, default=4096)
     ap.add_argument("--unfused", action="store_true",
                     help="round-3 loop (2 dispatches + eager tail) for A/B")
+    ap.add_argument("--no-fast", action="store_true",
+                    help="force the XLA-scan differentiable tier even "
+                         "where the fused Pallas tier applies (A/B)")
     args = ap.parse_args()
     if args.quick:
         sys.exit(main_quick())
     sys.exit(main_sharded(args.steps, spp=args.spp, block=args.block,
-                          fused=not args.unfused))
+                          fused=not args.unfused, fast=not args.no_fast))

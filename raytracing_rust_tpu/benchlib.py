@@ -177,6 +177,14 @@ def run(scene: str = "cornell_box_baseline", spp: int | None = None,
     grad_worst, grad_per_leaf = _with_retry(
         lambda: grad_fd_err(tables, breakdown=True))
     grad_tp = _with_retry(lambda: grad_throughput())
+    if grad_tp.get("grad_engine") == "pallas_fused":
+        # keep the general tier's number visible too (fewer reps: it is
+        # the secondary figure and ~20x slower per rep)
+        xla_tp = _with_retry(lambda: grad_throughput(reps=3, engine="xla"))
+        grad_tp["grad_samples_per_sec_xla_scan"] = \
+            xla_tp["grad_samples_per_sec"]
+        grad_tp["grad_step_seconds_xla_scan"] = \
+            xla_tp["grad_step_seconds"]
     return {
         "metric": f"primary rays/sec/chip ({scene} {nx}x{ny} {spp}spp)",
         "value": round(rays_per_sec, 1),
@@ -196,7 +204,8 @@ def run(scene: str = "cornell_box_baseline", spp: int | None = None,
 
 
 def grad_throughput(reps: int = 5, chunk: int = 10, block: int = 4096,
-                    spp: int = 64, max_depth: int = 6, spacing: float = 10.0):
+                    spp: int = 64, max_depth: int = 6, spacing: float = 10.0,
+                    engine: str = "auto"):
     """BACKWARD-tier throughput of record: fwd+bwd sample-paths/s of the
     production inverse-render training step (examples/inverse_render.py:
     200x200 target, `block`-pixel minibatch, `spp` spp, depth 6,
@@ -204,6 +213,12 @@ def grad_throughput(reps: int = 5, chunk: int = 10, block: int = 4096,
     chunks scanned on device). Counts BOTH the target render and the
     candidate fwd+bwd — 2·block·spp sample-paths per step — matching the
     README/round-4 accounting (0.52M paths / 0.109 s ≈ 4.8M).
+
+    engine: "auto" = the production tier selection (fused Pallas
+    differentiable kernels on a single device when the scene is
+    supported — round 5; measured 0.008 s/step on v5e vs the scan's
+    0.109-0.19); "xla" forces the general scan tier so its regressions
+    stay visible too (bench.py records both).
 
     Measured the same way as the forward headline: spaced best-of-N
     chunk walls (the device tunnel's latency jitter comes in
@@ -243,9 +258,19 @@ def grad_throughput(reps: int = 5, chunk: int = 10, block: int = 4096,
     state = opt.init(params)
     repl = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
     params, state = jax.device_put((params, state), repl)
+    from .ops.pallas_grad import fast_grad_config, supports_fast_grad
+    use_fast = (engine != "xla" and len(devs) == 1
+                and (devs[0].platform == "tpu"
+                     or os.environ.get("RT_IR_FAST") == "1")
+                and supports_fast_grad(scene, max_depth))
+    step_fn = None
+    if use_fast:
+        step_fn = ir.make_fast_step_body(
+            target_scene, scene, ir.cam, box_tex, light_tex, nx, ny, spp,
+            max_depth, block, opt, fast_grad_config(scene))
     run_chunk = ir.make_scan_steps(target_scene, scene, ir.cam, box_tex,
                                    light_tex, nx, ny, spp, max_depth, mesh,
-                                   block, opt, chunk)
+                                   block, opt, chunk, step_fn=step_fn)
 
     def one_chunk(c, params, state):
         params, state, losses = run_chunk(
@@ -271,6 +296,7 @@ def grad_throughput(reps: int = 5, chunk: int = 10, block: int = 4096,
         "grad_samples_per_sec_median": round(paths_per_step / med, 1),
         "grad_step_seconds": round(best, 4),
         "grad_step_seconds_all_reps": [round(w, 4) for w in walls],
+        "grad_engine": "pallas_fused" if use_fast else "xla_scan",
         "grad_config": (f"inverse_render {nx}x{ny} block {block} spp {spp} "
                         f"depth {max_depth} mesh {mesh.shape['dp']}x"
                         f"{mesh.shape['sp']}, {chunk}-step on-device scan, "
