@@ -417,6 +417,169 @@ def main_sharded(steps: int, nx: int = 200, ny: int = 200, spp: int = 64,
     return 0 if (err_a < 0.1 and err_e < 0.5) else 1
 
 
+# --- geometry recovery mode (--geometry; VERDICT r4 task 7) -------------
+#
+# The third parameter FAMILY (geometry) at production scale. Parameter
+# choice is measurement-driven, not arbitrary: this framework (like the
+# reference's math) differentiates the path-tracing INTEGRAND only — no
+# silhouette/edge term — so any geometry whose visual effect is
+# coverage-dominated has a zero-a.e. or actively wrong photometric
+# gradient. Measured on v5e (DESIGN.md "Geometry recovery"): the cornell
+# light's HEIGHT sits at exactly its init forever (light-distance falloff
+# lives in discrete hit events; emitted radiance is t-independent), and a
+# sphere's RADIUS collapses to the clip floor (shrinking always reduces
+# the covered-pixel integrand mismatch; the counterbalancing coverage
+# term is invisible). A cube's TILT about its own center is
+# shading-dominated — rotating normals continuously modulates the sky
+# field — and converges cleanly: 25° recovered to ±0.5° in 200 steps.
+
+TRUE_GEO_ALBEDO = (0.2, 0.5, 0.8)
+TRUE_GEO_EMIT = 4.0
+TRUE_TILT_DEG = 25.0
+GEO_XF = 1  # the cube's transform row (row 0 is the identity slot)
+
+cam_geo = make_camera((0, 2.2, 8), (0, 1.2, 0), (0, 1, 0), 40.0,
+                      1.0, 0.0, 8.0)
+
+
+def build_geo_scene(albedo=(0.5, 0.5, 0.5), emit=TRUE_GEO_EMIT,
+                    tilt_deg=0.0):
+    from raytracing_rust_tpu.models.scene import BG_SKY
+    b = SceneBuilder(background=BG_SKY)
+    b.sphere((0, -1000, 0), 1000.0, b.lambertian(b.solid(0.5, 0.5, 0.5)))
+    b.rect("zx", -1.5, -1.5, 1.5, 1.5, 6.0,
+           b.diffuse_light(b.solid(emit, emit, emit)), flip=True)
+    # cube CENTERED on the rotation origin, lifted by the translate —
+    # rotation about the world origin would also translate it, turning
+    # the in-place tilt into coverage change (measured: gradient runs
+    # the wrong way)
+    xf = b.transform(offset=(0.0, 1.3, 0.0), rotate_axis="x",
+                     angle_deg=tilt_deg)
+    b.cube((-0.9, -0.9, -0.9), (0.9, 0.9, 0.9),
+           b.lambertian(b.solid(*albedo)), xform=xf)
+    return b.build()
+
+
+def main_geometry(steps: int = 200, nx: int = 200, ny: int = 200,
+                  spp: int = 64, block: int = 4096, max_depth: int = 6,
+                  chunk: int = 10, fast: bool = True) -> int:
+    import math
+
+    from raytracing_rust_tpu.ops.pallas_grad import (
+        fast_grad_config, supports_fast_grad, trace_fast)
+    from raytracing_rust_tpu.render import camera_lane_rays
+
+    devs = jax.devices()
+    target_scene = build_geo_scene(TRUE_GEO_ALBEDO, TRUE_GEO_EMIT,
+                                   TRUE_TILT_DEG)
+    scene = build_geo_scene()
+    use_fast = (fast and len(devs) == 1
+                and (devs[0].platform == "tpu"
+                     or os.environ.get("RT_IR_FAST") == "1")
+                and supports_fast_grad(scene, max_depth))
+    cfg = fast_grad_config(scene) if use_fast else None
+    c_tex = int(np.asarray(scene.mat_texture)
+                [np.asarray(scene.prim_material)[-1]])
+    l_tex = int(np.asarray(scene.mat_texture)
+                [np.asarray(scene.prim_material)[1]])
+    print(f"geometry mode ({devs[0].platform}, "
+          f"{'fused pallas' if use_fast else 'xla scan'}): recover cube "
+          f"tilt {TRUE_TILT_DEG}° + albedo + emission, {nx}x{ny}, "
+          f"block {block}, spp {spp}, depth {max_depth}")
+
+    total = -(-steps // chunk) * chunk
+    sched = lambda lr: optax.cosine_decay_schedule(lr, total, alpha=0.1)
+    opt = optax.multi_transform(
+        {"albedo": optax.adam(sched(0.05)), "emit": optax.adam(sched(0.2)),
+         "theta": optax.adam(sched(0.06))},
+        {"albedo": "albedo", "emit": "emit", "theta": "theta"})
+    params = {"albedo": jnp.asarray([0.5, 0.5, 0.5], jnp.float32),
+              "emit": jnp.asarray(2.0, jnp.float32),
+              "theta": jnp.asarray(0.0, jnp.float32)}
+    state = opt.init(params)
+
+    def step(params, state, i):
+        k = jax.random.fold_in(jax.random.key(0), i)
+        kp = jax.random.fold_in(jax.random.key(1), i)
+        pix = jax.random.choice(kp, nx * ny, (block,),
+                                replace=False).astype(jnp.int32)
+        o, d, tm = camera_lane_rays(cam_geo, jnp.repeat(pix, spp), k,
+                                    nx, ny)
+
+        def img(s):
+            if use_fast:
+                rad = trace_fast(s, o, d, k, max_depth=max_depth, cfg=cfg)
+            else:
+                rad = trace(s, o, d, tm, k, max_depth=max_depth,
+                            differentiable=True)
+            return rad.reshape(block, spp, 3).sum(axis=1) / spp
+
+        target = jax.lax.stop_gradient(img(target_scene))
+
+        def loss_fn(p):
+            s2 = dataclasses.replace(
+                scene,
+                tex_color=scene.tex_color
+                .at[c_tex].set(p["albedo"])
+                .at[l_tex].set(jnp.broadcast_to(p["emit"], (3,))),
+                xf_sin=scene.xf_sin.at[GEO_XF].set(jnp.sin(p["theta"])),
+                xf_cos=scene.xf_cos.at[GEO_XF].set(jnp.cos(p["theta"])))
+            return jnp.mean((img(s2) - target) ** 2)
+
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        updates, state = opt.update(g, state)
+        params = optax.apply_updates(params, updates)
+        params = {"albedo": jnp.clip(params["albedo"], 0.0, 1.0),
+                  "emit": jnp.clip(params["emit"], 0.0, 20.0),
+                  "theta": jnp.clip(params["theta"], -1.2, 1.2)}
+        return params, state, loss
+
+    @jax.jit
+    def run_chunk(params, state, i0):
+        def body(carry, i):
+            p, s = carry
+            p, s, loss = step(p, s, i)
+            return (p, s), loss
+
+        (params, state), losses = jax.lax.scan(
+            body, (params, state), i0 + jnp.arange(chunk, dtype=jnp.uint32))
+        return params, state, losses
+
+    repl = jax.sharding.NamedSharding(
+        jax.sharding.Mesh(np.array(devs[:1]).reshape(1, 1), ("a", "b")),
+        jax.sharding.PartitionSpec())
+    params, state = jax.device_put((params, state), repl)
+    walls = []
+    t0 = time.perf_counter()
+    n_chunks = total // chunk
+    for c in range(n_chunks):
+        params, state, losses = run_chunk(
+            params, state, jnp.asarray(c * chunk, jnp.uint32))
+        losses = np.asarray(losses)
+        walls.append(time.perf_counter() - t0)
+        if c % 4 == 3 or c == n_chunks - 1:
+            a = np.asarray(params["albedo"])
+            print(f"step {(c + 1) * chunk - 1:3d}  loss {losses[-1]:.5f}  "
+                  f"albedo [{a[0]:.3f} {a[1]:.3f} {a[2]:.3f}]  "
+                  f"emit {float(params['emit']):.3f}  tilt "
+                  f"{math.degrees(float(params['theta'])):.2f}°  "
+                  f"({walls[-1]:.2f}s chunk)")
+        t0 = time.perf_counter()
+    a = np.asarray(params["albedo"])
+    e = float(params["emit"])
+    tdeg = math.degrees(float(params["theta"]))
+    err_a = np.abs(a - np.asarray(TRUE_GEO_ALBEDO)).max()
+    err_e = abs(e - TRUE_GEO_EMIT)
+    err_t = abs(tdeg - TRUE_TILT_DEG)
+    steady = float(np.median(walls[1:])) / chunk if len(walls) > 1 else 0.0
+    print(f"recovered albedo [{a[0]:.3f} {a[1]:.3f} {a[2]:.3f}] "
+          f"(max abs err {err_a:.3f}), emission {e:.3f} (err {err_e:.3f}), "
+          f"tilt {tdeg:.2f}° (err {err_t:.2f}°)")
+    print(f"step time: {steady:.3f}s median steady chunk "
+          f"(3 groups incl. geometry, depth {max_depth})")
+    return 0 if (err_a < 0.05 and err_e < 0.3 and err_t < 3.0) else 1
+
+
 def rays(n, key):
     u = jax.random.uniform(key, (n, 2))
     s, t = u[:, 0], u[:, 1]
@@ -480,8 +643,15 @@ if __name__ == "__main__":
     ap.add_argument("--no-fast", action="store_true",
                     help="force the XLA-scan differentiable tier even "
                          "where the fused Pallas tier applies (A/B)")
+    ap.add_argument("--geometry", action="store_true",
+                    help="production-scale GEOMETRY recovery (cube tilt "
+                         "+ albedo + emission, 200 steps default)")
     args = ap.parse_args()
     if args.quick:
         sys.exit(main_quick())
+    if args.geometry:
+        sys.exit(main_geometry(
+            args.steps if args.steps != 40 else 200, spp=args.spp,
+            block=args.block, fast=not args.no_fast))
     sys.exit(main_sharded(args.steps, spp=args.spp, block=args.block,
                           fused=not args.unfused, fast=not args.no_fast))
