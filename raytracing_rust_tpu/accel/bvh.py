@@ -113,6 +113,25 @@ def prim_aabbs(scene: SceneTables) -> tuple[np.ndarray, np.ndarray]:
     return lo, hi
 
 
+def _outward_f32(nmin: np.ndarray, nmax: np.ndarray):
+    """f64 node bounds → f32 rounded OUTWARD (min down, max up).
+
+    A plain float cast rounds to nearest, which can pull a node box
+    half an ulp INSIDE the true bound of its primitives; a ray that
+    grazes a primitive within that sliver then misses the whole
+    subtree. Invisible at reference scales, but measured at 100k prims
+    (big_spheres): two pixels per 64x36 frame hit the wrong prim or
+    nothing — one ulp of outward padding per cast removes the class.
+    """
+    lo32 = np.asarray(nmin, np.float32)
+    hi32 = np.asarray(nmax, np.float32)
+    lo32 = np.where(lo32.astype(np.float64) > np.asarray(nmin, np.float64),
+                    np.nextafter(lo32, np.float32(-np.inf)), lo32)
+    hi32 = np.where(hi32.astype(np.float64) < np.asarray(nmax, np.float64),
+                    np.nextafter(hi32, np.float32(np.inf)), hi32)
+    return lo32, hi32
+
+
 def _check_stack_depth(left: np.ndarray, right: np.ndarray,
                        count: np.ndarray) -> None:
     """Build-time guard for the fixed traversal stack (the traversal
@@ -152,6 +171,10 @@ def build_bvh(scene: SceneTables, leaf_size: int = LEAF_SIZE,
         if res is not None:
             nmin, nmax, left, right, count, order = res
             _check_stack_depth(left, right, count)
+            # the C++ builder already cast f64→f32 nearest; one ulp
+            # outward is idempotent-safe (see _outward_f32)
+            nmin = np.nextafter(nmin, np.float32(-np.inf))
+            nmax = np.nextafter(nmax, np.float32(np.inf))
             return FlatBVH(
                 node_min=jnp.asarray(nmin),
                 node_max=jnp.asarray(nmax),
@@ -207,9 +230,11 @@ def build_bvh(scene: SceneTables, leaf_size: int = LEAF_SIZE,
 
     _check_stack_depth(np.asarray(node_left, np.int32), right_arr,
                        np.asarray(node_count, np.int32))
+    nmin32, nmax32 = _outward_f32(np.asarray(node_min),
+                                  np.asarray(node_max))
     return FlatBVH(
-        node_min=jnp.asarray(np.asarray(node_min), jnp.float32),
-        node_max=jnp.asarray(np.asarray(node_max), jnp.float32),
+        node_min=jnp.asarray(nmin32),
+        node_max=jnp.asarray(nmax32),
         node_left=jnp.asarray(
             np.stack([np.asarray(node_left, np.int32), right_arr], 1)
             .reshape(-1)),  # interleaved [left, right] pairs

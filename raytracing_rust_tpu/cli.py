@@ -182,7 +182,8 @@ def main(argv=None) -> int:
                 from .render import render
                 img = render(scene, cam, nx, ny, spp, seed=args.seed,
                              max_depth=args.max_depth, progress=progress,
-                             use_bvh=args.bvh, checkpoint=args.checkpoint,
+                             use_bvh=args.bvh or None,  # False → auto
+                             checkpoint=args.checkpoint,
                              rr_depth=args.rr_depth, timers=timers)
     finally:
         dt = time.time() - t0

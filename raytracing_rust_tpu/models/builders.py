@@ -244,6 +244,55 @@ class ScenePreset:
                            self.focus_dist, self.time0, self.time1, **kw)
 
 
+def big_spheres(n: int = 30000, seed: int = 7) -> SceneTables:
+    """Parametric LARGE scene: the random_spheres recipe (reference
+    tests/test.rs:89-163) scaled to ~n spheres on a ceil(sqrt(n))-sided
+    grid — the scale-testing scene the reference's BVH exists for
+    (src/bvh.rs:9-94). Static spheres (no motion) so every acceleration
+    path sees identical geometry; lambertian/metal mix + ground + three
+    hero spheres like the original."""
+    side = int(np.ceil(np.sqrt(n)))
+    rng = np.random.default_rng(seed)
+    b = SceneBuilder(background=BG_SKY)
+    b.sphere((0, -1000, 0), 1000.0,
+             b.lambertian(b.solid(0.5, 0.5, 0.5)))
+    half = side // 2
+    count = 0
+    for a in range(-half, side - half):
+        for c in range(-half, side - half):
+            if count >= n:
+                break
+            center = (a + 0.9 * rng.random(), 0.2,
+                      c + 0.9 * rng.random())
+            if rng.random() < 0.8:
+                albedo = b.solid(rng.random() * rng.random(),
+                                 rng.random() * rng.random(),
+                                 rng.random() * rng.random())
+                b.sphere(center, 0.2, b.lambertian(albedo))
+            else:
+                albedo = b.solid(0.5 * (1 + rng.random()),
+                                 0.5 * (1 + rng.random()),
+                                 0.5 * (1 + rng.random()))
+                b.sphere(center, 0.2, b.metal(albedo, 0.5 * rng.random()))
+            count += 1
+        if count >= n:
+            break
+    b.sphere((0, 1, 0), 1.0, b.dielectric(1.5))
+    b.sphere((-4, 1, 0), 1.0, b.lambertian(b.solid(0.4, 0.2, 0.1)))
+    b.sphere((4, 1, 0), 1.0, b.metal(b.solid(0.7, 0.6, 0.5), 0.0))
+    return b.build()
+
+
+def big_spheres_camera(n: int, nx: int, ny: int):
+    """A camera that actually sees the n-sphere field (the
+    random_spheres viewpoint only covers a ~20-unit patch)."""
+    from ..ops.camera import make_camera
+    side = int(np.ceil(np.sqrt(n)))
+    d = max(13.0, 0.9 * side)
+    return make_camera((d, 0.35 * d, d), (0, 0, 0), (0, 1, 0), 30.0,
+                       nx / ny, 0.0, d * 1.4, 0.0, 1.0)
+
+
 # Reference configs (tests/test.rs:525-838); BASELINE.json upgrades noted.
 def lattice_scene() -> SceneTables:
     """Synthetic feature-lattice scene — NOT a reference preset.

