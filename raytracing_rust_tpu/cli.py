@@ -41,7 +41,8 @@ def main(argv=None) -> int:
                    help="use the flat BVH in the XLA tier (reference "
                         "src/bvh.rs analogue)")
     r.add_argument("--checkpoint", default=None,
-                   help=".npz path for resumable rendering (XLA tier)")
+                   help=".npz path for resumable rendering (both the "
+                        "XLA tier and the megakernel)")
     r.add_argument("--rr-depth", type=int, default=None,
                    help="start Russian roulette at this bounce (opt-in, "
                         "unbiased; the reference always runs to the cap)")
@@ -151,17 +152,16 @@ def main(argv=None) -> int:
                 import jax
                 use_pallas = any(d.platform == "tpu"
                                  for d in jax.devices())
-            if (args.checkpoint or args.bvh) and use_pallas:
-                # checkpoint/resume and the flat BVH are XLA-tier
-                # features (the megakernel accumulates whole spp chunks
-                # on device and scans primitives without a BVH); honor
-                # the request rather than silently dropping it
-                which = "--checkpoint" if args.checkpoint else "--bvh"
+            if args.bvh and use_pallas:
+                # the flat BVH is an XLA-tier feature (the megakernel
+                # scans primitives without one); honor the request
+                # rather than silently dropping it. --checkpoint works
+                # on BOTH tiers since round 5.
                 if args.engine == "pallas":
-                    print(f"{which} requires the xla engine",
+                    print("--bvh requires the xla engine",
                           file=sys.stderr)
                     return 2
-                log.write(f"{which} requested; using the xla tier")
+                log.write("--bvh requested; using the xla tier")
                 use_pallas = False
             if use_pallas:
                 from .ops.pallas_tracer import (UnsupportedScene,
@@ -171,6 +171,7 @@ def main(argv=None) -> int:
                                         seed=args.seed,
                                         max_depth=args.max_depth,
                                         rr_depth=args.rr_depth,
+                                        checkpoint=args.checkpoint,
                                         timers=timers, progress=progress)
                 except UnsupportedScene as e:
                     if args.engine == "pallas":

@@ -2978,7 +2978,9 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
                   interpret: bool = False,
                   rr_depth: int | None = None,
                   devices=None, timers=None, progress=None,
-                  balance: bool | None = None) -> np.ndarray:
+                  balance: bool | None = None,
+                  checkpoint: str | None = None,
+                  _stop_after_chunks: int | None = None) -> np.ndarray:
     """Full-image render on the megakernel → float32 [ny, nx, 3] with the
     reference's gamma (sqrt + clamp, tests/test.rs:72-75).
 
@@ -2992,6 +2994,19 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
     (None): on for dynamic-loop scenes at spp ≥ 8, where the one-time
     2-spp probe amortizes; renders stay deterministic per (seed, config)
     since the probe is. Off disables the probe and uses 2D-block tiles.
+
+    checkpoint: optional .npz path — per-pixel radiance sums save after
+    every sample chunk, and a matching partial render resumes at the
+    next chunk, bit-identical to an uninterrupted run (chunk content
+    depends only on (seed, chunk id, device index, layout) — all in
+    the meta). The XLA tier's protocol (render.py) at chunk
+    granularity; tunnel crashes mid-multi-minute-render no longer
+    restart from zero. The meta digests everything image-changing:
+    scene/camera content, static flags, the resolved layout (balance,
+    kpix, device count), and the RT_* kernel knobs.
+
+    _stop_after_chunks: TEST HOOK (tools/tpu_parity.py kill-resume
+    check) — return after N chunks as if the process had died.
     """
     if nx * ny > 1 << 24:
         # the in-kernel lane→pixel mapping is exact only for pixel ids
@@ -3086,13 +3101,35 @@ def render_pallas(scene: SceneTables, cam, nx: int, ny: int, spp: int,
     if spp_chunk is None:
         spp_chunk = spp
     sums = np.zeros((n_pix, 3), np.float64)
+    ck_meta = None
+    start_done = 0
+    if checkpoint:
+        import hashlib
+        from ..render import _CK_LAYOUT_VERSION, _render_digest
+        h = hashlib.sha256()
+        for k in sorted(os.environ):
+            if k.startswith("RT_"):
+                h.update(f"{k}={os.environ[k]};".encode())
+        env_digest = int.from_bytes(h.digest()[:8], "little") >> 1
+        ck_meta = np.asarray(
+            [_CK_LAYOUT_VERSION, 1, nx, ny, spp, seed, max_depth,
+             spp_chunk, -1 if rr_depth is None else rr_depth,
+             int(bool(balance)), n_dev, kpix, env_digest,
+             _render_digest(scene, cam, False)])
+        if os.path.exists(checkpoint):
+            ck = np.load(checkpoint)
+            if np.array_equal(ck["meta"], ck_meta):
+                sums = np.asarray(ck["sums"], np.float64)
+                start_done = int(ck["done"])
     try:
         _dispatch_chunks(sums, spp, spp_chunk, devices, bounds, dev_args,
                          cam_np, seed, max_depth, kinds, rect_groups,
                          n_dyn, n_box, n_sclus, n_bclus, med_kinds, flags,
                          scene, nx, ny, n_pix, interpret, rr_depth, timers,
                          progress, block, perm, pix_dev, int_kinds,
-                         attr_fields, kpix)
+                         attr_fields, kpix, checkpoint=checkpoint,
+                         ck_meta=ck_meta, start_done=start_done,
+                         stop_after_chunks=_stop_after_chunks)
     except Exception:
         # a TPU worker crash/restart invalidates resident buffers; drop
         # every cached device table so the caller's retry re-uploads to
@@ -3110,11 +3147,21 @@ def _dispatch_chunks(sums, spp, spp_chunk, devices, bounds, dev_args,
                      n_box, n_sclus, n_bclus, med_kinds, flags, scene,
                      nx, ny, n_pix, interpret, rr_depth, timers,
                      progress=None, block=None, perm=None, pix_dev=None,
-                     int_kinds=(), attr_fields=(), kpix=1):
+                     int_kinds=(), attr_fields=(), kpix=1,
+                     checkpoint=None, ck_meta=None, start_done=0,
+                     stop_after_chunks=None):
     done = 0
     chunk_id = 0
+    n_run = 0
     while done < spp:
         cur = min(spp_chunk, spp - done)
+        if done < start_done:
+            # resuming: these chunks' sums are already in the loaded
+            # accumulator; advance the (done, chunk_id) seeding state
+            # without dispatching
+            done += cur
+            chunk_id += 1
+            continue
         # the first chunk's dispatch carries the Mosaic compile;
         # np.asarray in the gather is the true device sync (tunnel
         # semantics — utils/timers.py)
@@ -3163,5 +3210,13 @@ def _dispatch_chunks(sums, spp, spp_chunk, devices, bounds, dev_args,
                 .reshape(3, n_pix).transpose(1, 0)
         done += cur
         chunk_id += 1
+        n_run += 1
         if progress is not None:
             progress(done, spp)
+        if checkpoint:
+            with timers.phase("checkpoint_io"):
+                tmp = checkpoint + ".tmp.npz"
+                np.savez(tmp, meta=ck_meta, sums=sums, done=done)
+                os.replace(tmp, checkpoint)
+        if stop_after_chunks is not None and n_run >= stop_after_chunks:
+            return

@@ -374,6 +374,33 @@ def main() -> int:
     record("split2", ok, one_dev=m1, two_dev=m2, rel=rel, tol=s2tol)
     failures += 0 if ok else 1
 
+    # megakernel checkpoint/resume (round 5): a render killed after 2 of
+    # 4 sample chunks must resume from the .npz and finish BYTE-equal to
+    # an uninterrupted run (the XLA tier's test_checkpoint.py contract,
+    # on hardware because the kernel is TPU-only)
+    import tempfile
+    preset = PRESETS["cornell_box"]
+    scene = preset.build()
+    cam = preset.camera()
+    with tempfile.TemporaryDirectory() as td:
+        ck = os.path.join(td, "ck.npz")
+        full = _with_retry(lambda: render_pallas(
+            scene, cam, 64, 64, 64, seed=4, max_depth=12, spp_chunk=16))
+        _with_retry(lambda: render_pallas(
+            scene, cam, 64, 64, 64, seed=4, max_depth=12, spp_chunk=16,
+            checkpoint=ck, _stop_after_chunks=2))
+        partial_saved = os.path.exists(ck)
+        resumed = _with_retry(lambda: render_pallas(
+            scene, cam, 64, 64, 64, seed=4, max_depth=12, spp_chunk=16,
+            checkpoint=ck))
+        ok = partial_saved and np.array_equal(np.asarray(resumed),
+                                              np.asarray(full))
+        print(f"megakernel checkpoint/resume: saved={partial_saved} "
+              f"byte-equal={np.array_equal(np.asarray(resumed), np.asarray(full))} "
+              f"{'OK' if ok else 'FAIL'}")
+        record("pallas_checkpoint_resume", ok, saved=partial_saved)
+        failures += 0 if ok else 1
+
     print("PARITY PASS" if failures == 0 else f"PARITY FAIL ({failures})")
     if json_path:
         art = {"pass": failures == 0, "failures": failures,
