@@ -265,7 +265,8 @@ def render_sharded(scene: SceneTables, cam: Camera, nx: int, ny: int,
                    spp: int, mesh: Mesh, seed: int = 0, max_depth: int = 50,
                    block_pixels: int | None = None,
                    rr_depth: int | None = None, progress=None,
-                   timers=None, compact: bool = True) -> np.ndarray:
+                   timers=None, compact: bool = True,
+                   spp_chunk: int | None = None) -> np.ndarray:
     """Full sharded render → float32 [ny, nx, 3] (gamma like the reference).
 
     Sample chunking mirrors render(): block_pixels·spp_chunk lanes per
@@ -283,15 +284,22 @@ def render_sharded(scene: SceneTables, cam: Camera, nx: int, ny: int,
     block_pixels = block_pixels or min(n_pix, 1 << 16)
     block_pixels += (-block_pixels) % dp  # divisible by dp
     budget = max(1, (1 << 22) // block_pixels)
-    spp_chunk = max(c for c in range(1, min(spp, budget) + 1)
-                    if spp % c == 0)
-    if compact:
+    if spp_chunk is not None:
+        # explicit chunking (tests force the multi-chunk fused program;
+        # tuning). The compact path still needs sp-divisible chunks.
+        assert spp % spp_chunk == 0, "spp_chunk must divide spp"
+        if compact and spp_chunk % sp != 0:
+            compact = False
+    elif compact:
         cands = [c for c in range(1, min(spp, budget) + 1)
                  if spp % c == 0 and c % sp == 0]
         if cands:
             spp_chunk = max(cands)
         else:
             compact = False
+    if spp_chunk is None:
+        spp_chunk = max(c for c in range(1, min(spp, budget) + 1)
+                        if spp % c == 0)
     n_chunks = spp // spp_chunk
     base = jax.random.key(seed)
     if timers is None:

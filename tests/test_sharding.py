@@ -76,6 +76,23 @@ def test_sharded_compact_matches_plain():
     np.testing.assert_allclose(compacted, plain, rtol=2e-4, atol=1e-5)
 
 
+def test_sharded_compact_multichunk_fused_matches_plain():
+    """Multi-chunk blocks route chunks 1+ through the FUSED multi-stage
+    program (_chunk_sharded_fused — raygen + head + every schedule
+    stage + psum reduce in one dispatch, round 5); forcing spp_chunk
+    exercises it, and the result must still match the plain GSPMD path
+    chunk-for-chunk (global-lane-keyed draws)."""
+    from raytracing_rust_tpu.parallel.sharding import render_sharded
+    preset = builders.PRESETS["cornell_box"]
+    scene = preset.build()
+    cam = preset.camera()
+    kw = dict(nx=16, ny=16, spp=8, seed=7, max_depth=50, spp_chunk=2)
+    mesh = make_mesh(dp=4, sp=2)
+    plain = render_sharded(scene, cam, mesh=mesh, compact=False, **kw)
+    compacted = render_sharded(scene, cam, mesh=mesh, compact=True, **kw)
+    np.testing.assert_allclose(compacted, plain, rtol=2e-4, atol=1e-5)
+
+
 def test_sharded_compact_mesh_invariance():
     """Compacted sharded renders agree across mesh layouts (same bar as
     the plain path: up to psum reduction order)."""
