@@ -374,6 +374,64 @@ def main() -> int:
     record("split2", ok, one_dev=m1, two_dev=m2, rel=rel, tol=s2tol)
     failures += 0 if ok else 1
 
+    # fused differentiable tier (round 5): trace_fast (Mosaic kernels)
+    # vs the XLA scan on BIT-IDENTICAL lane-keyed draws — same
+    # estimator, so primal must agree to f32 accumulation error and
+    # gradients leaf-by-leaf (the CPU suite pins this in interpret
+    # mode; this is the Mosaic-lowering side)
+    import jax
+    import jax.numpy as jnp
+    from raytracing_rust_tpu.models.scene import SceneBuilder, BG_SKY
+    from raytracing_rust_tpu.ops.integrator import trace
+    from raytracing_rust_tpu.ops.pallas_grad import (fast_grad_config,
+                                                     trace_fast)
+    bld = SceneBuilder(background=BG_SKY)
+    bld.rect("zx", -3, -3, 3, 3, 0.0, bld.lambertian(bld.solid(0.73, 0.73,
+                                                               0.73)))
+    bld.rect("zx", -1, -1, 1, 1, 5.0,
+             bld.diffuse_light(bld.solid(4.0, 4.0, 4.0)), flip=True)
+    bld.sphere((0.9, 1.0, 0.5), 0.8, bld.metal(bld.solid(0.8, 0.7, 0.6),
+                                               0.2))
+    bld.sphere((-1.0, 0.8, 0.6), 0.7, bld.dielectric(1.5))
+    bld.sphere((0.0, 0.6, -1.2), 0.6,
+               bld.lambertian(bld.solid(0.2, 0.5, 0.8)))
+    scene = bld.build()
+    fcfg = fast_grad_config(scene)
+    gn = 8192
+    grng = np.random.default_rng(3)
+    go = jnp.asarray(np.tile(np.array([0., 2., 8.], np.float32), (gn, 1)))
+    gd = jnp.asarray(np.stack([grng.uniform(-.7, .7, gn),
+                               grng.uniform(-.45, .25, gn),
+                               -np.ones(gn)], -1).astype(np.float32))
+    gkey = jax.random.key(7)
+    want = np.asarray(_with_retry(lambda: trace(
+        scene, go, gd, jnp.zeros(gn), gkey, max_depth=5,
+        differentiable=True)))
+    got = np.asarray(_with_retry(lambda: trace_fast(
+        scene, go, gd, gkey, max_depth=5, lane_keyed_draws=True,
+        cfg=fcfg)))
+    prim_err = float(np.abs(got - want).max())
+    gx = _with_retry(lambda: jax.grad(
+        lambda s: jnp.mean(trace(s, go, gd, jnp.zeros(gn), gkey,
+                                 max_depth=5, differentiable=True)),
+        allow_int=True)(scene))
+    gp = _with_retry(lambda: jax.grad(
+        lambda s: jnp.mean(trace_fast(s, go, gd, gkey, max_depth=5,
+                                      lane_keyed_draws=True, cfg=fcfg)),
+        allow_int=True)(scene))
+    grad_err = 0.0
+    for leaf in ("prim_data", "mat_param", "tex_color"):
+        a = np.asarray(getattr(gx, leaf))
+        b = np.asarray(getattr(gp, leaf))
+        scale = max(float(np.abs(a).max()), 1e-3)
+        grad_err = max(grad_err, float(np.abs(a - b).max()) / scale)
+    ok = np.isfinite(got).all() and prim_err < 1e-3 and grad_err < 1e-3
+    print(f"fused grad tier: primal max|Δ|={prim_err:.2e} "
+          f"grad rel max|Δ|={grad_err:.2e} {'OK' if ok else 'FAIL'}")
+    record("fast_grad_tier", ok, primal_max_abs=prim_err,
+           grad_rel_max=grad_err)
+    failures += 0 if ok else 1
+
     # megakernel checkpoint/resume (round 5): a render killed after 2 of
     # 4 sample chunks must resume from the .npz and finish BYTE-equal to
     # an uninterrupted run (the XLA tier's test_checkpoint.py contract,
