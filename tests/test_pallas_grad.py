@@ -162,6 +162,35 @@ def test_kernel_matches_reference_path():
     np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
 
 
+def test_dielectric_interior_rays_match_xla_tier():
+    """Directed coverage of the exiting-ray dielectric branches (exit
+    cosine, TIR, Schlick-at-exit): rays START INSIDE the glass sphere,
+    at a spread of angles that includes beyond-critical incidence.
+    Camera-ray suites hit these branches only probabilistically."""
+    b = SceneBuilder(background=BG_SKY)
+    b.rect("zx", -4, -4, 4, 4, -2.0, b.lambertian(b.solid(0.6, 0.3, 0.2)))
+    b.sphere((0.0, 0.0, 0.0), 1.0, b.dielectric(1.5))
+    scene = b.build()
+    n = BLOCK
+    rng = np.random.default_rng(12)
+    o = jnp.asarray(rng.uniform(-0.4, 0.4, (n, 3)).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    key = jax.random.key(4)
+    want = trace(scene, o, d, jnp.zeros(n), key, max_depth=4,
+                 differentiable=True)
+    got = trace_tiles_reference(scene, o, d, key, max_depth=4,
+                                lane_keyed_draws=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    # and the gradients through the exit/TIR branches
+    _grads_close(
+        lambda s: jnp.mean(trace(s, o, d, jnp.zeros(n), key, max_depth=3,
+                                 differentiable=True)),
+        lambda s: jnp.mean(trace_tiles_reference(
+            s, o, d, key, max_depth=3, lane_keyed_draws=True)),
+        scene)
+
+
 def test_supports_gate():
     scene = probe_scene()
     assert supports_fast_grad(scene, 8)
