@@ -131,7 +131,8 @@ def make_fast_step_body(target_scene, scene, cam, box_tex, light_tex,
     path-matched-estimator contract as make_step_body, but the trace —
     forward for the target, forward+backward for the candidate — runs
     as whole-trace Pallas kernels instead of the XLA bounce scan.
-    Measured 5-8x per step on v5e (docs/profiles/grad_tier_v5e_r05.txt).
+    Measured 23.6x per step in a same-session A/B on v5e, 223M fwd+bwd
+    sample-paths/s device-side (docs/profiles/grad_tier_v5e_r05.txt).
 
     Path matching here is exact by construction: target and candidate
     share the SAME camera rays (one camera_lane_rays call) and the SAME
