@@ -16,7 +16,6 @@ no pallas_call. Hardware covers the full config (tools/grad_tier_bench).
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from raytracing_rust_tpu.models.scene import SceneBuilder, BG_SKY, BG_BLACK
 from raytracing_rust_tpu.ops.integrator import trace

@@ -84,8 +84,8 @@ def main() -> int:
         means["bvh"] = float(np.asarray(img).mean())
         if on_tpu:
             try:
-                from raytracing_rust_tpu.ops.pallas_tracer import (
-                    UnsupportedScene, render_pallas)
+                from raytracing_rust_tpu.ops.pallas_tracer import \
+                    render_pallas
                 t, img = timed(lambda: render_pallas(
                     scene, cam, args.nx, args.ny, args.spp,
                     max_depth=args.depth))
