@@ -178,6 +178,15 @@ def run(scene: str = "cornell_box_baseline", spp: int | None = None,
         lambda: grad_fd_err(tables, breakdown=True))
     grad_tp = _with_retry(lambda: grad_throughput())
     if grad_tp.get("grad_engine") == "pallas_fused":
+        # device-side figure: 100-step chunks amortize the dispatch
+        # overhead 10x further (measured 2.35 ms/step = 223M paths/s vs
+        # 4.6 ms at the default chunk — grad_tier_v5e_r05.txt)
+        dev_tp = _with_retry(lambda: grad_throughput(reps=2, chunk=100,
+                                                     spacing=5.0))
+        grad_tp["grad_samples_per_sec_chunk100"] = \
+            dev_tp["grad_samples_per_sec"]
+        grad_tp["grad_step_seconds_chunk100"] = \
+            dev_tp["grad_step_seconds"]
         # keep the general tier's number visible too (fewer reps: it is
         # the secondary figure and ~20x slower per rep)
         xla_tp = _with_retry(lambda: grad_throughput(reps=3, engine="xla"))
