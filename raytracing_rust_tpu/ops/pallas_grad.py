@@ -28,8 +28,10 @@ proportional to what the scene actually uses.
 
 Feature scope (gate: `supports_fast_grad`): spheres + rects (incl.
 rotated/translated instances — the math uses the hoisted world-frame
-pack), lambertian / metal / dielectric / diffuse_light, SOLID textures,
-both backgrounds, no media, no motion blur, no russian roulette. That
+pack), lambertian / metal / dielectric / diffuse_light, solid and
+3D-checker textures (checker needs no uv — it is a pure function of
+the hit point), both backgrounds, no media, no motion blur, no russian
+roulette. That
 covers the production inverse-render scene (examples/inverse_render.py)
 and the bench gradient-probe family; everything else falls back to the
 XLA scan — same contract as the forward megakernel's UnsupportedScene.
@@ -51,7 +53,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..models.scene import (SceneTables, BG_SKY, MAT_LAMBERTIAN, MAT_METAL,
-                            MAT_DIELECTRIC, MAT_DIFFUSE_LIGHT, TEX_SOLID)
+                            MAT_DIELECTRIC, MAT_DIFFUSE_LIGHT, TEX_SOLID,
+                            TEX_CHECKER)
 from .intersect import BIG, pack_prims
 from . import rng
 
@@ -76,9 +79,10 @@ C_A0, C_A1, C_B0, C_B1 = 18, 19, 20, 21
 C_FLIP = 22
 C_LAMB, C_METAL, C_DIEL, C_LIGHT = 23, 24, 25, 26
 C_PARAM = 27
-C_EMIT = 28   # 28..30
-C_ALB = 31    # 31..33
-REC_C = 34
+C_TEX_E = 28  # 28..30 texture EVEN color (the solid color for solids)
+C_TEX_O = 31  # 31..33 texture ODD color (checker only)
+C_CHK = 34    # 1.0 ⇒ 3D-checker texture (reference src/texture.rs:40-47)
+REC_C = 35
 
 MAX_PRIMS = 64    # unrolled in-kernel loop; compile-size gate
 MAX_DEPTH = 16    # unrolled bounce loop
@@ -103,7 +107,16 @@ def supports_fast_grad(scene: SceneTables, max_depth: int,
                             MAT_DIFFUSE_LIGHT]).all():
         return False
     texs = np.asarray(scene.mat_texture)[np.asarray(scene.prim_material)]
-    if not (np.asarray(scene.tex_type)[texs] == TEX_SOLID).all():
+    ttypes = np.asarray(scene.tex_type)
+    for t in texs:
+        if ttypes[t] == TEX_SOLID:
+            continue
+        if ttypes[t] == TEX_CHECKER:
+            # 3D checker of SOLID children (the only nesting the
+            # reference ever builds, tests/test.rs:93-101)
+            c0, c1 = np.asarray(scene.tex_child)[t]
+            if ttypes[c0] == TEX_SOLID and ttypes[c1] == TEX_SOLID:
+                continue
         return False
     return True
 
@@ -111,9 +124,9 @@ def supports_fast_grad(scene: SceneTables, max_depth: int,
 def fast_grad_config(scene: SceneTables):
     """(kinds, feats): compile-time structure of the kernel program.
 
-    kinds: per-prim "s"/"r"; feats: frozenset of material families
-    present among USED materials ("metal", "diel", "light"; lambertian
-    is the default family and costs nothing to include).
+    kinds: per-prim "s"/"r"; feats: frozenset of families present
+    among USED materials/textures ("metal", "diel", "light",
+    "checker"; lambertian+solid is the free default).
 
     Needs CONCRETE scene tables — under jit, compute it once outside
     and pass it to trace_fast(cfg=...) (the config is static program
@@ -133,6 +146,9 @@ def fast_grad_config(scene: SceneTables):
         feats.add("light")
     if scene.background == BG_SKY:
         feats.add("sky")
+    texs = np.asarray(scene.mat_texture)[np.asarray(scene.prim_material)]
+    if (np.asarray(scene.tex_type)[texs] == TEX_CHECKER).any():
+        feats.add("checker")
     return kinds, frozenset(feats)
 
 
@@ -152,9 +168,13 @@ def fast_grad_record(scene: SceneTables) -> jnp.ndarray:
     mat = scene.prim_material
     mtype = scene.mat_type[mat]
     tex = scene.mat_texture[mat]
-    color = scene.tex_color[tex]
+    is_chk = scene.tex_type[tex] == TEX_CHECKER
+    # checker: tex_child[t] = (odd, even) — textures.py:25-26; the odd
+    # child wins where sin(10x)·sin(10y)·sin(10z) < 0. For solids both
+    # slots carry the solid color (odd is never selected: chk flag 0).
+    even = scene.tex_color[jnp.where(is_chk, scene.tex_child[tex, 1], tex)]
+    odd = scene.tex_color[jnp.where(is_chk, scene.tex_child[tex, 0], tex)]
     is_light = mtype == MAT_DIFFUSE_LIGHT
-    emit = jnp.where(is_light[:, None], color, 0.0)
     cols = [
         is_sph,
         pack.c0[:, 0], pack.c0[:, 1], pack.c0[:, 2],
@@ -168,8 +188,9 @@ def fast_grad_record(scene: SceneTables) -> jnp.ndarray:
         f(mtype == MAT_LAMBERTIAN), f(mtype == MAT_METAL),
         f(mtype == MAT_DIELECTRIC), f(is_light),
         scene.mat_param[mat],
-        emit[:, 0], emit[:, 1], emit[:, 2],
-        color[:, 0], color[:, 1], color[:, 2],
+        even[:, 0], even[:, 1], even[:, 2],
+        odd[:, 0], odd[:, 1], odd[:, 2],
+        is_chk.astype(jnp.float32),
     ]
     assert len(cols) == REC_C
     rec = jnp.stack(cols, axis=1)
@@ -204,6 +225,7 @@ def _trace_tiles(scal, o, d, u, kinds, feats, n_bounce: int,
     has_metal = "metal" in feats
     has_diel = "diel" in feats
     has_light = "light" in feats
+    has_checker = "checker" in feats
     bg_sky = "sky" in feats
     ox, oy, oz = o
     dx, dy, dz = d
@@ -231,8 +253,9 @@ def _trace_tiles(scal, o, d, u, kinds, feats, n_bounce: int,
         w_light_c = zero
         w_lamb = w_metal = w_diel = zero
         w_par = zero
-        w_emr = w_emg = w_emb = zero
-        w_alr = w_alg = w_alb = zero
+        w_ter = w_teg = w_teb = zero      # texture even color
+        w_tor = w_tog = w_tob = zero      # texture odd color (checker)
+        w_chk = zero
 
         a_dd = _dot3(dx, dy, dz, dx, dy, dz)
         inv_a = f(1.0) / a_dd
@@ -289,9 +312,6 @@ def _trace_tiles(scal, o, d, u, kinds, feats, n_bounce: int,
             w_flip = jnp.where(better, r[C_FLIP], w_flip)
             if has_light:
                 w_light_c = jnp.where(better, r[C_LIGHT], w_light_c)
-                w_emr = jnp.where(better, r[C_EMIT], w_emr)
-                w_emg = jnp.where(better, r[C_EMIT + 1], w_emg)
-                w_emb = jnp.where(better, r[C_EMIT + 2], w_emb)
             if has_metal or has_diel:
                 w_lamb = jnp.where(better, r[C_LAMB], w_lamb)
                 w_par = jnp.where(better, r[C_PARAM], w_par)
@@ -299,9 +319,14 @@ def _trace_tiles(scal, o, d, u, kinds, feats, n_bounce: int,
                 w_metal = jnp.where(better, r[C_METAL], w_metal)
             if has_diel:
                 w_diel = jnp.where(better, r[C_DIEL], w_diel)
-            w_alr = jnp.where(better, r[C_ALB], w_alr)
-            w_alg = jnp.where(better, r[C_ALB + 1], w_alg)
-            w_alb = jnp.where(better, r[C_ALB + 2], w_alb)
+            w_ter = jnp.where(better, r[C_TEX_E], w_ter)
+            w_teg = jnp.where(better, r[C_TEX_E + 1], w_teg)
+            w_teb = jnp.where(better, r[C_TEX_E + 2], w_teb)
+            if has_checker:
+                w_tor = jnp.where(better, r[C_TEX_O], w_tor)
+                w_tog = jnp.where(better, r[C_TEX_O + 1], w_tog)
+                w_tob = jnp.where(better, r[C_TEX_O + 2], w_tob)
+                w_chk = jnp.where(better, r[C_CHK], w_chk)
 
         hit = (t_best < f(BIG)).astype(f)
         t_safe = jnp.where(t_best < f(BIG), t_best, f(0.0))
@@ -322,13 +347,28 @@ def _trace_tiles(scal, o, d, u, kinds, feats, n_bounce: int,
         else:
             nx, ny, nz = w_knx * w_flip, w_kny * w_flip, w_knz * w_flip
 
-        # emitted on every hit (reference src/color.rs:8-15); record emit
-        # is pre-zeroed for non-lights
+        # winner texture value (textures.py eval_texture for the solid/
+        # checker scope): checker picks the ODD color where
+        # sin(10x)·sin(10y)·sin(10z) < 0 (reference src/texture.rs:40-47)
+        if has_checker:
+            sines = (jnp.sin(f(10.0) * px) * jnp.sin(f(10.0) * py)
+                     * jnp.sin(f(10.0) * pz))
+            use_odd = (w_chk > f(0.5)) & (sines < f(0.0))
+            w_alr = jnp.where(use_odd, w_tor, w_ter)
+            w_alg = jnp.where(use_odd, w_tog, w_teg)
+            w_alb = jnp.where(use_odd, w_tob, w_teb)
+        else:
+            w_alr, w_alg, w_alb = w_ter, w_teg, w_teb
+
+        # emitted on every hit (reference src/color.rs:8-15): the
+        # light's texture value, zero for non-lights (materials.py
+        # emitted)
         gain = alive * hit
         if has_light:
-            rad_r = rad_r + gain * thr_r * w_emr
-            rad_g = rad_g + gain * thr_g * w_emg
-            rad_b = rad_b + gain * thr_b * w_emb
+            gl = gain * w_light_c
+            rad_r = rad_r + gl * thr_r * w_alr
+            rad_g = rad_g + gl * thr_g * w_alg
+            rad_b = rad_b + gl * thr_b * w_alb
 
         # miss → background, die (src/color.rs:16-22)
         if bg_sky:

@@ -161,6 +161,48 @@ def test_kernel_matches_reference_path():
     np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
 
 
+def test_checker_matches_xla_tier():
+    """3D-checker textures (round-5 scope extension): albedo AND
+    emissive checker vs the XLA tier, primal + gradients (gradients
+    flow into BOTH checker children's tex_color rows and through the
+    hit point's sin(10p) factors)."""
+    b = SceneBuilder(background=BG_SKY)
+    # floor at y=0.37, NOT 0.0: a checker surface lying exactly on a
+    # sin(10·y)=0 plane makes every hit's odd/even choice a coin flip
+    # on f32 rounding residue — any op reordering between tiers flips
+    # ~13% of lanes (measured; the f64 reference sits on the same
+    # knife-edge). Off-boundary surfaces agree per-lane.
+    b.rect("zx", -4, -4, 4, 4, 0.37, b.lambertian(b.checker(
+        b.solid(0.2, 0.3, 0.1), b.solid(0.9, 0.9, 0.9))))
+    b.sphere((0.0, 1.37, 0.0), 1.0, b.diffuse_light(b.checker(
+        b.solid(3.0, 0.5, 0.5), b.solid(0.5, 3.0, 0.5))))
+    b.sphere((2.2, 1.1, 0.3), 0.8, b.lambertian(b.solid(0.3, 0.4, 0.8)))
+    scene = b.build()
+    assert supports_fast_grad(scene, 8)
+    n = BLOCK
+    o, d = probe_rays(n, seed=9)
+    key = jax.random.key(6)
+    want = trace(scene, o, d, jnp.zeros(n), key, max_depth=4,
+                 differentiable=True)
+    got = trace_tiles_reference(scene, o, d, key, max_depth=4,
+                                lane_keyed_draws=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    # kernel plumbing of the checker columns at small depth
+    got_k = trace_fast(scene, o, d, key, max_depth=2,
+                       lane_keyed_draws=True)
+    want_k = trace(scene, o, d, jnp.zeros(n), key, max_depth=2,
+                   differentiable=True)
+    np.testing.assert_allclose(np.asarray(got_k), np.asarray(want_k),
+                               rtol=2e-4, atol=2e-4)
+    _grads_close(
+        lambda s: jnp.mean(trace(s, o, d, jnp.zeros(n), key, max_depth=3,
+                                 differentiable=True)),
+        lambda s: jnp.mean(trace_tiles_reference(
+            s, o, d, key, max_depth=3, lane_keyed_draws=True)),
+        scene)
+
+
 def test_dielectric_interior_rays_match_xla_tier():
     """Directed coverage of the exiting-ray dielectric branches (exit
     cosine, TIR, Schlick-at-exit): rays START INSIDE the glass sphere,
@@ -199,7 +241,11 @@ def test_supports_gate():
     b = SceneBuilder(background=BG_SKY)
     b.sphere((0, 0, 0), 1.0, b.lambertian(b.checker(
         b.solid(1, 1, 1), b.solid(0, 0, 0))))
-    assert not supports_fast_grad(b.build(), 8)           # non-solid tex
+    assert supports_fast_grad(b.build(), 8)   # checker-of-solids: in scope
+
+    b = SceneBuilder(background=BG_SKY)
+    b.sphere((0, 0, 0), 1.0, b.lambertian(b.noise(2.0)))
+    assert not supports_fast_grad(b.build(), 8)           # noise tex
 
     b = SceneBuilder(background=BG_SKY)
     b.sphere((0, -1000, 0), 1000.0, b.lambertian(b.solid(0.5, 0.5, 0.5)))
