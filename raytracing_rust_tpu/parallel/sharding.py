@@ -130,12 +130,17 @@ def _head_sharded(scene: SceneTables, cam: Camera, pix, key, nx: int,
         o, d, thr, rad, alive = run_bounces(
             scene, pack, key, max_depth, 0, s1, o, d, time, thr, rad,
             alive, rr_depth=rr_depth, lane=lane)
-        return o, d, time, thr, rad, alive, lane, alive.sum()[None, None]
+        # pmax → REPLICATED max survivor count: the host pulls one
+        # scalar (not a mesh-sharded array, which a multi-process mesh
+        # could not even device_get), and every process computes the
+        # same stage width
+        cnt = jax.lax.pmax(alive.sum(), ("dp", "sp"))
+        return o, d, time, thr, rad, alive, lane, cnt
 
     fn = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(), P(), P("dp"), P("dp", "sp"), P()),
-        out_specs=(P(("dp", "sp")),) * 7 + (P("dp", "sp"),))
+        out_specs=(P(("dp", "sp")),) * 7 + (P(),))
     return fn(scene, cam, pix, lanes, key)
 
 
@@ -151,7 +156,8 @@ def _stage_sharded(scene: SceneTables, state, key, w: int, b0, b_end,
     def body(scene, o, d, time, thr, rad, alive, lane, key):
         nl = o.shape[0]
         cnt = alive.sum()
-        ok = (cnt <= w)[None, None]
+        # replicated over/next-count scalars (see _head_sharded's pmax)
+        ok = jax.lax.pmin((cnt <= w).astype(jnp.int32), ("dp", "sp")) > 0
         idx = jnp.nonzero(alive, size=w, fill_value=nl)[0]
         valid = jnp.arange(w) < cnt
         g = lambda x: x[idx]
@@ -164,15 +170,15 @@ def _stage_sharded(scene: SceneTables, state, key, w: int, b0, b_end,
             lane=g(lane))
         upd = lambda full, c: full.at[idx].set(c, mode="drop")
         alive2 = alive.at[idx].set(alive_c, mode="drop")
+        cnt2 = jax.lax.pmax(alive2.sum(), ("dp", "sp"))
         return (upd(o, o_c), upd(d, d_c), upd(thr, thr_c),
-                rad.at[idx].add(rad_c, mode="drop"), alive2,
-                alive2.sum()[None, None], ok)
+                rad.at[idx].add(rad_c, mode="drop"), alive2, cnt2, ok)
 
     fn = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(),) + (P(("dp", "sp")),) * 7 + (P(),),
         out_specs=((P(("dp", "sp")),) * 4
-                   + (P(("dp", "sp")), P("dp", "sp"), P("dp", "sp"))))
+                   + (P(("dp", "sp")), P(), P())))
     o, d, time, thr, rad, alive, lane = state
     o, d, thr, rad, alive, cnts, ok = fn(scene, o, d, time, thr, rad,
                                          alive, lane, key)
@@ -252,12 +258,13 @@ def _chunk_sharded_fused(scene: SceneTables, cam: Camera, pix, key, acc,
             b0 = b_end
             cur = w
         part = rad_full.reshape(pix_t.shape[0], -1, 3).sum(axis=1)
-        return acc_t + jax.lax.psum(part, "sp"), ok[None, None]
+        ok = jax.lax.pmin(ok.astype(jnp.int32), ("dp", "sp")) > 0
+        return acc_t + jax.lax.psum(part, "sp"), ok
 
     fn = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(), P(), P("dp"), P("dp", "sp"), P("dp", None), P()),
-        out_specs=(P("dp", None), P("dp", "sp")))
+        out_specs=(P("dp", None), P()))
     return fn(scene, cam, pix, lanes, acc, key)
 
 
@@ -382,7 +389,7 @@ def _render_block_sharded_compact(scene, cam, pix, blk_key, nx, ny,
             if widths is not None and seg < len(widths):
                 w = widths[seg]
             else:
-                w = _pow2_width(int(jax.device_get(cnts).max()), nl)
+                w = _pow2_width(int(jax.device_get(cnts)), nl)
             state, cnts, ok = _stage_sharded(
                 scene, state, key, w, jnp.asarray(b0, jnp.int32),
                 jnp.asarray(b_end, jnp.int32), max_depth, mesh,
@@ -416,7 +423,7 @@ def _render_block_sharded_compact(scene, cam, pix, blk_key, nx, ny,
 
     total, oks = run_block(reuse_widths=True)
     total_np, ok_np = jax.device_get((total, oks))  # one pull
-    if not all(np.asarray(ok).all() for ok in ok_np):
+    if not all(bool(ok) for ok in ok_np):
         # a reused width overflowed a chunk's survivor count — redo the
         # whole block with exact per-chunk, per-stage widths (rare
         # enough that simple beats surgical)

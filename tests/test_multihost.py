@@ -78,3 +78,11 @@ def test_two_process_distributed_matches_single_process():
     np.testing.assert_allclose(result["g_geom"],
                                float(jnp.linalg.norm(grads.prim_data)),
                                rtol=1e-4)
+
+    # cross-process compaction (round 5): the compacted forward mean
+    # must match the plain GSPMD path over the 2-process mesh (same
+    # lanes, global-lane-keyed RNG; the worker reduced both to
+    # replicated scalars)
+    assert result["compact_ok"] is True
+    np.testing.assert_allclose(result["compact_mean"],
+                               result["plain_mean"], rtol=1e-5)

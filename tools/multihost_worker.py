@@ -48,6 +48,31 @@ def main():
     mesh = make_mesh(dp=4, sp=2)
     loss, grads = train_step_sharded(scene, cam, pix, key, target,
                                      nx, ny, spp, 4, mesh)
+
+    # cross-process shard_map COMPACTION (round 5): the head + one
+    # re-compaction stage run over the process-spanning mesh — the
+    # pmax/pmin count collectives and the survivor gather/scatter all
+    # cross the process boundary. Compared against the plain GSPMD
+    # path via fully-REPLICATED means (per-shard arrays are not
+    # addressable across processes; replicated scalars are).
+    from raytracing_rust_tpu.parallel.sharding import (
+        _head_sharded, _stage_sharded, render_block_sharded)
+    from raytracing_rust_tpu.render import _pow2_width
+    depth = 8
+    plain = render_block_sharded(scene, cam, pix, key, nx, ny, spp,
+                                 depth, mesh)
+    plain_mean = float(jax.jit(jnp.mean)(plain)) / spp
+    *state, cnt = _head_sharded(scene, cam, pix, key, nx, ny, spp,
+                                depth, mesh, s1=6)
+    nl = 64 * spp // (4 * 2)
+    w = _pow2_width(int(jax.device_get(cnt)), nl)
+    state, cnt2, ok = _stage_sharded(scene, tuple(state), key, w,
+                                     jnp.asarray(6, jnp.int32),
+                                     jnp.asarray(depth + 1, jnp.int32),
+                                     depth, mesh)
+    compact_mean = float(jax.jit(jnp.mean)(state[4]))
+    ok = bool(jax.device_get(ok))
+
     # loss and replicated-parameter grads are fully replicated → every
     # process holds complete copies and can read them back
     result = {
@@ -56,6 +81,9 @@ def main():
         "loss": float(loss),
         "g_tex": float(jnp.linalg.norm(grads.tex_color)),
         "g_geom": float(jnp.linalg.norm(grads.prim_data)),
+        "compact_mean": compact_mean,
+        "plain_mean": plain_mean,
+        "compact_ok": ok,
     }
     if pid == 0:
         with open(out_path, "w") as fh:
