@@ -39,3 +39,21 @@ def test_sharded_step_moves_both_groups(capsys):
          line.split("[")[1].split("]")[0].split()]
     assert a[0] < 0.5 and a[2] > 0.5, line
     assert not np.isnan(a).any()
+
+
+def test_geometry_mode_moves_all_groups(capsys):
+    """A few geometry-mode steps (--geometry; XLA fallback path on the
+    CPU suite): loss finite, emission rises toward truth and the tilt
+    parameter moves off its 0° init (the shading-dominated geometry
+    gradient — DESIGN.md "Geometry recovery")."""
+    import inverse_render
+
+    inverse_render.main_geometry(steps=4, nx=48, ny=48, spp=8, block=256,
+                                 max_depth=3, chunk=2)
+    out = capsys.readouterr().out
+    line = [l for l in out.splitlines() if l.startswith("recovered")][0]
+    emit = float(line.split("emission")[1].split("(")[0])
+    assert emit > 2.0, line          # started 2.0 (truth 4.0): must rise
+    tilt = float(line.split("tilt")[1].split("°")[0])
+    assert np.isfinite(tilt), line
+    assert tilt != 0.0, line         # geometry gradient is nonzero
