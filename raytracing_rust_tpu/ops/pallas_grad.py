@@ -251,7 +251,7 @@ def _trace_tiles(scal, o, d, u, kinds, feats, n_bounce: int,
         w_knx = w_kny = w_knz = zero
         w_flip = jnp.ones(shape, f)
         w_light_c = zero
-        w_lamb = w_metal = w_diel = zero
+        w_metal = w_diel = zero
         w_par = zero
         w_ter = w_teg = w_teb = zero      # texture even color
         w_tor = w_tog = w_tob = zero      # texture odd color (checker)
@@ -313,7 +313,6 @@ def _trace_tiles(scal, o, d, u, kinds, feats, n_bounce: int,
             if has_light:
                 w_light_c = jnp.where(better, r[C_LIGHT], w_light_c)
             if has_metal or has_diel:
-                w_lamb = jnp.where(better, r[C_LAMB], w_lamb)
                 w_par = jnp.where(better, r[C_PARAM], w_par)
             if has_metal:
                 w_metal = jnp.where(better, r[C_METAL], w_metal)
