@@ -215,7 +215,7 @@ def _trace_tiles(scal, o, d, u, kinds, feats, n_bounce: int,
 
     scal: [P][REC_C] scalars; o, d: 3-tuples of (SUB, LANES) tiles;
     u: [n_bounce][4] tiles (draw columns as integrator._lane_draws);
-    kinds/feats: the static program structure (_static_config).
+    kinds/feats: the static program structure (fast_grad_config).
     Returns (rr, rg, rb) radiance tiles. Mirrors integrator._bounce /
     trace for the supported scope — see module docstring.
     """
